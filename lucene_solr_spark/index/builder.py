@@ -1,0 +1,495 @@
+"""Distributed inverted-index construction (segment build + merge).
+
+Mirrors the reference's indexing lifecycle (SURVEY.md §3.4) Spark-first:
+
+- DWPT / flush  (index/DocumentsWriterPerThread.java, DefaultIndexingChain.java:277)
+    -> one `applyInPandas` group per SEGMENT: tokenize vectorized, build
+       sorted (term, doc) postings with numpy, encode 128-entry VByte
+       delta blocks + per-block max metadata in ONE vectorized pass.
+- SegmentMerger docBase remap  (index/SegmentMerger.java:74-130, MergeState.java:129-142)
+    -> segments are doc-disjoint ascending runs, so the shard-level merge
+       is an ordered CONCATENATION: only each run's first varint (absolute
+       docID) is rewritten; no decode/re-encode of posting bodies.
+- TieredMergePolicy skew handling  (index/TieredMergePolicy.java:45-48)
+    -> hot terms (large per-segment df) are split into doc-range PARTS so
+       no single reducer or row ever holds an unbounded posting list;
+       query-side scoring is distributive over doc-disjoint parts.
+- Shard routing  (solr HashBasedRouter.java:31-34)
+    -> deterministic sharding: 'range_int' (dense integer keys; internal
+       docID == key, so an external SQL oracle can replicate tie-breaks)
+       or 'hash' (xxhash64(key) pmod shards, Solr-style).
+- Two-phase commit / tlog  (index/IndexWriter.java:196,1053-1066, solr UpdateLog.java)
+    -> per-segment checkpoint rows with lineage fingerprints; a re-run
+       skips segments already built (idempotent appends). In production
+       the final writes are Iceberg snapshot appends; the sandbox uses
+       parquet directories behind the same writer seam.
+
+Doc-ID contract (determinism across cluster sizes): global doc_id =
+seg_base(g) + rank-of-key-within-segment, where segments g are a
+deterministic function of the key and seg bases are the cumulative doc
+counts in g order — the MergeState.docBase concatenation rule.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lucene_solr_spark.analysis.analyzers import ANALYZERS
+from lucene_solr_spark.functions.smallfloat import encode_norm
+from lucene_solr_spark.index.codec import encode_posting_lists, vbyte_encode
+
+
+@dataclass
+class IndexConfig:
+    n_shards: int = 4
+    segs_per_shard: int = 4
+    analyzer: str = "standard"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    sharding: str = "range_int"  # 'range_int' | 'hash'
+    # merge-time skew handling: a segment-level posting with df above this
+    # marks the term hot; hot terms merge into doc-range parts of at most
+    # `hot_segs_per_part` segments each (salted two-level reduce).
+    hot_seg_df: int = 50_000
+    hot_segs_per_part: int = 4
+    merge_buckets: int = 32  # merge reducers per shard-set (term-hash buckets)
+
+
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("g", LongType()),  # global segment index; shard = g // segs_per_shard
+        StructField("kind", StringType()),  # 'p' = posting row, 'm' = segment meta row
+        StructField("term", StringType()),
+        StructField("df", LongType()),
+        StructField("cf", LongType()),
+        StructField("doc_enc", BinaryType()),
+        StructField("tf_enc", BinaryType()),
+        StructField("block_last", ArrayType(LongType())),
+        StructField("block_doc_off", ArrayType(IntegerType())),
+        StructField("block_tf_off", ArrayType(IntegerType())),
+        StructField("block_max_tf", ArrayType(IntegerType())),
+        StructField("block_max_norm", ArrayType(IntegerType())),
+        # meta-row payloads (one 'm' row per segment)
+        StructField("keys_enc", BinaryType()),  # int64 LE keys, sorted
+        StructField("doc_lens_enc", BinaryType()),  # int32 LE
+        StructField("norms_enc", BinaryType()),  # uint8
+        StructField("n_docs", LongType()),
+        StructField("fingerprint", StringType()),
+    ]
+)
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("term", StringType()),
+        StructField("part", IntegerType()),
+        StructField("df", LongType()),
+        StructField("cf", LongType()),
+        StructField("doc_enc", BinaryType()),
+        StructField("tf_enc", BinaryType()),
+        StructField("block_last", ArrayType(LongType())),
+        StructField("block_doc_off", ArrayType(IntegerType())),
+        StructField("block_tf_off", ArrayType(IntegerType())),
+        StructField("block_max_tf", ArrayType(IntegerType())),
+        StructField("block_max_norm", ArrayType(IntegerType())),
+    ]
+)
+
+
+def _make_segment_builder(analyzer_name: str, segs_per_shard: int):
+    """Returns the applyInPandas function building ONE segment's rows."""
+    tokenize = ANALYZERS[analyzer_name]
+
+    def build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA.fields])
+        g = int(pdf["g"].iloc[0])
+        pdf = pdf.sort_values("key", kind="mergesort").reset_index(drop=True)
+        keys = pdf["key"].to_numpy(np.int64)
+        token_lists = tokenize(pdf["text"])
+        doc_lens = token_lists.str.len().to_numpy(np.int64)
+        norms = encode_norm(doc_lens)
+        n_docs = len(pdf)
+
+        total = int(doc_lens.sum())
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for lst in token_lists:
+                ln = len(lst)
+                flat[pos : pos + ln] = lst
+                pos += ln
+            codes, uniques = pd.factorize(flat, sort=True)
+            doc_ord = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
+            # (term, doc) counts, sorted by (term, doc) for free via np.unique
+            pair = codes.astype(np.int64) * n_docs + doc_ord
+            upair, tfs = np.unique(pair, return_counts=True)
+            term_id = upair // n_docs
+            doc_local = upair % n_docs
+            dfs = np.bincount(term_id, minlength=len(uniques)).astype(np.int64)
+            cfs = np.add.reduceat(tfs, np.cumsum(dfs) - dfs).astype(np.int64)
+            enc = encode_posting_lists(dfs, doc_local, tfs, norms[doc_local])
+            posting_rows = pd.DataFrame(
+                {
+                    "g": g,
+                    "kind": "p",
+                    "term": uniques.astype(str),
+                    "df": dfs,
+                    "cf": cfs,
+                    "doc_enc": enc["doc_enc"],
+                    "tf_enc": enc["tf_enc"],
+                    "block_last": enc["block_last"],
+                    "block_doc_off": enc["block_doc_off"],
+                    "block_tf_off": enc["block_tf_off"],
+                    "block_max_tf": enc["block_max_tf"],
+                    "block_max_norm": enc["block_max_norm"],
+                }
+            )
+        else:
+            posting_rows = pd.DataFrame()
+
+        keys_b = keys.astype("<i8").tobytes()
+        meta_row = pd.DataFrame(
+            {
+                "g": [g],
+                "kind": ["m"],
+                "keys_enc": [keys_b],
+                "doc_lens_enc": [doc_lens.astype("<i4").tobytes()],
+                "norms_enc": [norms.astype(np.uint8).tobytes()],
+                "n_docs": [n_docs],
+                "fingerprint": [hashlib.sha256(keys_b).hexdigest()[:16]],
+            }
+        )
+        out = pd.concat([posting_rows, meta_row], ignore_index=True)
+        for f in SEGMENT_SCHEMA.fields:
+            if f.name not in out.columns:
+                out[f.name] = None
+            else:
+                # pd.concat fills missing cells with NaN; Arrow needs None
+                col = out[f.name]
+                if col.isna().any():
+                    out[f.name] = col.astype(object).where(col.notna(), None)
+        return out[[f.name for f in SEGMENT_SCHEMA.fields]]
+
+    return build_segment
+
+
+def _read_first_varint(buf: bytes) -> tuple[int, int]:
+    """Decode the first VByte value -> (value, nbytes)."""
+    val = 0
+    shift = 0
+    for i, byte in enumerate(buf):
+        val |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return val, i + 1
+        shift += 7
+    raise ValueError("truncated varint")
+
+
+def _encode_varint(v: int) -> bytes:
+    arr, _ = vbyte_encode(np.array([v], np.uint64))
+    return arr.tobytes()
+
+
+def _make_merger(seg_bases: dict[int, int], segs_per_shard: int):
+    """Merge segment posting runs -> shard posting rows (ordered concat).
+
+    Rows of one (shard, bucket) group, many terms at once. For each
+    (term, part): rebase each segment run to global docIDs (first varint
+    of the run becomes `global_doc0 - prev_run_last`), then byte-concat.
+    """
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        pdf = pdf.sort_values(["term", "part", "g"], kind="mergesort")
+        out = {name: [] for name in (
+            "shard", "term", "part", "df", "cf", "doc_enc", "tf_enc",
+            "block_last", "block_doc_off", "block_tf_off", "block_max_tf",
+            "block_max_norm",
+        )}
+        terms = pdf["term"].to_numpy()
+        parts = pdf["part"].to_numpy()
+        gs = pdf["g"].to_numpy()
+        doc_encs = pdf["doc_enc"].to_numpy()
+        tf_encs = pdf["tf_enc"].to_numpy()
+        b_last = pdf["block_last"].to_numpy()
+        b_doff = pdf["block_doc_off"].to_numpy()
+        b_toff = pdf["block_tf_off"].to_numpy()
+        b_mtf = pdf["block_max_tf"].to_numpy()
+        b_mnorm = pdf["block_max_norm"].to_numpy()
+        dfs = pdf["df"].to_numpy()
+        cfs = pdf["cf"].to_numpy()
+
+        i = 0
+        n = len(pdf)
+        while i < n:
+            j = i
+            while j < n and terms[j] == terms[i] and parts[j] == parts[i]:
+                j += 1
+            # merge runs [i, j) of one (term, part)
+            doc_parts: list[bytes] = []
+            tf_parts: list[bytes] = []
+            blast_parts, bdoff_parts, btoff_parts = [], [], []
+            bmtf_parts, bmnorm_parts = [], []
+            doc_bytes_acc = 0
+            tf_bytes_acc = 0
+            prev_last_global = None
+            for r in range(i, j):
+                base = seg_bases[int(gs[r])]
+                enc = bytes(doc_encs[r])
+                local0, nb_old = _read_first_varint(enc)
+                global0 = local0 + base
+                delta0 = global0 if prev_last_global is None else global0 - prev_last_global
+                head = _encode_varint(delta0)
+                shift = len(head) - nb_old
+                doc_parts.append(head + enc[nb_old:])
+                tf_parts.append(bytes(tf_encs[r]))
+                blast = np.asarray(b_last[r], np.int64) + base
+                bdoff = np.asarray(b_doff[r], np.int64).copy()
+                bdoff[1:] += shift
+                blast_parts.append(blast)
+                bdoff_parts.append(bdoff + doc_bytes_acc)
+                btoff_parts.append(np.asarray(b_toff[r], np.int64) + tf_bytes_acc)
+                bmtf_parts.append(np.asarray(b_mtf[r], np.int32))
+                bmnorm_parts.append(np.asarray(b_mnorm[r], np.int32))
+                doc_bytes_acc += len(doc_parts[-1])
+                tf_bytes_acc += len(tf_parts[-1])
+                prev_last_global = int(blast[-1])
+            out["shard"].append(int(gs[i]) // segs_per_shard)
+            out["term"].append(terms[i])
+            out["part"].append(int(parts[i]))
+            out["df"].append(int(dfs[i:j].sum()))
+            out["cf"].append(int(cfs[i:j].sum()))
+            out["doc_enc"].append(b"".join(doc_parts))
+            out["tf_enc"].append(b"".join(tf_parts))
+            out["block_last"].append(np.concatenate(blast_parts))
+            out["block_doc_off"].append(np.concatenate(bdoff_parts).astype(np.int32))
+            out["block_tf_off"].append(np.concatenate(btoff_parts).astype(np.int32))
+            out["block_max_tf"].append(np.concatenate(bmtf_parts))
+            out["block_max_norm"].append(np.concatenate(bmnorm_parts))
+            i = j
+        return pd.DataFrame(out)
+
+    return merge
+
+
+NORMS_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("base", LongType()),
+        StructField("n_docs", LongType()),
+        StructField("norms", BinaryType()),
+    ]
+)
+
+
+def build_index(
+    spark: SparkSession,
+    src: DataFrame,
+    out_dir: str,
+    config: IndexConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build the full index at `out_dir`. Returns the manifest dict."""
+    from lucene_solr_spark.session import ensure_on_workers
+
+    cfg = config or IndexConfig()
+    ensure_on_workers(spark)
+    os.makedirs(out_dir, exist_ok=True)
+    G = cfg.n_shards * cfg.segs_per_shard
+
+    keyed = src.select(
+        F.col(cfg.id_col).cast("long").alias("key"),
+        F.col(cfg.text_col).cast("string").alias("text"),
+    )
+
+    if cfg.sharding == "range_int":
+        lo, hi, n_total = keyed.agg(
+            F.min("key"), F.max("key"), F.count(F.lit(1))
+        ).first()
+        span = int(hi) - int(lo) + 1
+        g_col = ((F.col("key") - F.lit(int(lo))) * G / F.lit(span)).cast("long")
+        g_col = F.least(g_col, F.lit(G - 1))
+    elif cfg.sharding == "hash":
+        n_total = keyed.count()
+        h = F.xxhash64(F.col("key"))
+        g_col = (
+            F.pmod(h, F.lit(cfg.n_shards)) * cfg.segs_per_shard
+            + F.pmod(F.xxhash64(F.col("key"), F.lit(1)), F.lit(cfg.segs_per_shard))
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown sharding {cfg.sharding}")
+
+    with_g = keyed.withColumn("g", g_col)
+
+    # ---- resumable segment build (tlog/commit analog) ----
+    ckpt_path = os.path.join(out_dir, "checkpoints")
+    seg_path = os.path.join(out_dir, "segments")
+    done: set[int] = set()
+    if resume and os.path.isdir(ckpt_path):
+        done = {
+            r.g for r in spark.read.parquet(ckpt_path).select("g").distinct().collect()
+        }
+    todo = with_g
+    if done:
+        todo = with_g.where(~F.col("g").isin([int(x) for x in done]))
+
+    seg_rows = todo.groupBy("g").applyInPandas(
+        _make_segment_builder(cfg.analyzer, cfg.segs_per_shard), SEGMENT_SCHEMA
+    )
+    mode = "append" if done else "overwrite"
+    seg_rows.write.mode(mode).parquet(seg_path)
+
+    segments = spark.read.parquet(seg_path)
+
+    # checkpoint/lineage table: one row per segment with metrics
+    meta = segments.where(F.col("kind") == "m").select(
+        "g", "n_docs", "fingerprint"
+    )
+    post_metrics = (
+        segments.where(F.col("kind") == "p")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum(F.length("doc_enc") + F.length("tf_enc")).alias("bytes"),
+        )
+    )
+    ckpt = meta.join(post_metrics, "g", "left").fillna(
+        0, subset=["n_terms", "n_postings", "bytes"]
+    )
+    ckpt.write.mode("overwrite").parquet(ckpt_path)
+
+    # ---- doc bases (MergeState.docBase concatenation rule) ----
+    seg_meta = sorted(
+        ((int(r.g), int(r.n_docs)) for r in meta.select("g", "n_docs").collect())
+    )
+    bases: dict[int, int] = {}
+    acc = 0
+    for g, nd in seg_meta:
+        bases[g] = acc
+        acc += nd
+    max_doc = acc
+    bases_b = spark.sparkContext.broadcast(bases)
+
+    # ---- doc_map: explode segment meta rows (vectorized) ----
+    def explode_meta(iterator):
+        for pdf in iterator:
+            for _, row in pdf.iterrows():
+                g = int(row["g"])
+                keys = np.frombuffer(row["keys_enc"], "<i8")
+                dls = np.frombuffer(row["doc_lens_enc"], "<i4")
+                nrm = np.frombuffer(row["norms_enc"], np.uint8)
+                base = bases_b.value[g]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": base + np.arange(len(keys), dtype=np.int64),
+                        "key": keys,
+                        "shard": np.int32(g // cfg.segs_per_shard),
+                        "g": np.int64(g),
+                        "doc_len": dls.astype(np.int64),
+                        "norm": nrm.astype(np.int32),
+                    }
+                )
+
+    doc_map_schema = (
+        "doc_id long, key long, shard int, g long, doc_len long, norm int"
+    )
+    meta_rows = segments.where(F.col("kind") == "m").select(
+        "g", "keys_enc", "doc_lens_enc", "norms_enc"
+    )
+    doc_map = meta_rows.mapInPandas(explode_meta, doc_map_schema)
+    doc_map.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_map"))
+
+    # ---- per-shard norm blobs (columnar norms, Lucene53NormsFormat analog) ----
+    def build_norms(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("g")
+        blob = b"".join(bytes(x) for x in pdf["norms_enc"])
+        base = bases_b.value[int(pdf["g"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["g"].iloc[0]) // cfg.segs_per_shard],
+                "base": [base],
+                "n_docs": [len(blob)],
+                "norms": [blob],
+            }
+        )
+
+    norms_df = (
+        meta_rows.withColumn(
+            "shard", (F.col("g") / cfg.segs_per_shard).cast("int")
+        )
+        .groupBy("shard")
+        .applyInPandas(build_norms, NORMS_SCHEMA)
+    )
+    norms_df.write.mode("overwrite").parquet(os.path.join(out_dir, "norms"))
+
+    # ---- merge: ordered concat per (shard, term, part), salted for skew ----
+    posting_rows = segments.where(F.col("kind") == "p")
+    part_col = F.when(
+        F.col("df") > cfg.hot_seg_df,
+        (F.pmod(F.col("g"), F.lit(cfg.segs_per_shard)) / cfg.hot_segs_per_part).cast("int"),
+    ).otherwise(F.lit(0))
+    bucketed = posting_rows.withColumn("part", part_col).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("term", "part"), F.lit(cfg.merge_buckets)).cast("int"),
+    ).withColumn("shard", (F.col("g") / cfg.segs_per_shard).cast("int"))
+
+    merged = bucketed.groupBy("shard", "bucket").applyInPandas(
+        _make_merger(bases, cfg.segs_per_shard), POSTINGS_SCHEMA
+    )
+    (
+        merged.repartition(max(cfg.n_shards, 1), "shard")
+        .sortWithinPartitions("shard", "term", "part")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "postings"))
+    )
+
+    # ---- global term stats (df/cf across shards) ----
+    postings_final = spark.read.parquet(os.path.join(out_dir, "postings"))
+    term_stats = postings_final.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    term_stats.coalesce(max(1, cfg.merge_buckets // 8)).sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+
+    # ---- collection stats + manifest ----
+    sttf = doc_map_sum = spark.read.parquet(
+        os.path.join(out_dir, "doc_map")
+    ).agg(F.sum("doc_len")).first()[0]
+    shard_bases = {}
+    for g, nd in seg_meta:
+        shard = g // cfg.segs_per_shard
+        shard_bases.setdefault(shard, bases[g])
+    manifest = {
+        "version": 1,
+        "config": asdict(cfg),
+        "max_doc": int(max_doc),
+        "sum_total_term_freq": int(sttf or 0),
+        "n_input_rows": int(n_total),
+        "seg_bases": {str(k): v for k, v in bases.items()},
+        "shard_bases": {str(k): v for k, v in shard_bases.items()},
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest

@@ -1,0 +1,200 @@
+"""Posting-list block codec: docID-delta VByte in 128-entry blocks.
+
+Logical reproduction of the reference's postings encoding
+(codecs/lucene50/Lucene50PostingsFormat.java:50-56,190-263): doc deltas
+(first absolute), fixed blocks of BLOCK_SIZE=128 (:398), VByte bytes
+(low 7 bits first, continuation high bit — store/DataOutput.writeVInt
+semantics), one skip entry per block carrying the block's last docID
+(Lucene50SkipWriter.java:39-44). Per-block max-score metadata
+(max_tf, max_norm_byte) extends the skip entry with block-max impacts
+(Ding & Suel, SIGIR 2011 — post-6.0 addition required by the north rule,
+SURVEY.md §4.5).
+
+Everything is numpy-vectorized across ALL terms of a segment at once:
+one encode pass for every posting of every term (no per-term Python
+loop in the hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_solr_spark import BLOCK_SIZE
+
+
+def vbyte_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode uint64 values -> (bytes: uint8 array, nbytes per value).
+
+    Low 7-bit group first; high bit set on all but the final group
+    (store/DataOutput.writeVInt semantics).
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    nb = np.ones(n, np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += tmp > 0
+        tmp >>= np.uint64(7)
+    total = int(nb.sum())
+    starts = np.cumsum(nb) - nb
+    idx = np.repeat(np.arange(n), nb)
+    ordinal = (np.arange(total) - np.repeat(starts, nb)).astype(np.uint64)
+    chunks = (v[idx] >> (np.uint64(7) * ordinal)) & np.uint64(0x7F)
+    cont = ordinal < (nb[idx] - 1).astype(np.uint64)
+    out = (chunks | (cont.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
+    return out, nb
+
+
+def vbyte_decode(buf: np.ndarray | bytes, n_values: int | None = None) -> np.ndarray:
+    """Decode a VByte stream -> uint64 values (vectorized, <=10 passes)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if len(b) == 0:
+        return np.empty(0, np.uint64)
+    ends = (b & 0x80) == 0
+    value_id = np.zeros(len(b), np.int64)
+    np.cumsum(ends[:-1], out=value_id[1:])
+    nvals = int(ends.sum())
+    pos = np.arange(len(b))
+    starts_mask = np.empty(len(b), bool)
+    starts_mask[0] = True
+    starts_mask[1:] = ends[:-1]
+    start_pos = np.maximum.accumulate(np.where(starts_mask, pos, 0))
+    ordinal = (pos - start_pos).astype(np.uint64)
+    chunks = (b & np.uint8(0x7F)).astype(np.uint64)
+    vals = np.zeros(nvals, np.uint64)
+    for j in range(int(ordinal.max()) + 1):
+        sel = ordinal == j
+        vals[value_id[sel]] |= chunks[sel] << np.uint64(7 * j)
+    if n_values is not None and nvals != n_values:
+        raise ValueError(f"decoded {nvals} values, expected {n_values}")
+    return vals
+
+
+def encode_posting_lists(
+    term_lengths: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+) -> dict[str, list]:
+    """Encode postings for MANY terms in one vectorized pass.
+
+    Inputs are parallel arrays sorted by (term, doc_id); `term_lengths[i]`
+    is the df of term i (sum == len(doc_ids)). `norm_bytes[j]` is the norm
+    byte of doc_ids[j]'s document.
+
+    Returns dict of per-term lists (aligned with term_lengths):
+      doc_enc: bytes        VByte of doc deltas (first absolute)
+      tf_enc: bytes         VByte of tfs
+      block_last: list[int64 array]   last docID per 128-block (skip entry)
+      block_doc_off / block_tf_off: list[int32 array]  byte offset of each
+          block within doc_enc / tf_enc
+      block_max_tf / block_max_norm: list[int32 array] block-max metadata
+    """
+    n = len(doc_ids)
+    term_lengths = np.asarray(term_lengths, dtype=np.int64)
+    assert int(term_lengths.sum()) == n
+    term_starts = np.cumsum(term_lengths) - term_lengths
+
+    # doc deltas with per-term reset (first value absolute)
+    deltas = np.empty(n, np.int64)
+    if n:
+        deltas[0] = doc_ids[0]
+        deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+        deltas[term_starts] = doc_ids[term_starts]
+
+    doc_bytes, doc_nb = vbyte_encode(deltas.astype(np.uint64))
+    tf_bytes, tf_nb = vbyte_encode(np.asarray(tfs, dtype=np.uint64))
+    doc_byte_start = np.cumsum(doc_nb) - doc_nb  # byte offset of posting j
+    tf_byte_start = np.cumsum(tf_nb) - tf_nb
+
+    # block starts: every 128th posting within each term
+    local_idx = np.arange(n) - np.repeat(term_starts, term_lengths)
+    block_start_mask = (local_idx % BLOCK_SIZE) == 0
+    block_starts = np.flatnonzero(block_start_mask)  # global posting indices
+    # block ends: next block start - 1 (or n-1)
+    block_ends = np.empty(len(block_starts), np.int64)
+    block_ends[:-1] = block_starts[1:] - 1
+    if len(block_starts):
+        block_ends[-1] = n - 1
+
+    blk_last = doc_ids[block_ends].astype(np.int64)
+    blk_max_tf = np.maximum.reduceat(np.asarray(tfs, np.int64), block_starts).astype(
+        np.int32
+    )
+    blk_max_norm = np.maximum.reduceat(
+        np.asarray(norm_bytes, np.int64), block_starts
+    ).astype(np.int32)
+
+    # number of blocks per term, for splitting the block arrays
+    blocks_per_term = ((term_lengths + BLOCK_SIZE - 1) // BLOCK_SIZE).astype(np.int64)
+    blk_split = np.cumsum(blocks_per_term)[:-1]
+    term_split = np.cumsum(term_lengths)[:-1]
+
+    # per-term byte ranges
+    t_doc_b0 = doc_byte_start[term_starts]
+    t_tf_b0 = tf_byte_start[term_starts]
+    doc_enc_all = doc_bytes.tobytes()
+    tf_enc_all = tf_bytes.tobytes()
+    t_doc_b1 = np.empty(len(term_lengths), np.int64)
+    t_doc_b1[:-1] = t_doc_b0[1:]
+    t_doc_b1[-1] = len(doc_enc_all)
+    t_tf_b1 = np.empty(len(term_lengths), np.int64)
+    t_tf_b1[:-1] = t_tf_b0[1:]
+    t_tf_b1[-1] = len(tf_enc_all)
+
+    blk_doc_off = (doc_byte_start[block_starts] - np.repeat(t_doc_b0, blocks_per_term)).astype(np.int32)
+    blk_tf_off = (tf_byte_start[block_starts] - np.repeat(t_tf_b0, blocks_per_term)).astype(np.int32)
+
+    return {
+        "doc_enc": [doc_enc_all[a:b] for a, b in zip(t_doc_b0, t_doc_b1)],
+        "tf_enc": [tf_enc_all[a:b] for a, b in zip(t_tf_b0, t_tf_b1)],
+        "block_last": np.split(blk_last, blk_split),
+        "block_doc_off": np.split(blk_doc_off, blk_split),
+        "block_tf_off": np.split(blk_tf_off, blk_split),
+        "block_max_tf": np.split(blk_max_tf, blk_split),
+        "block_max_norm": np.split(blk_max_norm, blk_split),
+    }
+
+
+def decode_posting_list(doc_enc: bytes, tf_enc: bytes, df: int) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode of one term's postings -> (doc_ids int64, tfs int64)."""
+    deltas = vbyte_decode(doc_enc, df).astype(np.int64)
+    docs = np.cumsum(deltas)
+    tfs = vbyte_decode(tf_enc, df).astype(np.int64)
+    return docs, tfs
+
+
+def decode_blocks(
+    doc_enc: bytes,
+    tf_enc: bytes,
+    block_ids: np.ndarray,
+    block_last: np.ndarray,
+    block_doc_off: np.ndarray,
+    block_tf_off: np.ndarray,
+    df: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the selected blocks (skip-list analog).
+
+    The first delta of block b is relative to block_last[b-1] (the skip
+    entry's last docID); block 0's first value is absolute.
+    """
+    n_blocks = len(block_last)
+    doc_end = np.empty(n_blocks, np.int64)
+    doc_end[:-1] = block_doc_off[1:]
+    doc_end[-1] = len(doc_enc)
+    tf_end = np.empty(n_blocks, np.int64)
+    tf_end[:-1] = block_tf_off[1:]
+    tf_end[-1] = len(tf_enc)
+
+    docs_out, tfs_out = [], []
+    for b in block_ids:
+        deltas = vbyte_decode(doc_enc[block_doc_off[b] : doc_end[b]]).astype(np.int64)
+        base = 0 if b == 0 else int(block_last[b - 1])
+        deltas[0] += base
+        docs_out.append(np.cumsum(deltas))
+        tfs_out.append(vbyte_decode(tf_enc[block_tf_off[b] : tf_end[b]]).astype(np.int64))
+    if not docs_out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(docs_out), np.concatenate(tfs_out)

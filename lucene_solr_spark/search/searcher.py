@@ -1,0 +1,336 @@
+"""BM25 top-k searcher over the sharded index tables.
+
+Query lifecycle mirrors IndexSearcher.search (SURVEY.md §3.1):
+
+1. rewrite(query) to fixpoint (logical plan).
+2. bind global stats: df per term from `term_stats` (pushdown `term IN`),
+   maxDoc/sumTotalTermFreq from the manifest -> float32 idf, avgdl, the
+   256-entry norm cache (BM25Similarity.computeWeight:200-212).
+3. per-shard physical plan: scan `postings` with `term IN (...)` pushed to
+   parquet (BlockTree term seek analog — Iceberg/parquet min-max pruning on
+   the term-sorted files), join the shard's norm blob, then ONE
+   applyInPandas group per shard = Lucene's leaf slice: decode blocks,
+   vectorized float32 scoring, bounded top-k ordered (score desc, doc asc)
+   (TopScoreDocCollector.java:63-80, HitQueue.java:76-81).
+4. driver reduce: ORDER BY score DESC, doc_id ASC LIMIT k. Global docIDs
+   are monotone in (shard, local doc), so this reproduces TopDocs.merge's
+   tie-breaks exactly (score desc, earlier shard, shard-internal order;
+   TopDocs.java:94-116).
+
+Block-max fast path (Ding & Suel SIGIR'11; north-rule addition, SURVEY §4.5):
+for single-term queries, blocks are visited in upper-bound order and
+decoding stops once the heap's kth score beats every remaining block's
+bound — output-identical to the exhaustive path (tested).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_solr_spark import B, K1
+from lucene_solr_spark.functions import bm25
+from lucene_solr_spark.index.codec import decode_blocks, decode_posting_list
+from lucene_solr_spark.search.query import (
+    BooleanAnd,
+    BooleanNot,
+    BooleanOr,
+    DisjunctionMax,
+    Query,
+    TermQuery,
+    rewrite,
+)
+
+
+def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int):
+    """Bounded top-k, order = score desc then doc asc (HitQueue.java:76-81).
+
+    Exact under ties: selects every doc scoring >= the kth-largest score
+    before the (doc-asc) tie-break sort, so boundary ties resolve by docID
+    exactly like the reference's heap."""
+    if k <= 0 or len(docs) == 0:
+        return docs[:0], scores[:0]
+    if len(docs) > max(4 * k, 64):
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        mask = scores >= kth
+        docs, scores = docs[mask], scores[mask]
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
+def _score_shard(
+    pdf: pd.DataFrame,
+    spec: dict,
+    idfs: dict[str, np.float32],
+    cache: np.ndarray,
+    k: int,
+    prune: bool,
+) -> pd.DataFrame:
+    """Score one shard's matched postings rows -> top-k (doc_id, score)."""
+    base = int(pdf["base"].iloc[0])
+    norms = np.frombuffer(pdf["norms"].iloc[0], np.uint8)
+
+    # decode per-term postings (parts are doc-disjoint ascending runs)
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term, grp in pdf.sort_values("part").groupby("term", sort=False):
+        ds, ts = [], []
+        for _, row in grp.iterrows():
+            d, t = decode_posting_list(
+                bytes(row["doc_enc"]), bytes(row["tf_enc"]), int(row["df"])
+            )
+            ds.append(d)
+            ts.append(t)
+        per_term[term] = (np.concatenate(ds), np.concatenate(ts))
+
+    def term_scores(term: str) -> tuple[np.ndarray, np.ndarray]:
+        d, t = per_term[term]
+        s = bm25.score_term(t, norms[d - base], idfs[term], cache)
+        return d, s
+
+    kind = spec["kind"]
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float32")})
+
+    if kind == "term":
+        term = spec["terms"][0]
+        if term not in per_term:
+            return empty
+        if prune:
+            docs, scores = _score_term_pruned(pdf, term, base, norms, idfs, cache, k)
+        else:
+            docs, scores = term_scores(term)
+            docs, scores = _topk_arrays(docs, scores.astype(np.float32), k)
+        return pd.DataFrame({"doc_id": docs, "score": scores.astype(np.float32)})
+
+    present = [t for t in spec["terms"] if t in per_term]
+    if kind in ("and", "not"):
+        must = [t for t in (spec.get("must") or spec["terms"]) ]
+        if any(t not in per_term for t in must):
+            return empty
+        inter = reduce(
+            lambda a, b: a[np.isin(a, b, assume_unique=True)],
+            [per_term[t][0] for t in must],
+        )
+        if kind == "not":
+            for t in spec["must_not"]:
+                if t in per_term:
+                    inter = inter[~np.isin(inter, per_term[t][0], assume_unique=True)]
+        if len(inter) == 0:
+            return empty
+        clause_scores = []
+        for t in must:
+            d, s = term_scores(t)
+            clause_scores.append(s[np.searchsorted(d, inter)])
+        total = bm25.sum_bool(clause_scores)
+        docs, scores = _topk_arrays(inter, total, k)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    if kind in ("or", "dismax"):
+        if not present:
+            return empty
+        union = reduce(np.union1d, [per_term[t][0] for t in present])
+        # OR sums sub-scores in DOUBLE (DisjunctionSumScorer.java:44-48);
+        # DISMAX accumulates in FLOAT (DisjunctionMaxScorer.java:
+        # `float scoreSum/scoreMax`), clause order = sorted terms here.
+        acc64 = np.zeros(len(union), np.float64)
+        acc32 = np.zeros(len(union), np.float32)
+        mx = np.full(len(union), -np.inf, np.float32)
+        nmatch = np.zeros(len(union), np.int32)
+        for t in present:
+            d, s = term_scores(t)
+            pos = np.searchsorted(union, d)
+            acc64[pos] += s.astype(np.float64)
+            acc32[pos] += s
+            np.maximum.at(mx, pos, s)
+            nmatch[pos] += 1
+        if kind == "dismax":
+            tie = np.float32(spec.get("tie", 0.0))
+            total = (mx + (acc32 - mx) * tie).astype(np.float32)
+        else:
+            total = acc64.astype(np.float32)
+        msm = spec.get("min_should_match", 1)
+        if msm > 1:
+            keep = nmatch >= msm
+            union, total = union[keep], total[keep]
+        if len(union) == 0:
+            return empty
+        docs, scores = _topk_arrays(union, total, k)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    raise ValueError(f"unknown query kind {kind}")
+
+
+def _score_term_pruned(pdf, term, base, norms, idfs, cache, k):
+    """Block-max pruning for a single-term query (output-identical).
+
+    Upper bound per block: weightValue * max_tf / (max_tf + cache[max_norm])
+    — admissible because tf/(tf+c) is increasing in tf, decreasing in c,
+    and cache[] is decreasing in the norm byte (shorter doc => larger byte
+    => smaller cache => larger score)."""
+    rows = pdf[pdf["term"] == term].sort_values("part")
+    weight_value = (np.float32(idfs[term]) * np.float32(1.0)) * (
+        np.float32(K1) + np.float32(1.0)
+    )
+    # gather per-block metadata across parts
+    blk = []
+    for _, row in rows.iterrows():
+        mt = np.asarray(row["block_max_tf"], np.float32)
+        mn = np.asarray(row["block_max_norm"], np.int64)
+        ub = (weight_value * mt) / (mt + cache[mn])
+        blk.append(ub)
+    all_ub = np.concatenate(blk)
+    order = np.argsort(-all_ub, kind="stable")
+
+    # row-local block ids for each global block ordinal
+    row_of = np.concatenate(
+        [np.full(len(u), i, np.int64) for i, u in enumerate(blk)]
+    )
+    local_id = np.concatenate([np.arange(len(u), dtype=np.int64) for u in blk])
+
+    docs_acc, score_acc = [], []
+    kth = -np.inf
+    CHUNK = 16
+    row_list = list(rows.itertuples(index=False))
+    for s in range(0, len(order), CHUNK):
+        sel = order[s : s + CHUNK]
+        if kth > all_ub[sel[0]]:
+            # strictly above every remaining bound: no remaining doc can
+            # even tie (a tie would still lose only on docID, which we
+            # cannot rule out, so equality must keep scanning)
+            break
+        for ridx in np.unique(row_of[sel]):
+            row = row_list[ridx]
+            bids = np.sort(local_id[sel[row_of[sel] == ridx]])
+            d, t = decode_blocks(
+                bytes(row.doc_enc),
+                bytes(row.tf_enc),
+                bids,
+                np.asarray(row.block_last, np.int64),
+                np.asarray(row.block_doc_off, np.int64),
+                np.asarray(row.block_tf_off, np.int64),
+                int(row.df),
+            )
+            sc = bm25.score_term(t, norms[d - base], idfs[term], cache)
+            docs_acc.append(d)
+            score_acc.append(sc)
+        docs = np.concatenate(docs_acc)
+        scores = np.concatenate(score_acc)
+        if len(docs) >= k:
+            top_d, top_s = _topk_arrays(docs, scores, k)
+            if len(top_s) == k:
+                kth = top_s[-1]
+    docs = np.concatenate(docs_acc) if docs_acc else np.empty(0, np.int64)
+    scores = (
+        np.concatenate(score_acc).astype(np.float32)
+        if score_acc
+        else np.empty(0, np.float32)
+    )
+    return _topk_arrays(docs, scores, k)
+
+
+class IndexSearcher:
+    """Searcher over an index directory produced by build_index."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        from lucene_solr_spark.session import ensure_on_workers
+
+        self.spark = spark
+        self.index_dir = index_dir
+        ensure_on_workers(spark)
+        with open(os.path.join(index_dir, "manifest.json")) as fh:
+            self.manifest = json.load(fh)
+        self.max_doc = self.manifest["max_doc"]
+        self.avgdl = bm25.avgdl(self.manifest["sum_total_term_freq"], self.max_doc)
+        self.cache = bm25.norm_cache(self.avgdl)
+        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self._norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+        self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        self._doc_map = None
+
+    def doc_map(self) -> DataFrame:
+        if self._doc_map is None:
+            self._doc_map = self.spark.read.parquet(
+                os.path.join(self.index_dir, "doc_map")
+            )
+        return self._doc_map
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        rows = (
+            self._term_stats.where(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {r.term: int(r.df) for r in rows}
+
+    def _spec(self, q: Query) -> dict:
+        if isinstance(q, TermQuery):
+            return {"kind": "term", "terms": [q.term]}
+        if isinstance(q, BooleanAnd):
+            return {"kind": "and", "terms": list(q.must), "must": list(q.must)}
+        if isinstance(q, BooleanNot):
+            return {
+                "kind": "not",
+                "terms": list(q.must) + list(q.must_not),
+                "must": list(q.must),
+                "must_not": list(q.must_not),
+            }
+        if isinstance(q, BooleanOr):
+            return {
+                "kind": "or",
+                "terms": list(q.should),
+                "min_should_match": q.min_should_match,
+            }
+        if isinstance(q, DisjunctionMax):
+            return {"kind": "dismax", "terms": list(q.should), "tie": q.tie}
+        raise TypeError(f"unsupported query {q!r}")
+
+    def search(self, query: Query, k: int = 10, prune: bool = True) -> DataFrame:
+        """Top-k as a DataFrame (doc_id long, score float), globally ordered
+        score desc / doc_id asc with exact Lucene tie-break semantics."""
+        q = rewrite(query)
+        spec = self._spec(q)
+        terms = sorted(set(spec["terms"]))
+        dfs = self.term_dfs(terms)
+        idfs = {t: bm25.idf(d, self.max_doc) for t, d in dfs.items()}
+
+        must = spec.get("must")
+        if must and any(t not in dfs for t in must):
+            return self._empty()
+        present = [t for t in terms if t in dfs]
+        if not present:
+            return self._empty()
+
+        matched = self._postings.where(F.col("term").isin(present))
+        joined = matched.join(F.broadcast(self._norms), "shard")
+
+        cache = self.cache
+        use_prune = prune and spec["kind"] == "term"
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = _score_shard(pdf, spec, idfs, cache, k, use_prune)
+            return out
+
+        per_shard = joined.groupBy("shard").applyInPandas(
+            score_group, "doc_id long, score float"
+        )
+        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score float")
+
+    def search_with_keys(self, query: Query, k: int = 10, prune: bool = True) -> DataFrame:
+        """Top-k joined back to the source key (stored-fields fetch analog,
+        phase 2 of Solr's distributed search — SURVEY.md §3.3)."""
+        hits = self.search(query, k, prune)
+        dm = self.doc_map().select("doc_id", "key")
+        return (
+            hits.join(dm, "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "key", "score")
+        )

@@ -1,0 +1,171 @@
+"""End-to-end: build index over sf0.001 documents, check invariants,
+duel the engine against the brute-force oracle (rank + bitwise-float32
+score identity), and verify the block-max pruned path is output-identical
+to the exhaustive path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.check import check_index
+from lucene_solr_spark.search.oracle import build_oracle_index, oracle_topk
+from lucene_solr_spark.search.query import (
+    BooleanAnd,
+    BooleanNot,
+    BooleanOr,
+    DisjunctionMax,
+    TermQuery,
+)
+from lucene_solr_spark.search.searcher import IndexSearcher
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, docs_index):
+    out, _ = docs_index
+    return IndexSearcher(spark, out)
+
+
+@pytest.fixture(scope="module")
+def oracle(spark):
+    pdf = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # range_int sharding over dense keys => internal doc_id == source doc_id
+    return build_oracle_index(
+        pdf["doc_id"].to_numpy(), pdf["text"], pdf["doc_id"].to_numpy()
+    )
+
+
+def hits(df):
+    return [(r.doc_id, np.float32(r.score)) for r in df.collect()]
+
+
+def assert_same(engine_hits, oracle_hits):
+    assert len(engine_hits) == len(oracle_hits)
+    for (ed, es), (od, os_) in zip(engine_hits, oracle_hits):
+        assert ed == od, (engine_hits, oracle_hits)
+        assert np.float32(es).tobytes() == np.float32(os_).tobytes(), (ed, es, os_)
+
+
+def test_invariants(spark, docs_index):
+    out, manifest = docs_index
+    res = check_index(spark, out)
+    assert res["max_doc"] == 500
+    assert res["terms_checked"] > 10
+
+
+def test_manifest_stats(spark, docs_index, oracle):
+    _, manifest = docs_index
+    assert manifest["max_doc"] == oracle.max_doc
+    assert manifest["sum_total_term_freq"] == oracle.sum_ttf
+
+
+# vocabulary spans high/mid/low df plus absent terms (FIXTURES.md §4 mix)
+TERMS = ["table", "scan", "spark", "vector", "customer", "window", "zzz_absent"]
+
+
+@pytest.mark.parametrize("term", TERMS)
+def test_term_query_parity(searcher, oracle, term):
+    for k in (1, 10, 100):
+        eng = hits(searcher.search(TermQuery(term), k=k, prune=False))
+        orc = oracle_topk(oracle, "term", [term], k)
+        assert_same(eng, orc)
+
+
+@pytest.mark.parametrize("term", TERMS)
+def test_term_query_pruned_identical(searcher, term):
+    for k in (1, 10):
+        exhaustive = hits(searcher.search(TermQuery(term), k=k, prune=False))
+        pruned = hits(searcher.search(TermQuery(term), k=k, prune=True))
+        assert exhaustive == pruned
+
+
+AND_QUERIES = [("table", "scan"), ("spark", "window"), ("fast", "slow", "value"),
+               ("table", "zzz_absent")]
+
+
+@pytest.mark.parametrize("terms", AND_QUERIES)
+def test_bool_and_parity(searcher, oracle, terms):
+    eng = hits(searcher.search(BooleanAnd(tuple(sorted(terms))), k=20))
+    orc = oracle_topk(oracle, "and", sorted(terms), 20)
+    assert_same(eng, orc)
+
+
+OR_QUERIES = [("table", "scan"), ("vector", "customer", "spark"),
+              ("zzz_absent", "window"), ("zzz_absent", "qqq_absent")]
+
+
+@pytest.mark.parametrize("terms", OR_QUERIES)
+def test_bool_or_parity(searcher, oracle, terms):
+    eng = hits(searcher.search(BooleanOr(tuple(sorted(terms))), k=20))
+    orc = oracle_topk(oracle, "or", sorted(terms), 20)
+    assert_same(eng, orc)
+
+
+def test_min_should_match(searcher, oracle):
+    terms = sorted(("table", "scan", "window"))
+    eng = hits(searcher.search(BooleanOr(tuple(terms), min_should_match=2), k=30))
+    orc = oracle_topk(oracle, "or", terms, 30, min_should_match=2)
+    assert_same(eng, orc)
+
+
+def test_bool_not(searcher, oracle):
+    eng = hits(
+        searcher.search(BooleanNot(must=("table",), must_not=("scan",)), k=20)
+    )
+    orc = oracle_topk(oracle, "not", ["table"], 20, must_not=["scan"])
+    assert_same(eng, orc)
+
+
+def test_dismax(searcher, oracle):
+    terms = sorted(("table", "spark"))
+    eng = hits(searcher.search(DisjunctionMax(tuple(terms), tie=0.3), k=20))
+    orc = oracle_topk(oracle, "dismax", terms, 20, tie=0.3)
+    assert_same(eng, orc)
+
+
+def test_search_with_keys(searcher):
+    df = searcher.search_with_keys(TermQuery("table"), k=5)
+    rows = df.collect()
+    assert len(rows) == 5
+    # range_int dense => key == doc_id
+    assert all(r.key == r.doc_id for r in rows)
+
+
+def test_determinism_across_parallelism(spark, docs_index, tmp_path):
+    """Same input, different segment/shard counts -> identical doc ids and
+    identical top-k (the two-cluster-size determinism contract)."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+
+    out2 = str(tmp_path / "alt")
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    build_index(
+        spark, src, out2,
+        IndexConfig(n_shards=8, segs_per_shard=2, id_col="doc_id",
+                    text_col="text", sharding="range_int"),
+    )
+    s1 = IndexSearcher(spark, docs_index[0])
+    s2 = IndexSearcher(spark, out2)
+    for q in (TermQuery("table"), BooleanOr(("scan", "spark"))):
+        assert hits(s1.search(q, k=25)) == hits(s2.search(q, k=25))
+
+
+def test_resume_skips_built_segments(spark, tmp_path):
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+
+    out = str(tmp_path / "resume")
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    cfg = IndexConfig(n_shards=2, segs_per_shard=2, id_col="doc_id",
+                      text_col="text")
+    m1 = build_index(spark, src, out, cfg)
+    # re-run: all segments checkpointed -> nothing rebuilt, index unchanged
+    m2 = build_index(spark, src, out, cfg, resume=True)
+    assert m1["max_doc"] == m2["max_doc"]
+    ck = spark.read.parquet(f"{out}/checkpoints")
+    assert ck.count() == 4
+    assert ck.where(F.col("n_docs") > 0).count() == 4
