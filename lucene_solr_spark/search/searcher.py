@@ -54,6 +54,9 @@ def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int):
     Exact under ties: selects every doc scoring >= the kth-largest score
     before the (doc-asc) tie-break sort, so boundary ties resolve by docID
     exactly like the reference's heap."""
+    if k is None:  # unbounded: full result set, still tie-break ordered
+        order = np.lexsort((docs, -scores))
+        return docs[order], scores[order]
     if k <= 0 or len(docs) == 0:
         return docs[:0], scores[:0]
     if len(docs) > max(4 * k, 64):
@@ -290,9 +293,12 @@ class IndexSearcher:
             return {"kind": "dismax", "terms": list(q.should), "tie": q.tie}
         raise TypeError(f"unsupported query {q!r}")
 
-    def search(self, query: Query, k: int = 10, prune: bool = True) -> DataFrame:
+    def search(self, query: Query, k: int | None = 10, prune: bool = True) -> DataFrame:
         """Top-k as a DataFrame (doc_id long, score float), globally ordered
-        score desc / doc_id asc with exact Lucene tie-break semantics."""
+        score desc / doc_id asc with exact Lucene tie-break semantics.
+
+        k=None returns ALL matches with scores (Solr /export handler
+        analog — full sorted result-set streaming, SURVEY.md §2.8)."""
         q = rewrite(query)
         spec = self._spec(q)
         terms = sorted(set(spec["terms"]))
@@ -310,7 +316,7 @@ class IndexSearcher:
         joined = matched.join(F.broadcast(self._norms), "shard")
 
         cache = self.cache
-        use_prune = prune and spec["kind"] == "term"
+        use_prune = prune and spec["kind"] == "term" and k is not None
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             out = _score_shard(pdf, spec, idfs, cache, k, use_prune)
@@ -319,7 +325,8 @@ class IndexSearcher:
         per_shard = joined.groupBy("shard").applyInPandas(
             score_group, "doc_id long, score float"
         )
-        return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        ordered = per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        return ordered if k is None else ordered.limit(k)
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score float")
