@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 import lucene_solr_spark
 from lucene_solr_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+from lucene_solr_spark.ops import oracles as _ops_oracles
 from lucene_solr_spark.index.builder import IndexConfig, build_index
 from lucene_solr_spark.search.query import (
     BooleanAnd,
@@ -367,6 +368,100 @@ def _q_numeric_range(spark, sf):
     )
 
 
+# ----------------------------------------------------------------------
+# training-data pipeline ops (dedup / similarity / text analysis /
+# multimodal) — see lucene_solr_spark/ops/*
+# ----------------------------------------------------------------------
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _op_exact_dedup(spark, sf):
+    from lucene_solr_spark.ops.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(_docs(spark, sf))
+
+
+def _op_ngram_jaccard(spark, sf):
+    from lucene_solr_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf))
+
+
+def _op_minhash_lsh(spark, sf):
+    from lucene_solr_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf))
+
+
+def _op_simhash(spark, sf):
+    from lucene_solr_spark.ops.dedup import simhash_docs
+
+    return simhash_docs(_docs(spark, sf))
+
+
+def _op_simhash_pairs(spark, sf):
+    from lucene_solr_spark.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf))
+
+
+def _op_embedding_pairs(spark, sf):
+    from lucene_solr_spark.ops.dedup import embedding_topk_pairs
+
+    return embedding_topk_pairs(_emb(spark, sf))
+
+
+def _op_ann_brute(spark, sf):
+    from lucene_solr_spark.ops.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf), 0, 10)
+
+
+def _op_ann_ivf(spark, sf):
+    from lucene_solr_spark.ops.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf), 0, 10)
+
+
+def _op_knn_vote(spark, sf):
+    from lucene_solr_spark.ops.similarity import knn_label_vote
+
+    return knn_label_vote(_emb(spark, sf), 0, 10)
+
+
+def _op_token_counts(spark, sf):
+    from lucene_solr_spark.ops.textstats import token_counts_by_lang
+
+    return token_counts_by_lang(_docs(spark, sf))
+
+
+def _op_lang_id(spark, sf):
+    from lucene_solr_spark.ops.textstats import lang_id_confusion
+
+    return lang_id_confusion(_docs(spark, sf))
+
+
+def _op_quality(spark, sf):
+    from lucene_solr_spark.ops.textstats import quality_topk
+
+    return quality_topk(_docs(spark, sf))
+
+
+def _op_fingerprints(spark, sf):
+    from lucene_solr_spark.ops.textstats import doc_fingerprints
+
+    return doc_fingerprints(_docs(spark, sf))
+
+
+def _op_multimodal_len(spark, sf):
+    from lucene_solr_spark.ops.multimodal import binary_length_stats
+
+    return binary_length_stats(_docs(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_term_topk": _q_term,
@@ -386,6 +481,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_constant_topk": _q_prefix_constant,
         "match_all_count": _q_match_all_count,
         "numeric_range_count": _q_numeric_range,
+        # training-data pipeline ops
+        "dedup_exact_stats": _op_exact_dedup,
+        "dedup_ngram_jaccard": _op_ngram_jaccard,
+        "dedup_minhash_lsh": _op_minhash_lsh,
+        "dedup_simhash_docs": _op_simhash,
+        "dedup_simhash_pairs": _op_simhash_pairs,
+        "dedup_embedding_topk_pairs": _op_embedding_pairs,
+        "ann_cosine_topk": _op_ann_brute,
+        "ann_ivf_topk": _op_ann_ivf,
+        "knn_label_vote": _op_knn_vote,
+        "text_token_counts": _op_token_counts,
+        "text_lang_id": _op_lang_id,
+        "text_quality_topk": _op_quality,
+        "text_fingerprints": _op_fingerprints,
+        "multimodal_binary_len": _op_multimodal_len,
     }
 
 
@@ -449,4 +559,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*)::BIGINT AS cnt FROM documents "
             "WHERE n_chars BETWEEN 100 AND 300"
         ),
+        # training-data pipeline ops (ann_ivf_topk is approximate by
+        # design -> rows-only check, no oracle entry)
+        "dedup_exact_stats": _ops_oracles.exact_dedup_sql(),
+        "dedup_ngram_jaccard": _ops_oracles.ngram_jaccard_sql(),
+        "dedup_minhash_lsh": _ops_oracles.minhash_lsh_sql(),
+        "dedup_simhash_docs": _ops_oracles.simhash_docs_sql(),
+        "dedup_simhash_pairs": _ops_oracles.simhash_pairs_sql(),
+        "dedup_embedding_topk_pairs": _ops_oracles.embedding_topk_pairs_sql(),
+        "ann_cosine_topk": _ops_oracles.ann_brute_sql(),
+        "knn_label_vote": _ops_oracles.knn_vote_sql(),
+        "text_token_counts": _ops_oracles.token_counts_sql(),
+        "text_lang_id": _ops_oracles.lang_id_sql(),
+        "text_quality_topk": _ops_oracles.quality_topk_sql(),
+        "text_fingerprints": _ops_oracles.fingerprints_sql(),
+        "multimodal_binary_len": _ops_oracles.multimodal_len_sql(),
     }

@@ -1,0 +1,36 @@
+"""Training-data pipeline operators (dedup, similarity, text analysis,
+multimodal plumbing) — first-class components alongside the index/search
+engine. See the submodule docstrings for scale design notes."""
+
+from __future__ import annotations
+
+import time
+
+
+def bench_ops(spark, sf_dir: str) -> dict[str, float]:
+    """Timed headline ops for bench.py (seconds per op)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.ops import dedup, similarity, textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    dedup.minhash_lsh_pairs(docs).collect()
+    out["op_minhash_lsh"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.simhash_docs(docs).count()
+    out["op_simhash"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    similarity.cosine_topk(emb, 0, 10).collect()
+    out["op_ann_brute"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    textstats.token_counts_by_lang(docs).collect()
+    out["op_token_counts"] = time.perf_counter() - t0
+
+    return out

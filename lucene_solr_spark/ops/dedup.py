@@ -1,0 +1,319 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over a ``documents(doc_id, text, ...)`` table, each
+expressed as declarative DataFrame plans (whole-stage-codegen JVM
+expressions; no Python UDFs):
+
+- exact dedup             — hash-groupBy on a content fingerprint
+- n-gram Jaccard pairs    — exact shingle-set similarity (quadratic in
+                            shared-shingle co-occurrence; the small-scale
+                            truth oracle)
+- MinHash + LSH           — the 100 TB scale path: O(docs) signature,
+                            band-bucket join produces candidates, exact
+                            Jaccard verifies them
+- SimHash                 — 32-bit tf-weighted fingerprints + Hamming
+                            pairs via bit_count(xor)
+- embedding cosine        — near-dup by vector similarity
+
+Scale notes (1000-executor / 100 TB design point):
+- The shingle self-join (`ngram_jaccard_pairs`) is the *oracle* path
+  only: common shingles make it quadratic.  At scale use
+  `minhash_lsh_pairs`: one shuffle to signatures (16 aggregates in a
+  single hash-agg), one shuffle on (band, signature) buckets — bucket
+  keys are 128-bit md5 values, so skew only occurs for true duplicate
+  clusters, which is exactly the output.
+- All hashes are oracle-portable (see ops/hashing.py).
+
+Reference analogs: Solr's dedup update processor chain
+(solr/core/src/java/org/apache/solr/update/processor/ — the
+SignatureUpdateProcessorFactory computes content signatures at index
+time); UniqueStream (SURVEY.md §2.8) is the sorted-stream dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.ops.hashing import (
+    MERSENNE_P,
+    MINHASH_PERMS,
+    N_BANDS,
+    ROWS_PER_BAND,
+    h32,
+    minhash_col,
+)
+
+# ----------------------------------------------------------------------
+# tokenization / shingling (whitespace tokens, declarative)
+# ----------------------------------------------------------------------
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace token array (split on runs of spaces, trimmed)."""
+    return F.split(F.trim(text), " +")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (JVM-side transform over the token
+    array; empty array when the doc has < n tokens)."""
+    arr = ws_tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(arr) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(arr) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def _distinct_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, s): distinct word-n-gram shingles per doc."""
+    return (
+        docs.select("doc_id", F.explode(shingles(F.col("text"), n)).alias("s"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------------
+# 1. exact dedup
+# ----------------------------------------------------------------------
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate summary via content-hash groupBy.
+
+    Returns one row: (n_docs, n_distinct, n_dup_docs) where n_dup_docs
+    counts documents that are NOT the canonical (min doc_id) copy of
+    their text.  The per-group keep/drop mapping is the same plan
+    without the final agg.  One shuffle on the 128-bit fingerprint;
+    no skew (identical docs collapse, which is the point)."""
+    fp = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("copies"), F.min("doc_id").alias("keep_id")
+    )
+    return groups.agg(
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.sum("copies") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+    )
+
+
+# ----------------------------------------------------------------------
+# 2. exact n-gram Jaccard (truth oracle for near-dup)
+# ----------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard >= tau.
+
+    Plan: distinct (doc, shingle) -> self-join on shingle -> count
+    intersections -> join set sizes -> filter.  Exact but quadratic in
+    per-shingle doc frequency; at 100 TB use minhash_lsh_pairs and keep
+    this as the verification kernel."""
+    ds = _distinct_shingles(docs, n)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= tau)
+    )
+    return j.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+
+# ----------------------------------------------------------------------
+# 3. MinHash + LSH (the scale path)
+# ----------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, m0..m15): 16-permutation MinHash signature.
+
+    ONE hash-aggregate (map-side partial min) over the exploded
+    shingles — the 16 permutations are columns of the same groupBy, not
+    16 passes."""
+    ds = _distinct_shingles(docs, n).withColumn("h", h32(F.col("s")))
+    aggs = [
+        F.min(minhash_col(F.col("h"), i)).alias(f"m{i}")
+        for i in range(len(MINHASH_PERMS))
+    ]
+    return ds.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Bands of 4 rows: band signature = md5 of the 4 minhash values.
+    Docs sharing any band signature become candidate pairs; candidates
+    are then verified with exact shingle Jaccard and filtered at tau.
+    Output schema matches ngram_jaccard_pairs (id_a, id_b, jaccard).
+
+    Scale: signatures are one narrow row per doc; the band-bucket
+    shuffle joins on 128-bit keys so only true near-dup clusters
+    collide.  Verification touches candidate pairs only."""
+    sig = minhash_signatures(docs, n)
+    band_cols = []
+    for bnd in range(N_BANDS):
+        ms = [F.col(f"m{bnd * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_cols.append(F.md5(F.concat_ws(",", *ms).cast("binary")))
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bsig")
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    ds = _distinct_shingles(docs, n)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = ds.select(F.col("doc_id").alias("id_a"), F.col("s"))
+    sb = ds.select(F.col("doc_id").alias("id_b"), F.col("s"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(za), "id_a")
+        .join(F.broadcast(zb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= tau)
+    )
+    return out.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+
+# ----------------------------------------------------------------------
+# 4. SimHash
+# ----------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit tf-weighted SimHash fingerprint.
+
+    Per token: 32 bit-contributions of +tf / -tf; fingerprint bit j set
+    iff the weighted sum is positive.  All 32 sums are columns of ONE
+    hash-aggregate (map-side combine; no extra shuffles)."""
+    tf = (
+        docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", h32(F.col("t")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    sh = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        sh = term if sh is None else sh + term
+    return sums.select("doc_id", sh.alias("simhash")).orderBy("doc_id")
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Sandbox plan is the O(n^2) comparison; the scale path blocks on
+    16-bit halves first (a pair within Hamming 6 of 32 bits shares at
+    least one exact half only when distance <= ... not guaranteed —
+    so the scale variant uses 4x 8-bit band keys: any pair within
+    Hamming 3 shares a band; we keep the exact small-scale join here
+    and note banding as the production rollout)."""
+    sh = simhash_docs(docs)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ----------------------------------------------------------------------
+# 5. embedding cosine near-dup
+# ----------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Deterministic left-fold dot product in double (element order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def embedding_topk_pairs(emb: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k most-cosine-similar embedding pairs (near-dup ranking).
+
+    Brute-force cross join at sandbox scale; at 100 TB the same kernel
+    runs inside LSH buckets (see similarity.ivf_topk) so the join is
+    bucket-local.  Cosine folds are element-ordered so an external
+    oracle reproduces them bitwise."""
+    v = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("e"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+        )
+        .select("id_a", "id_b", "cos")
+    )
+    return pairs.orderBy(F.desc("cos"), "id_a", "id_b").limit(k)

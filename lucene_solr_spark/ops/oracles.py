@@ -1,0 +1,275 @@
+"""DuckDB oracle SQL for the training-data ops (driver contract).
+
+Each SQL string reproduces the corresponding Spark plan bit-for-bit:
+portable hashes (ops/hashing.py), element-ordered double folds for
+vector math, and identical rounding/tie-breaks. Tokenization is the
+same whitespace split on both sides."""
+
+from __future__ import annotations
+
+from lucene_solr_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+from lucene_solr_spark.ops.dedup import SIMHASH_BITS
+from lucene_solr_spark.ops.hashing import (
+    MERSENNE_P,
+    minhash_perms_values_sql,
+)
+from lucene_solr_spark.ops.textstats import LANG_MARKERS, ROLL_MOD
+
+# shared CTEs: whitespace tokens with positions, 3-gram shingles
+_SHINGLE_CTES = """
+tkarr AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS arr FROM documents
+),
+tk AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos FROM tkarr
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS s
+  FROM tk a
+  JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+shsz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_SELECT = """
+SELECT id_a, id_b, round(i::DOUBLE / (za.sz + zb.sz - i), 6) AS jaccard
+FROM inter
+JOIN shsz za ON za.doc_id = id_a
+JOIN shsz zb ON zb.doc_id = id_b
+WHERE round(i::DOUBLE / (za.sz + zb.sz - i), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def exact_dedup_sql() -> str:
+    return """
+WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+g AS (SELECT fp, count(*) AS copies FROM fp GROUP BY fp)
+SELECT sum(copies)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct,
+       (sum(copies) - count(*))::BIGINT AS n_dup_docs
+FROM g"""
+
+
+def ngram_jaccard_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTES},
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+{_JACCARD_SELECT}"""
+
+
+def minhash_lsh_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTES},
+hs AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {MERSENNE_P} AS hp
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, p.i, min((p.a * hp + p.b) % {MERSENNE_P}) AS m
+  FROM hs, {minhash_perms_values_sql()}
+  GROUP BY doc_id, p.i
+),
+band AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bsig
+  FROM mh GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM band x
+  JOIN band y ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY 1, 2
+)
+{_JACCARD_SELECT}"""
+
+
+def _simhash_cte() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN tf ELSE -tf END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY 1, 2
+),
+hh AS (
+  SELECT doc_id, tf, CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS h FROM tf
+),
+bs AS (
+  SELECT doc_id, {bit_sums}
+  FROM hh GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM bs
+)"""
+
+
+def simhash_docs_sql(limit: int | None = None) -> str:
+    lim = f" LIMIT {limit}" if limit else ""
+    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sim ORDER BY doc_id{lim}"
+
+
+def simhash_pairs_sql(max_hamming: int = 2) -> str:
+    return f"""
+WITH {_simhash_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b"""
+
+
+# element-ordered fold helpers for vector math (match Spark F.aggregate)
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (x, y) -> x + y))"
+    )
+
+
+def embedding_topk_pairs_sql(k: int = 20) -> str:
+    dot = _dot_sql("a.embedding", "b.embedding")
+    na = _norm_sql("a.embedding")
+    nb = _norm_sql("b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot} / ({na} * {nb}), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos DESC, id_a, id_b LIMIT {k}"""
+
+
+def _ann_select(vec_id: int) -> str:
+    dot = _dot_sql("e.embedding", "q.qe")
+    ne = _norm_sql("e.embedding")
+    nq = _norm_sql("q.qe")
+    return f"""
+SELECT e.vec_id, round({dot} / ({ne} * {nq}), 6) AS cos
+FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = {vec_id}) q
+WHERE e.vec_id <> {vec_id}"""
+
+
+def ann_brute_sql(vec_id: int = 0, k: int = 10) -> str:
+    return f"{_ann_select(vec_id)} ORDER BY cos DESC, vec_id LIMIT {k}"
+
+
+def knn_vote_sql(vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH nn AS ({_ann_select(vec_id)} ORDER BY cos DESC, vec_id LIMIT {k})
+SELECT label AS pred_label, count(*)::BIGINT AS votes
+FROM nn JOIN embeddings USING (vec_id)
+GROUP BY label ORDER BY votes DESC, label LIMIT 1"""
+
+
+def token_counts_sql() -> str:
+    return """
+SELECT lang, count(*)::BIGINT AS n_docs,
+  sum(len(list_filter(string_split_regex(trim(text), ' +'), t -> t <> '')))::BIGINT
+    AS ws_tokens,
+  sum(len(regexp_extract_all(text, '[a-z0-9]+')))::BIGINT AS bpe_tokens
+FROM documents GROUP BY lang ORDER BY lang"""
+
+
+def lang_id_sql() -> str:
+    def cnt(lang: str) -> str:
+        words = ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return (
+            f"len(list_filter(string_split_regex(trim(text), ' +'), "
+            f"t -> list_contains([{words}], t)))"
+        )
+
+    return f"""
+WITH c AS (
+  SELECT lang,
+    regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS cjk,
+    {cnt('en')} AS c_en, {cnt('de')} AS c_de,
+    {cnt('es')} AS c_es, {cnt('fr')} AS c_fr
+  FROM documents
+),
+p AS (
+  SELECT lang,
+    CASE WHEN cjk THEN 'zh'
+         WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         WHEN c_es >= c_fr THEN 'es'
+         ELSE 'fr' END AS pred_lang
+  FROM c
+)
+SELECT pred_lang, lang, count(*)::BIGINT AS cnt
+FROM p GROUP BY 1, 2 ORDER BY pred_lang, lang"""
+
+
+def quality_topk_sql(k: int = 20) -> str:
+    stop = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_tokens,
+    len(list_filter(toks, x -> list_contains([{stop}], x)))::BIGINT AS n_stop,
+    length(array_to_string(toks, ''))::BIGINT AS char_sum
+  FROM t
+),
+q AS (
+  SELECT doc_id, n_tokens, n_stop,
+    round(CAST(char_sum AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE), 6)
+      AS mean_token_len,
+    round(
+      0.4 * least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0
+      + 0.3 * (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE))
+      + 0.3 * least(CAST(char_sum AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE),
+                    8.0) / 8.0,
+      6) AS quality
+  FROM f
+)
+SELECT doc_id, n_tokens, n_stop, mean_token_len, quality
+FROM q ORDER BY quality DESC, doc_id LIMIT {k}"""
+
+
+def fingerprints_sql() -> str:
+    return f"""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(
+      string_split_regex(trim(text), ' +'))), ' ')) AS bag_fp,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split_regex(substr(text, 1, 64), ''),
+                     x -> CAST(ascii(x) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % {ROLL_MOD}) AS roll_fp
+FROM documents ORDER BY doc_id"""
+
+
+def multimodal_len_sql() -> str:
+    return """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       length(text)::BIGINT AS n_chars
+FROM documents ORDER BY doc_id"""

@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (array<float>).
+
+- `cosine_topk`: brute-force exact top-k for a query vector — the
+  correctness baseline.  Dot product is a JVM-side element-ordered
+  fold (F.aggregate / F.zip_with), so results are bitwise reproducible
+  and oracle-checkable; no Python UDF.
+- `ivf_topk`: the scale path — IVF-style bucketing by sign-bit random
+  projections (deterministic seeded hyperplanes), probe the query's
+  bucket plus nearest neighbors' buckets, exact re-rank inside.  At
+  100 TB the bucket id becomes the table partition key, so a query
+  touches a handful of partitions instead of the full corpus.
+- `knn_label_vote`: kNN classification on top of cosine_topk
+  (reference analog: lucene/classification KNearestNeighborClassifier
+  — classification/src/java/.../KNearestNeighborClassifier.java).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.ops.dedup import _dot, _norm
+
+
+def _query_vec(emb: DataFrame, vec_id: int) -> list[float]:
+    row = emb.where(F.col("vec_id") == vec_id).select("embedding").first()
+    if row is None:
+        raise KeyError(f"vec_id {vec_id} not found")
+    return list(row[0])
+
+
+def cosine_topk(
+    emb: DataFrame, vec_id: int = 0, k: int = 10, exclude_self: bool = True
+) -> DataFrame:
+    """Exact top-k cosine neighbors of `vec_id` (brute force).
+
+    Single scan + TakeOrderedAndProject; the query vector is a literal
+    array (broadcast by value into the codegen'd plan)."""
+    q = _query_vec(emb, vec_id)
+    qcol = F.array(*[F.lit(float(x)).cast("double") for x in q])
+    qn = float(np.sqrt(np.sum(np.array(q, np.float64) ** 2)))
+    out = emb.select(
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * F.lit(qn)), 6
+        ).alias("cos"),
+    )
+    if exclude_self:
+        out = out.where(F.col("vec_id") != vec_id)
+    return out.orderBy(F.desc("cos"), "vec_id").limit(k)
+
+
+# ---- IVF / LSH bucketing -------------------------------------------------
+
+N_PLANES = 4  # 16 buckets
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic random hyperplanes (seeded, frozen)."""
+    rng = np.random.RandomState(20240816)
+    return rng.standard_normal((N_PLANES, dim)).astype(np.float64)
+
+
+def _bucket_col(e: Column, planes: np.ndarray) -> Column:
+    """LSH bucket id = sign-bit code of the projections (JVM fold)."""
+    bits = []
+    for p_i, plane in enumerate(planes):
+        pcol = F.array(*[F.lit(float(x)).cast("double") for x in plane])
+        bits.append(
+            F.when(_dot(e, pcol) > 0, F.lit(1 << p_i)).otherwise(F.lit(0))
+        )
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return code.cast("int")
+
+
+def ivf_topk(
+    emb: DataFrame, vec_id: int = 0, k: int = 10, n_probe: int = 4
+) -> DataFrame:
+    """Approximate top-k: probe the query bucket + the n_probe-1
+    nearest buckets by Hamming distance of the sign code, exact
+    re-rank within.  Recall is tested against cosine_topk in
+    tests/test_ops.py; semantics are approximate by design (no SQL
+    oracle — driver records the rows-only check)."""
+    q = _query_vec(emb, vec_id)
+    planes = _hyperplanes(len(q))
+    proj = planes @ np.array(q, np.float64)
+    qcode = int(sum((1 << i) for i, v in enumerate(proj) if v > 0))
+    codes = sorted(range(1 << N_PLANES), key=lambda c: (bin(c ^ qcode).count("1"), c))
+    probe = codes[:n_probe]
+
+    bucketed = emb.withColumn("bucket", _bucket_col(F.col("embedding"), planes))
+    cand = bucketed.where(F.col("bucket").isin(probe))
+    qcol = F.array(*[F.lit(float(x)).cast("double") for x in q])
+    qn = float(np.sqrt(np.sum(np.array(q, np.float64) ** 2)))
+    out = (
+        cand.select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * F.lit(qn)),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("vec_id") != vec_id)
+    )
+    return out.orderBy(F.desc("cos"), "vec_id").limit(k)
+
+
+def knn_label_vote(emb: DataFrame, vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Majority label among the k nearest neighbors (pred, votes).
+
+    Tie-break: higher vote count first, then smaller label."""
+    nn = cosine_topk(emb, vec_id, k)
+    votes = (
+        nn.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+        .orderBy(F.desc("votes"), "label")
+        .limit(1)
+    )
+    return votes.select(F.col("label").alias("pred_label"), "votes")

@@ -1,0 +1,162 @@
+"""Text-analysis operators for training-data curation.
+
+All declarative Spark SQL expressions (whole-stage codegen; no UDFs):
+
+- token counting    — whitespace tokens + a BPE-ish regex token count
+- language ID       — marker-word n-gram heuristic with deterministic
+                      argmax tie-break; emits the confusion matrix
+                      against the labeled `lang` column
+- quality scoring   — length / token-shape / stopword-ratio features
+                      combined with pure rational arithmetic (no
+                      transcendentals, so oracle math is bitwise)
+- fingerprinting    — bag fingerprint (md5 of sorted distinct tokens)
+                      plus a 31-polynomial rolling hash over the first
+                      64 chars (mod 1e9+7), both oracle-portable
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis.analyzers import ENGLISH_STOP_WORDS
+from lucene_solr_spark.ops.dedup import ws_tokens
+
+ROLL_MOD = 1_000_000_007
+
+# marker words per language for the n-gram heuristic; scored by hit
+# count with deterministic tie-break (higher count, then list order).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a", "to", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "es": ("el", "los", "que", "las", "una", "por"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+    "zh": (),  # detected by CJK codepoint presence instead
+}
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def token_count_cols(text: Column) -> dict[str, Column]:
+    ws = F.size(F.filter(ws_tokens(text), lambda t: t != F.lit("")))
+    bpe = F.expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))")
+    return {"ws_tokens": ws, "bpe_tokens": bpe}
+
+
+def token_counts_by_lang(docs: DataFrame) -> DataFrame:
+    """Per-language token accounting (curation dashboard staple)."""
+    c = token_count_cols(F.col("text"))
+    return (
+        docs.select("lang", c["ws_tokens"].alias("ws"), c["bpe_tokens"].alias("bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _marker_count(text: Column, markers: tuple[str, ...]) -> Column:
+    toks = ws_tokens(text)
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id_pred(text: Column) -> Column:
+    """Predicted language: CJK presence => zh, else marker-count argmax
+    (ties resolved in LANG_ORDER)."""
+    counts = {
+        lang: _marker_count(text, m) for lang, m in LANG_MARKERS.items() if m
+    }
+    has_cjk = F.col("text").rlike("[\\x{4e00}-\\x{9fff}]")
+    # argmax with first-wins tie-break, evaluated in LANG_ORDER
+    best_lang = F.lit("und")
+    best_cnt = F.lit(-1)
+    for lang in LANG_ORDER:
+        if lang not in counts:
+            continue
+        c = counts[lang]
+        is_better = c > best_cnt
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_cnt = F.when(is_better, c).otherwise(best_cnt)
+    return F.when(has_cjk, F.lit("zh")).otherwise(best_lang)
+
+
+def lang_id_confusion(docs: DataFrame) -> DataFrame:
+    """(pred_lang, lang, cnt) confusion matrix vs the labeled column."""
+    return (
+        docs.select(lang_id_pred(F.col("text")).alias("pred_lang"), "lang")
+        .groupBy("pred_lang", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("pred_lang", "lang")
+    )
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    """Quality features with pure rational arithmetic.
+
+    score = 0.4*min(ws_tokens,200)/200
+          + 0.3*stopword_ratio
+          + 0.3*min(mean_token_len,8)/8        (rounded to 6 dp)"""
+    toks = F.filter(ws_tokens(text), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    char_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    nn = F.greatest(n, F.lit(1)).cast("double")
+    mean_len = char_sum.cast("double") / nn
+    score = (
+        F.lit(0.4) * F.least(n.cast("double"), F.lit(200.0)) / F.lit(200.0)
+        + F.lit(0.3) * (n_stop.cast("double") / nn)
+        + F.lit(0.3) * F.least(mean_len, F.lit(8.0)) / F.lit(8.0)
+    )
+    return {
+        "n_tokens": n.cast("long"),
+        "n_stop": n_stop.cast("long"),
+        "mean_token_len": F.round(mean_len, 6),
+        "quality": F.round(score, 6),
+    }
+
+
+def quality_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k docs by quality score (desc, then doc_id asc)."""
+    c = quality_cols(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            c["n_tokens"].alias("n_tokens"),
+            c["n_stop"].alias("n_stop"),
+            c["mean_token_len"].alias("mean_token_len"),
+            c["quality"].alias("quality"),
+        )
+        .orderBy(F.desc("quality"), "doc_id")
+        .limit(k)
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, bag_fp, roll_fp): content fingerprints.
+
+    bag_fp — md5 of space-joined sorted distinct whitespace tokens
+    (order-insensitive content identity).
+    roll_fp — polynomial rolling hash acc = (acc*31 + codepoint) mod
+    1e9+7 over the first 64 chars (order-sensitive prefix identity,
+    the streaming-chunk dedup primitive)."""
+    bag = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(ws_tokens(F.col("text"))))
+        ).cast("binary")
+    )
+    roll = F.aggregate(
+        F.split(F.substring(F.col("text"), 1, 64), ""),
+        F.lit(0).cast("long"),
+        lambda a, x: (a * 31 + F.ascii(x)) % F.lit(ROLL_MOD),
+    )
+    return docs.select(
+        "doc_id", bag.alias("bag_fp"), roll.alias("roll_fp")
+    ).orderBy("doc_id")

@@ -1,0 +1,217 @@
+"""Tests for the training-data pipeline operators (lucene_solr_spark.ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    from lucene_solr_spark.ops.dedup import exact_dedup_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x y"), (3, "a b c"), (4, "z")],
+        "doc_id long, text string",
+    )
+    row = exact_dedup_stats(df).first()
+    assert (row.n_docs, row.n_distinct, row.n_dup_docs) == (5, 3, 2)
+
+
+def test_minhash_lsh_matches_exact_jaccard_pairs(spark, docs):
+    """LSH + verification must equal the exact pipeline on planted
+    near-dups (high-jaccard pairs; band recall ~1 at j>=0.8)."""
+    from lucene_solr_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, tau=0.8).collect()}
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, tau=0.8).collect()}
+    assert exact, "fixture should contain planted near-dup pairs"
+    assert lsh == exact
+
+
+def test_minhash_lsh_never_false_positive(spark, docs):
+    """Every emitted pair is exact-Jaccard-verified >= tau by design."""
+    from lucene_solr_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, tau=0.5).collect()}
+    for r in minhash_lsh_pairs(docs, tau=0.5).collect():
+        assert (r.id_a, r.id_b) in exact
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_identical_docs_equal_hash(spark):
+    from lucene_solr_spark.ops.dedup import simhash_docs
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "totally different words here entirely")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in simhash_docs(df).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+    assert 0 <= rows[0] < 2**32
+
+
+def test_simhash_small_edit_small_hamming(spark):
+    from lucene_solr_spark.ops.dedup import simhash_docs
+
+    base = " ".join(f"w{i}" for i in range(60))
+    edited = base.replace("w3", "q3")
+    df = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.simhash for r in simhash_docs(df).collect()}
+    ham = bin(rows[0] ^ rows[1]).count("1")
+    assert ham <= 8  # one of 60 tokens changed
+
+
+def test_embedding_topk_pairs_sorted_and_bounded(emb):
+    from lucene_solr_spark.ops.dedup import embedding_topk_pairs
+
+    rows = embedding_topk_pairs(emb, k=10).collect()
+    assert len(rows) == 10
+    coss = [r.cos for r in rows]
+    assert coss == sorted(coss, reverse=True)
+    assert all(-1.0 <= c <= 1.0 for c in coss)
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+# ---------------------------------------------------------- similarity
+
+
+def test_cosine_topk_matches_numpy_bruteforce(emb):
+    from lucene_solr_spark.ops.similarity import cosine_topk
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    q = mat[ids == 0][0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    mask = ids != 0
+    order = np.lexsort((ids[mask], -np.round(cos[mask], 6)))[:10]
+    expect = list(ids[mask][order])
+    got = [r.vec_id for r in cosine_topk(emb, 0, 10).collect()]
+    assert got == expect
+
+
+def test_ivf_topk_recall(emb):
+    """4-probe IVF over 16 buckets must recover most of the exact top-10."""
+    from lucene_solr_spark.ops.similarity import cosine_topk, ivf_topk
+
+    exact = {r.vec_id for r in cosine_topk(emb, 0, 10).collect()}
+    approx = {r.vec_id for r in ivf_topk(emb, 0, 10, n_probe=4).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5
+
+
+def test_knn_label_vote_returns_single_label(emb):
+    from lucene_solr_spark.ops.similarity import knn_label_vote
+
+    rows = knn_label_vote(emb, 0, 10).collect()
+    assert len(rows) == 1
+    assert rows[0].votes >= 1
+
+
+# ----------------------------------------------------------- textstats
+
+
+def test_token_counts(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.ops.textstats import token_count_cols
+
+    df = spark.createDataFrame(
+        [("hello world  foo",), ("one2three four!",)], "text string"
+    )
+    c = token_count_cols(F.col("text"))
+    rows = df.select(
+        c["ws_tokens"].alias("ws"), c["bpe_tokens"].alias("bpe")
+    ).collect()
+    assert (rows[0].ws, rows[0].bpe) == (3, 3)
+    # 'one2three' is one alnum run; 'four' another
+    assert (rows[1].ws, rows[1].bpe) == (2, 2)
+
+
+def test_lang_id_marker_heuristic(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.ops.textstats import lang_id_pred
+
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of a house",),
+            ("der hund und die katze ist da",),
+            ("el gato que vive por las casas",),
+            ("le chat et la maison des gens",),
+            ("hello 中文 world",),
+        ],
+        "text string",
+    )
+    preds = [r.p for r in df.select(lang_id_pred(F.col("text")).alias("p")).collect()]
+    assert preds == ["en", "de", "es", "fr", "zh"]
+
+
+def test_quality_score_monotone_in_length(spark):
+    from lucene_solr_spark.ops.textstats import quality_topk
+
+    short = "word " * 5
+    long = "word " * 150
+    df = spark.createDataFrame(
+        [(0, short.strip()), (1, long.strip())], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.quality for r in quality_topk(df, k=10).collect()}
+    assert rows[1] > rows[0]
+
+
+def test_fingerprints_order_sensitivity(spark):
+    from lucene_solr_spark.ops.textstats import doc_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.bag_fp, r.roll_fp) for r in doc_fingerprints(df).collect()}
+    # bag fingerprint is order-insensitive, rolling hash is order-sensitive
+    assert rows[0][0] == rows[1][0]
+    assert rows[0][1] != rows[1][1]
+    assert rows[0][0] != rows[2][0]
+
+
+# ---------------------------------------------------------- multimodal
+
+
+def test_binary_features_roundtrip(spark, docs):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.ops.multimodal import binary_features
+
+    feats = binary_features(docs.limit(50)).collect()
+    src = {r.doc_id: r.text for r in docs.limit(50).collect()}
+    assert len(feats) == 50
+    for r in feats:
+        t = src[r.doc_id]
+        assert r.n_bytes == len(t.encode("utf-8"))
+        assert r.n_chars == len(t)
+        assert 0.0 <= r.byte_entropy <= 8.0
+
+
+def test_decode_image_is_stubbed():
+    from lucene_solr_spark.ops.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

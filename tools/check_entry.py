@@ -3,7 +3,7 @@ oracle_sql() through DuckDB at sf0.01, compare row count, column names,
 and order-insensitive values (sorted by all columns). Mirrors the real
 driver's CORRECTNESS gate so regressions surface before a round ends.
 
-Usage: python tools/check_entry.py [sf_dir]
+Usage: python tools/check_entry.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -56,6 +56,9 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     n_pass = n_fail = 0
     for name, fn in qs.items():
         try:
@@ -92,6 +95,10 @@ def main():
             print(f"  {name:28s} ERROR {type(e).__name__}: {str(e)[:300]}")
 
     # entry() smoke
+    if only:
+        print(f"\n{n_pass} pass, {n_fail} fail")
+        spark.stop()
+        sys.exit(1 if n_fail else 0)
     try:
         res = entry_mod.entry(spark)
         cnt = len(res.collect())
