@@ -113,8 +113,13 @@ POSTINGS_SCHEMA = StructType(
 )
 
 
-def _make_segment_builder(analyzer_name: str, segs_per_shard: int):
-    """Returns the applyInPandas function building ONE segment's rows."""
+def _make_segment_builder(analyzer_name: str, segs_per_shard: int, key_kind: str = "l"):
+    """Returns the applyInPandas function building ONE segment's rows.
+
+    key_kind 'l' = int64 keys (dense ids), 's' = utf-8 string keys
+    (e.g. urls — the Solr uniqueKey analog). String keys sort by
+    codepoint, which equals utf-8 bytewise order (Lucene's term/key
+    comparison contract, index/Term.java:49-57)."""
     tokenize = ANALYZERS[analyzer_name]
 
     def build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -122,7 +127,13 @@ def _make_segment_builder(analyzer_name: str, segs_per_shard: int):
             return pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA.fields])
         g = int(pdf["g"].iloc[0])
         pdf = pdf.sort_values("key", kind="mergesort").reset_index(drop=True)
-        keys = pdf["key"].to_numpy(np.int64)
+        if key_kind == "s":
+            key_list = pdf["key"].astype(str).tolist()
+            assert all("\n" not in k for k in key_list), "string keys must not contain newlines"
+            keys_b = "\n".join(key_list).encode("utf-8")
+        else:
+            keys = pdf["key"].to_numpy(np.int64)
+            keys_b = keys.astype("<i8").tobytes()
         token_lists = tokenize(pdf["text"])
         doc_lens = token_lists.str.len().to_numpy(np.int64)
         norms = encode_norm(doc_lens)
@@ -165,7 +176,6 @@ def _make_segment_builder(analyzer_name: str, segs_per_shard: int):
         else:
             posting_rows = pd.DataFrame()
 
-        keys_b = keys.astype("<i8").tobytes()
         meta_row = pd.DataFrame(
             {
                 "g": [g],
@@ -316,10 +326,17 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     G = cfg.n_shards * cfg.segs_per_shard
 
+    key_type = dict((f.name, f.dataType.simpleString()) for f in src.schema.fields)[
+        cfg.id_col
+    ]
+    key_kind = "s" if key_type == "string" else "l"
     keyed = src.select(
-        F.col(cfg.id_col).cast("long").alias("key"),
+        F.col(cfg.id_col).cast("string" if key_kind == "s" else "long").alias("key"),
         F.col(cfg.text_col).cast("string").alias("text"),
     )
+
+    if key_kind == "s" and cfg.sharding == "range_int":
+        raise ValueError("range_int sharding requires integer keys; use sharding='hash'")
 
     if cfg.sharding == "range_int":
         lo, hi, n_total = keyed.agg(
@@ -353,7 +370,8 @@ def build_index(
         todo = with_g.where(~F.col("g").isin([int(x) for x in done]))
 
     seg_rows = todo.groupBy("g").applyInPandas(
-        _make_segment_builder(cfg.analyzer, cfg.segs_per_shard), SEGMENT_SCHEMA
+        _make_segment_builder(cfg.analyzer, cfg.segs_per_shard, key_kind),
+        SEGMENT_SCHEMA,
     )
     mode = "append" if done else "overwrite"
     seg_rows.write.mode(mode).parquet(seg_path)
@@ -395,7 +413,11 @@ def build_index(
         for pdf in iterator:
             for _, row in pdf.iterrows():
                 g = int(row["g"])
-                keys = np.frombuffer(row["keys_enc"], "<i8")
+                if key_kind == "s":
+                    raw = bytes(row["keys_enc"])
+                    keys = raw.decode("utf-8").split("\n") if raw else []
+                else:
+                    keys = np.frombuffer(row["keys_enc"], "<i8")
                 dls = np.frombuffer(row["doc_lens_enc"], "<i4")
                 nrm = np.frombuffer(row["norms_enc"], np.uint8)
                 base = bases_b.value[g]
@@ -410,8 +432,9 @@ def build_index(
                     }
                 )
 
+    key_sql_type = "string" if key_kind == "s" else "long"
     doc_map_schema = (
-        "doc_id long, key long, shard int, g long, doc_len long, norm int"
+        f"doc_id long, key {key_sql_type}, shard int, g long, doc_len long, norm int"
     )
     meta_rows = segments.where(F.col("kind") == "m").select(
         "g", "keys_enc", "doc_lens_enc", "norms_enc"
@@ -484,6 +507,7 @@ def build_index(
     manifest = {
         "version": 1,
         "config": asdict(cfg),
+        "key_kind": key_kind,
         "max_doc": int(max_doc),
         "sum_total_term_freq": int(sttf or 0),
         "n_input_rows": int(n_total),
