@@ -53,10 +53,39 @@ _SPECIALS = [
 _LANGS = ["en", "de", "fr", "es"]
 _LANG_P = [0.9, 0.04, 0.03, 0.03]
 
-# Zipfian weights over the combined vocabulary
-_VOCAB = _BASE_VOCAB + _STOPWORDS + _SPECIALS
+_SYLLABLES = (
+    "ba be bi bo bu ca ce ci co cu da de di do du fa fe fi fo fu ga ge gi "
+    "go gu ka ke ki ko ku la le li lo lu ma me mi mo mu na ne ni no nu pa "
+    "pe pi po pu ra re ri ro ru sa se si so su ta te ti to tu va ve vi vo "
+    "vu za ze zi zo zu"
+).split()
+
+
+def _tail_word(i: int) -> str:
+    """Deterministic synthetic word #i (3-4 syllables, ~30k distinct)."""
+    s = _SYLLABLES
+    n = len(s)
+    parts = [s[i % n], s[(i // n) % n], s[(i // (n * n)) % n]]
+    if i % 7 == 0:
+        parts.append(s[(i * 31) % n])
+    return "".join(parts)
+
+
+N_TAIL_WORDS = 30_000
+
+# Vocabulary ordered by Zipf rank: stopwords most frequent (as in real
+# English web text), then content words, specials mid-rank, then a
+# 30k-word long tail — so segments see realistic term-dictionary sizes.
+_VOCAB = (
+    _STOPWORDS
+    + _BASE_VOCAB
+    + _SPECIALS
+    + [_tail_word(i) for i in range(N_TAIL_WORDS)]
+)
 _RANKS = np.arange(1, len(_VOCAB) + 1, dtype=np.float64)
-_ZIPF_P = (1.0 / _RANKS) / (1.0 / _RANKS).sum()
+_ZIPF_W = 1.0 / _RANKS
+_ZIPF_CDF = np.cumsum(_ZIPF_W / _ZIPF_W.sum())
+_VOCAB_ARR = np.array(_VOCAB, dtype=object)
 
 
 def _row_rng(i: int) -> np.random.RandomState:
@@ -68,7 +97,9 @@ def _make_row(i: int) -> tuple[str, int, bytes]:
     url = f"https://site{i % N_SITES}.example/p/{i}"
     ts = 1_704_067_200 + i  # 2024-01-01T00:00:00Z + i seconds
     n_tokens = max(5, int(rng.lognormal(np.log(120.0), 0.8)))
-    words = [_VOCAB[j] for j in rng.choice(len(_VOCAB), n_tokens, p=_ZIPF_P)]
+    # Zipf sampling via inverse-CDF (O(n log V) per row, vocab-size free)
+    draws = np.searchsorted(_ZIPF_CDF, rng.random_sample(n_tokens), side="right")
+    words = list(_VOCAB_ARR[np.minimum(draws, len(_VOCAB) - 1)])
     if rng.rand() < 0.02:  # >255-char token (max-token-length skip case)
         words.insert(int(rng.randint(0, len(words))), "x" * 300)
     title = " ".join(words[: min(6, len(words))])

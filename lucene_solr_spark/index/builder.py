@@ -52,6 +52,24 @@ from pyspark.sql.types import (
 )
 
 from lucene_solr_spark.analysis.analyzers import ANALYZERS
+
+import sys as _sys
+import time as _time
+
+
+class _PhaseTimer:
+    """Prints per-phase wall times to stderr when LSS_TIMING=1."""
+
+    def __init__(self):
+        self.enabled = os.environ.get("LSS_TIMING") == "1"
+        self.t = _time.perf_counter()
+
+    def mark(self, name: str) -> None:
+        if self.enabled:
+            now = _time.perf_counter()
+            print(f"[build-phase] {name}: {now - self.t:.2f}s", file=_sys.stderr)
+            self.t = now
+
 from lucene_solr_spark.functions.smallfloat import encode_norm
 from lucene_solr_spark.index.codec import encode_posting_lists, vbyte_encode
 
@@ -324,6 +342,7 @@ def build_index(
     cfg = config or IndexConfig()
     ensure_on_workers(spark)
     os.makedirs(out_dir, exist_ok=True)
+    _pt = _PhaseTimer()
     G = cfg.n_shards * cfg.segs_per_shard
 
     key_type = dict((f.name, f.dataType.simpleString()) for f in src.schema.fields)[
@@ -347,6 +366,7 @@ def build_index(
         g_col = F.least(g_col, F.lit(G - 1))
     elif cfg.sharding == "hash":
         n_total = keyed.count()
+    # (count folded into prep)
         h = F.xxhash64(F.col("key"))
         g_col = (
             F.pmod(h, F.lit(cfg.n_shards)) * cfg.segs_per_shard
@@ -375,6 +395,7 @@ def build_index(
     )
     mode = "append" if done else "overwrite"
     seg_rows.write.mode(mode).parquet(seg_path)
+    _pt.mark("seg_build_write")
 
     segments = spark.read.parquet(seg_path)
 
@@ -388,13 +409,18 @@ def build_index(
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.sum("df").alias("n_postings"),
+            F.sum("cf").alias("sum_cf"),
             F.sum(F.length("doc_enc") + F.length("tf_enc")).alias("bytes"),
         )
     )
     ckpt = meta.join(post_metrics, "g", "left").fillna(
-        0, subset=["n_terms", "n_postings", "bytes"]
+        0, subset=["n_terms", "n_postings", "sum_cf", "bytes"]
     )
     ckpt.write.mode("overwrite").parquet(ckpt_path)
+    # sumTotalTermFreq == sum of cf over all segments — read off the
+    # (tiny) checkpoint table instead of re-aggregating doc_map later
+    sttf = spark.read.parquet(ckpt_path).agg(F.sum("sum_cf")).first()[0]
+    _pt.mark("checkpoint")
 
     # ---- doc bases (MergeState.docBase concatenation rule) ----
     seg_meta = sorted(
@@ -441,6 +467,7 @@ def build_index(
     )
     doc_map = meta_rows.mapInPandas(explode_meta, doc_map_schema)
     doc_map.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_map"))
+    _pt.mark("doc_map")
 
     # ---- per-shard norm blobs (columnar norms, Lucene53NormsFormat analog) ----
     def build_norms(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -464,6 +491,7 @@ def build_index(
         .applyInPandas(build_norms, NORMS_SCHEMA)
     )
     norms_df.write.mode("overwrite").parquet(os.path.join(out_dir, "norms"))
+    _pt.mark("norms")
 
     # ---- merge: ordered concat per (shard, term, part), salted for skew ----
     posting_rows = segments.where(F.col("kind") == "p")
@@ -479,13 +507,25 @@ def build_index(
     merged = bucketed.groupBy("shard", "bucket").applyInPandas(
         _make_merger(bases, cfg.segs_per_shard), POSTINGS_SCHEMA
     )
+    # Range-partition by (shard, term): write parallelism is decoupled
+    # from shard count (a shard's terms span several contiguous-range
+    # files) while keeping term-sorted files so parquet min/max pruning
+    # still short-circuits term lookups (the FST .tip analog).
+    # repartitionByRange needs a sampling pass — persist `merged` so the
+    # expensive merge kernel runs once, not twice.
+    from pyspark import StorageLevel
+
+    merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    n_write = max(cfg.n_shards, spark.sparkContext.defaultParallelism)
     (
-        merged.repartition(max(cfg.n_shards, 1), "shard")
+        merged.repartitionByRange(n_write, "shard", "term")
         .sortWithinPartitions("shard", "term", "part")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(os.path.join(out_dir, "postings"))
     )
+    merged.unpersist()
+    _pt.mark("merge_write")
 
     # ---- global term stats (df/cf across shards) ----
     postings_final = spark.read.parquet(os.path.join(out_dir, "postings"))
@@ -495,11 +535,9 @@ def build_index(
     term_stats.coalesce(max(1, cfg.merge_buckets // 8)).sortWithinPartitions(
         "term"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+    _pt.mark("term_stats")
 
     # ---- collection stats + manifest ----
-    sttf = doc_map_sum = spark.read.parquet(
-        os.path.join(out_dir, "doc_map")
-    ).agg(F.sum("doc_len")).first()[0]
     shard_bases = {}
     for g, nd in seg_meta:
         shard = g // cfg.segs_per_shard

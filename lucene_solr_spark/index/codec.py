@@ -198,3 +198,57 @@ def decode_blocks(
     if not docs_out:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+
+def encode_position_lists(
+    positions: np.ndarray,
+    run_lengths: np.ndarray,
+    pos_per_term: np.ndarray,
+) -> list[bytes]:
+    """Encode per-(term,doc) position runs -> per-term VByte streams.
+
+    Reference: the .pos file (Lucene50PostingsFormat.java:267-318) —
+    positions as per-doc deltas, first position absolute within each
+    doc. `positions` is sorted by (term, doc, pos); `run_lengths` is tf
+    per (term, doc) run; `pos_per_term[i]` = total positions of term i
+    (sum of its runs). Decoding walks runs via the tf stream, so no
+    extra offsets are stored.
+    """
+    n = len(positions)
+    if n == 0:
+        return [b""] * len(pos_per_term)
+    run_lengths = np.asarray(run_lengths, np.int64)
+    run_starts = np.cumsum(run_lengths) - run_lengths
+    deltas = np.empty(n, np.int64)
+    deltas[0] = positions[0]
+    deltas[1:] = positions[1:] - positions[:-1]
+    deltas[run_starts] = positions[run_starts]
+    pbytes, pnb = vbyte_encode(deltas.astype(np.uint64))
+    byte_start = np.cumsum(pnb) - pnb
+    pos_per_term = np.asarray(pos_per_term, np.int64)
+    t_start = np.cumsum(pos_per_term) - pos_per_term  # first position idx per term
+    blob = pbytes.tobytes()
+    out = []
+    for i, (s, c) in enumerate(zip(t_start, pos_per_term)):
+        if c == 0:
+            out.append(b"")
+            continue
+        b0 = int(byte_start[s])
+        b1 = int(byte_start[s + c - 1] + pnb[s + c - 1])
+        out.append(blob[b0:b1])
+    return out
+
+
+def decode_position_lists(pos_enc: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode one term's position stream -> absolute positions array
+    (len == sum(tfs)), per-doc delta reset per encode_position_lists."""
+    tfs = np.asarray(tfs, np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    deltas = vbyte_decode(pos_enc, total).astype(np.int64)
+    acc = np.cumsum(deltas)
+    starts = np.cumsum(tfs) - tfs
+    # subtract the running prefix before each doc to reset the cumsum
+    prefix = acc[starts] - deltas[starts]
+    return acc - np.repeat(prefix, tfs)

@@ -79,6 +79,63 @@ class DisjunctionMax(Query):
         return list(self.should)
 
 
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Exact phrase: terms must appear at consecutive positions
+    (search/PhraseQuery.java:64, ExactPhraseScorer.java:27). Matching is
+    two-phase: docID conjunction first, then position verification.
+    Score = BM25 with tf = phrase frequency and idf = sum of the
+    terms' idfs (BM25Similarity.computeWeight over multiple
+    TermStatistics)."""
+
+    phrase: tuple[str, ...]
+
+    def terms(self) -> list[str]:
+        return list(self.phrase)
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    """Terms starting with `prefix`, CONSTANT_SCORE rewrite
+    (search/PrefixQuery.java, MultiTermQuery.java:68-94): every matching
+    doc scores 1.0. Expansion is a pushed-down `term LIKE 'p%'` scan of
+    the dictionary (the FST prefix-seek analog)."""
+
+    prefix: str
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    """Wildcard pattern (`*` any run, `?` one char), CONSTANT_SCORE
+    rewrite (search/WildcardQuery.java:127). Compiled to an anchored
+    regex over the term dictionary."""
+
+    pattern: str
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """Terms within Levenshtein distance <= max_edits of `term`
+    (search/FuzzyQuery.java:54), rewritten to a scoring OR over the
+    expanded terms (ScoringRewrite; we score each expansion as a plain
+    TermQuery and sum like a disjunction — the blended-freq boost of
+    TopTermsBlendedFreqScoringRewrite is documented as out of scope).
+    Expansion runs as a distributed `levenshtein(term, q) <= d` filter
+    on the dictionary (automaton-intersection analog)."""
+
+    term: str
+    max_edits: int = 2
+
+    def terms(self) -> list[str]:
+        return []
+
+
 def rewrite(q: Query) -> Query:
     """Logical rewrites to fixpoint (IndexSearcher.java:634-640).
 

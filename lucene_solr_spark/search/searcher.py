@@ -67,20 +67,16 @@ def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int):
     return docs[order], scores[order]
 
 
-def _score_shard(
-    pdf: pd.DataFrame,
-    spec: dict,
-    idfs: dict[str, np.float32],
-    cache: np.ndarray,
-    k: int,
-    prune: bool,
-) -> pd.DataFrame:
-    """Score one shard's matched postings rows -> top-k (doc_id, score)."""
+def _decode_shard(pdf: pd.DataFrame):
+    """Decode a shard's matched postings rows once.
+
+    Returns (base, norms, per_term, dfs): per_term maps term ->
+    (doc_ids, tfs) with parts concatenated in doc order; dfs maps
+    term -> GLOBAL df (the window-summed df_total column)."""
     base = int(pdf["base"].iloc[0])
     norms = np.frombuffer(pdf["norms"].iloc[0], np.uint8)
-
-    # decode per-term postings (parts are doc-disjoint ascending runs)
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    dfs: dict[str, int] = {}
     for term, grp in pdf.sort_values("part").groupby("term", sort=False):
         ds, ts = [], []
         for _, row in grp.iterrows():
@@ -90,6 +86,21 @@ def _score_shard(
             ds.append(d)
             ts.append(t)
         per_term[term] = (np.concatenate(ds), np.concatenate(ts))
+        dfs[term] = int(grp["df_total"].iloc[0])
+    return base, norms, per_term, dfs
+
+
+def _score_spec(
+    pdf: pd.DataFrame,
+    decoded,
+    spec: dict,
+    idfs: dict[str, np.float32],
+    cache: np.ndarray,
+    k: int,
+    prune: bool,
+) -> pd.DataFrame:
+    """Score one decoded shard against one query spec -> top-k rows."""
+    base, norms, per_term, _dfs = decoded
 
     def term_scores(term: str) -> tuple[np.ndarray, np.ndarray]:
         d, t = per_term[term]
@@ -104,7 +115,7 @@ def _score_shard(
         term = spec["terms"][0]
         if term not in per_term:
             return empty
-        if prune:
+        if prune and k is not None:
             docs, scores = _score_term_pruned(pdf, term, base, norms, idfs, cache, k)
         else:
             docs, scores = term_scores(term)
@@ -293,6 +304,17 @@ class IndexSearcher:
             return {"kind": "dismax", "terms": list(q.should), "tie": q.tie}
         raise TypeError(f"unsupported query {q!r}")
 
+    def _matched(self, terms: list[str]) -> DataFrame:
+        """Postings rows for the query terms, with the GLOBAL df attached
+        as `df_total` via a window sum — so the whole search is ONE Spark
+        job (no separate stats-lookup job; the BlockTree term seek analog
+        stays a pushed-down `term IN (...)` parquet filter)."""
+        from pyspark.sql import Window
+
+        matched = self._postings.where(F.col("term").isin(terms))
+        w = Window.partitionBy("term")
+        return matched.withColumn("df_total", F.sum("df").over(w))
+
     def search(self, query: Query, k: int | None = 10, prune: bool = True) -> DataFrame:
         """Top-k as a DataFrame (doc_id long, score float), globally ordered
         score desc / doc_id asc with exact Lucene tie-break semantics.
@@ -302,31 +324,64 @@ class IndexSearcher:
         q = rewrite(query)
         spec = self._spec(q)
         terms = sorted(set(spec["terms"]))
-        dfs = self.term_dfs(terms)
-        idfs = {t: bm25.idf(d, self.max_doc) for t, d in dfs.items()}
-
-        must = spec.get("must")
-        if must and any(t not in dfs for t in must):
-            return self._empty()
-        present = [t for t in terms if t in dfs]
-        if not present:
-            return self._empty()
-
-        matched = self._postings.where(F.col("term").isin(present))
-        joined = matched.join(F.broadcast(self._norms), "shard")
+        joined = self._matched(terms).join(F.broadcast(self._norms), "shard")
 
         cache = self.cache
-        use_prune = prune and spec["kind"] == "term" and k is not None
+        max_doc = self.max_doc
+        use_prune = prune and spec["kind"] == "term"
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = _score_shard(pdf, spec, idfs, cache, k, use_prune)
-            return out
+            decoded = _decode_shard(pdf)
+            idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
+            return _score_spec(pdf, decoded, spec, idfs, cache, k, use_prune)
 
         per_shard = joined.groupBy("shard").applyInPandas(
             score_group, "doc_id long, score float"
         )
         ordered = per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
         return ordered if k is None else ordered.limit(k)
+
+    def search_many(
+        self, queries: dict[str, Query], k: int = 10, prune: bool = True
+    ) -> DataFrame:
+        """Batch search: evaluate MANY queries in ONE Spark job.
+
+        Returns (qid string, doc_id long, score float), per-query
+        ordered score desc / doc_id asc, top-k each. The per-shard
+        stage decodes each matched posting list ONCE and scores every
+        query against it (Solr's query-result-cache economy, without
+        the cache); per-query top-k happens shard-side (bounded rows:
+        shards x k x |queries|), the global cut is a tiny window."""
+        from pyspark.sql import Window
+
+        specs = {qid: self._spec(rewrite(q)) for qid, q in queries.items()}
+        all_terms = sorted({t for s in specs.values() for t in s["terms"]})
+        joined = self._matched(all_terms).join(F.broadcast(self._norms), "shard")
+
+        cache = self.cache
+        max_doc = self.max_doc
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            decoded = _decode_shard(pdf)
+            idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
+            outs = []
+            for qid, spec in specs.items():
+                use_prune = prune and spec["kind"] == "term"
+                r = _score_spec(pdf, decoded, spec, idfs, cache, k, use_prune)
+                r.insert(0, "qid", qid)
+                outs.append(r)
+            return pd.concat(outs, ignore_index=True)
+
+        per_shard = joined.groupBy("shard").applyInPandas(
+            score_group, "qid string, doc_id long, score float"
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            per_shard.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+            .orderBy("qid", F.desc("score"), F.asc("doc_id"))
+        )
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score float")

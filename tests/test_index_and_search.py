@@ -169,3 +169,23 @@ def test_resume_skips_built_segments(spark, tmp_path):
     ck = spark.read.parquet(f"{out}/checkpoints")
     assert ck.count() == 4
     assert ck.where(F.col("n_docs") > 0).count() == 4
+
+
+def test_search_many_matches_individual(searcher):
+    """Batched multi-query search must be output-identical to one-at-a-
+    time search (same docIDs, bitwise scores, same order)."""
+    qs = {
+        "t1": TermQuery("table"),
+        "t2": TermQuery("vector"),
+        "a1": BooleanAnd(("scan", "table")),
+        "o1": BooleanOr(("customer", "spark", "vector")),
+        "n1": BooleanNot(("table",), ("scan",)),
+        "absent": TermQuery("zzznotaterm"),
+    }
+    batched = searcher.search_many(qs, k=15).collect()
+    by_qid: dict[str, list] = {}
+    for r in batched:
+        by_qid.setdefault(r.qid, []).append((r.doc_id, r.score))
+    for qid, q in qs.items():
+        single = [(r.doc_id, r.score) for r in searcher.search(q, k=15).collect()]
+        assert by_qid.get(qid, []) == single, qid
