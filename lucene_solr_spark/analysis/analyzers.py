@@ -92,9 +92,21 @@ def tokenize_whitespace(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.split().map(lambda t: t if t else [])
 
 
+def tokenize_whitespace_with_positions(texts: pd.Series) -> pd.Series:
+    """Whitespace analog with positions (every token emitted; posIncr 1)."""
+    return texts.fillna("").str.split().map(
+        lambda toks: [(t, i) for i, t in enumerate(toks or [])]
+    )
+
+
 ANALYZERS = {
     "standard": tokenize_standard,
     "whitespace": tokenize_whitespace,
+}
+
+ANALYZERS_POS = {
+    "standard": tokenize_standard_with_positions,
+    "whitespace": tokenize_whitespace_with_positions,
 }
 
 

@@ -82,6 +82,9 @@ class IndexConfig:
     id_col: str = "doc_id"
     text_col: str = "text"
     sharding: str = "range_int"  # 'range_int' | 'hash'
+    # write the .pos analog (per-doc delta position streams) — needed
+    # for PhraseQuery; off by default (DOCS_AND_FREQS IndexOptions)
+    index_positions: bool = False
     # merge-time skew handling: a segment-level posting with df above this
     # marks the term hot; hot terms merge into doc-range parts of at most
     # `hot_segs_per_part` segments each (salted two-level reduce).
@@ -104,6 +107,7 @@ SEGMENT_SCHEMA = StructType(
         StructField("block_tf_off", ArrayType(IntegerType())),
         StructField("block_max_tf", ArrayType(IntegerType())),
         StructField("block_max_norm", ArrayType(IntegerType())),
+        StructField("pos_enc", BinaryType()),  # .pos analog (optional)
         # meta-row payloads (one 'm' row per segment)
         StructField("keys_enc", BinaryType()),  # int64 LE keys, sorted
         StructField("doc_lens_enc", BinaryType()),  # int32 LE
@@ -127,18 +131,34 @@ POSTINGS_SCHEMA = StructType(
         StructField("block_tf_off", ArrayType(IntegerType())),
         StructField("block_max_tf", ArrayType(IntegerType())),
         StructField("block_max_norm", ArrayType(IntegerType())),
+        StructField("pos_enc", BinaryType()),
     ]
 )
 
 
-def _make_segment_builder(analyzer_name: str, segs_per_shard: int, key_kind: str = "l"):
+def _make_segment_builder(
+    analyzer_name: str,
+    segs_per_shard: int,
+    key_kind: str = "l",
+    index_positions: bool = False,
+):
     """Returns the applyInPandas function building ONE segment's rows.
 
     key_kind 'l' = int64 keys (dense ids), 's' = utf-8 string keys
     (e.g. urls — the Solr uniqueKey analog). String keys sort by
     codepoint, which equals utf-8 bytewise order (Lucene's term/key
-    comparison contract, index/Term.java:49-57)."""
+    comparison contract, index/Term.java:49-57).
+
+    index_positions additionally emits the .pos analog: per (term, doc)
+    position lists with Lucene position-increment semantics (stopped /
+    overlong tokens advance positions but are not emitted —
+    FilteringTokenFilter.java:49-62)."""
     tokenize = ANALYZERS[analyzer_name]
+    if index_positions:
+        from lucene_solr_spark.analysis.analyzers import ANALYZERS_POS
+        from lucene_solr_spark.index.codec import encode_position_lists
+
+        tokenize_pos = ANALYZERS_POS[analyzer_name]
 
     def build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -152,13 +172,44 @@ def _make_segment_builder(analyzer_name: str, segs_per_shard: int, key_kind: str
         else:
             keys = pdf["key"].to_numpy(np.int64)
             keys_b = keys.astype("<i8").tobytes()
-        token_lists = tokenize(pdf["text"])
-        doc_lens = token_lists.str.len().to_numpy(np.int64)
+        if index_positions:
+            tp_lists = tokenize_pos(pdf["text"])
+            doc_lens = tp_lists.str.len().to_numpy(np.int64)
+        else:
+            token_lists = tokenize(pdf["text"])
+            doc_lens = token_lists.str.len().to_numpy(np.int64)
         norms = encode_norm(doc_lens)
         n_docs = len(pdf)
 
         total = int(doc_lens.sum())
-        if total:
+        if total and index_positions:
+            flat = np.empty(total, dtype=object)
+            flat_pos = np.empty(total, np.int64)
+            w = 0
+            for lst in tp_lists:
+                for t, p in lst:
+                    flat[w] = t
+                    flat_pos[w] = p
+                    w += 1
+            codes, uniques = pd.factorize(flat, sort=True)
+            doc_ord = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
+            order = np.lexsort((flat_pos, doc_ord, codes))
+            c_s = codes.astype(np.int64)[order]
+            d_s = doc_ord[order]
+            p_s = flat_pos[order]
+            newrun = np.empty(total, bool)
+            newrun[0] = True
+            newrun[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+            run_id = np.cumsum(newrun) - 1
+            tfs = np.bincount(run_id).astype(np.int64)
+            doc_local = d_s[newrun]
+            term_of_run = c_s[newrun]
+            dfs = np.bincount(term_of_run, minlength=len(uniques)).astype(np.int64)
+            cfs = np.add.reduceat(tfs, np.cumsum(dfs) - dfs).astype(np.int64)
+            enc = encode_posting_lists(dfs, doc_local, tfs, norms[doc_local])
+            pos_per_term = np.bincount(c_s, minlength=len(uniques)).astype(np.int64)
+            pos_encs = encode_position_lists(p_s, tfs, pos_per_term)
+        elif total:
             flat = np.empty(total, dtype=object)
             pos = 0
             for lst in token_lists:
@@ -175,6 +226,8 @@ def _make_segment_builder(analyzer_name: str, segs_per_shard: int, key_kind: str
             dfs = np.bincount(term_id, minlength=len(uniques)).astype(np.int64)
             cfs = np.add.reduceat(tfs, np.cumsum(dfs) - dfs).astype(np.int64)
             enc = encode_posting_lists(dfs, doc_local, tfs, norms[doc_local])
+            pos_encs = None
+        if total:
             posting_rows = pd.DataFrame(
                 {
                     "g": g,
@@ -189,6 +242,7 @@ def _make_segment_builder(analyzer_name: str, segs_per_shard: int, key_kind: str
                     "block_tf_off": enc["block_tf_off"],
                     "block_max_tf": enc["block_max_tf"],
                     "block_max_norm": enc["block_max_norm"],
+                    "pos_enc": pos_encs if pos_encs is not None else None,
                 }
             )
         else:
@@ -251,7 +305,7 @@ def _make_merger(seg_bases: dict[int, int], segs_per_shard: int):
         out = {name: [] for name in (
             "shard", "term", "part", "df", "cf", "doc_enc", "tf_enc",
             "block_last", "block_doc_off", "block_tf_off", "block_max_tf",
-            "block_max_norm",
+            "block_max_norm", "pos_enc",
         )}
         terms = pdf["term"].to_numpy()
         parts = pdf["part"].to_numpy()
@@ -263,6 +317,7 @@ def _make_merger(seg_bases: dict[int, int], segs_per_shard: int):
         b_toff = pdf["block_tf_off"].to_numpy()
         b_mtf = pdf["block_max_tf"].to_numpy()
         b_mnorm = pdf["block_max_norm"].to_numpy()
+        pos_encs = pdf["pos_enc"].to_numpy() if "pos_enc" in pdf else None
         dfs = pdf["df"].to_numpy()
         cfs = pdf["cf"].to_numpy()
 
@@ -275,6 +330,7 @@ def _make_merger(seg_bases: dict[int, int], segs_per_shard: int):
             # merge runs [i, j) of one (term, part)
             doc_parts: list[bytes] = []
             tf_parts: list[bytes] = []
+            pos_parts: list[bytes] = []
             blast_parts, bdoff_parts, btoff_parts = [], [], []
             bmtf_parts, bmnorm_parts = [], []
             doc_bytes_acc = 0
@@ -290,6 +346,9 @@ def _make_merger(seg_bases: dict[int, int], segs_per_shard: int):
                 shift = len(head) - nb_old
                 doc_parts.append(head + enc[nb_old:])
                 tf_parts.append(bytes(tf_encs[r]))
+                if pos_encs is not None and pos_encs[r] is not None:
+                    # positions are doc-local deltas: plain concat, no rebase
+                    pos_parts.append(bytes(pos_encs[r]))
                 blast = np.asarray(b_last[r], np.int64) + base
                 bdoff = np.asarray(b_doff[r], np.int64).copy()
                 bdoff[1:] += shift
@@ -308,6 +367,7 @@ def _make_merger(seg_bases: dict[int, int], segs_per_shard: int):
             out["cf"].append(int(cfs[i:j].sum()))
             out["doc_enc"].append(b"".join(doc_parts))
             out["tf_enc"].append(b"".join(tf_parts))
+            out["pos_enc"].append(b"".join(pos_parts) if pos_parts else None)
             out["block_last"].append(np.concatenate(blast_parts))
             out["block_doc_off"].append(np.concatenate(bdoff_parts).astype(np.int32))
             out["block_tf_off"].append(np.concatenate(btoff_parts).astype(np.int32))
@@ -390,7 +450,9 @@ def build_index(
         todo = with_g.where(~F.col("g").isin([int(x) for x in done]))
 
     seg_rows = todo.groupBy("g").applyInPandas(
-        _make_segment_builder(cfg.analyzer, cfg.segs_per_shard, key_kind),
+        _make_segment_builder(
+            cfg.analyzer, cfg.segs_per_shard, key_kind, cfg.index_positions
+        ),
         SEGMENT_SCHEMA,
     )
     mode = "append" if done else "overwrite"

@@ -42,8 +42,12 @@ from lucene_solr_spark.search.query import (
     BooleanNot,
     BooleanOr,
     DisjunctionMax,
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
     Query,
     TermQuery,
+    WildcardQuery,
     rewrite,
 )
 
@@ -70,24 +74,30 @@ def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int):
 def _decode_shard(pdf: pd.DataFrame):
     """Decode a shard's matched postings rows once.
 
-    Returns (base, norms, per_term, dfs): per_term maps term ->
+    Returns (base, norms, per_term, dfs, per_pos): per_term maps term ->
     (doc_ids, tfs) with parts concatenated in doc order; dfs maps
-    term -> GLOBAL df (the window-summed df_total column)."""
+    term -> GLOBAL df (the window-summed df_total column); per_pos maps
+    term -> concatenated .pos byte stream (None when not indexed)."""
     base = int(pdf["base"].iloc[0])
     norms = np.frombuffer(pdf["norms"].iloc[0], np.uint8)
+    has_pos = "pos_enc" in pdf.columns
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    per_pos: dict[str, bytes | None] = {}
     dfs: dict[str, int] = {}
     for term, grp in pdf.sort_values("part").groupby("term", sort=False):
-        ds, ts = [], []
+        ds, ts, ps = [], [], []
         for _, row in grp.iterrows():
             d, t = decode_posting_list(
                 bytes(row["doc_enc"]), bytes(row["tf_enc"]), int(row["df"])
             )
             ds.append(d)
             ts.append(t)
+            if has_pos and row["pos_enc"] is not None:
+                ps.append(bytes(row["pos_enc"]))
         per_term[term] = (np.concatenate(ds), np.concatenate(ts))
+        per_pos[term] = b"".join(ps) if ps else None
         dfs[term] = int(grp["df_total"].iloc[0])
-    return base, norms, per_term, dfs
+    return base, norms, per_term, dfs, per_pos
 
 
 def _score_spec(
@@ -100,7 +110,7 @@ def _score_spec(
     prune: bool,
 ) -> pd.DataFrame:
     """Score one decoded shard against one query spec -> top-k rows."""
-    base, norms, per_term, _dfs = decoded
+    base, norms, per_term, _dfs, per_pos = decoded
 
     def term_scores(term: str) -> tuple[np.ndarray, np.ndarray]:
         d, t = per_term[term]
@@ -121,6 +131,47 @@ def _score_spec(
             docs, scores = term_scores(term)
             docs, scores = _topk_arrays(docs, scores.astype(np.float32), k)
         return pd.DataFrame({"doc_id": docs, "score": scores.astype(np.float32)})
+
+    if kind == "phrase":
+        from lucene_solr_spark.index.codec import decode_position_lists
+
+        seq = spec["terms"]  # phrase order, duplicates kept
+        uniq_terms = list(dict.fromkeys(seq))
+        if any(t not in per_term or per_pos.get(t) is None for t in uniq_terms):
+            return empty
+        inter = reduce(
+            lambda a, b: a[np.isin(a, b, assume_unique=True)],
+            [per_term[t][0] for t in uniq_terms],
+        )
+        if len(inter) == 0:
+            return empty
+        # vectorized exact-phrase check: per term i, key = doc * 2^32 +
+        # (pos - i); a phrase occurrence is a key present for every i
+        # (ExactPhraseScorer.java:27 semantics, but set-at-a-time)
+        M = np.int64(1) << np.int64(32)
+        off = np.int64(len(seq))
+        keysets = []
+        for i, t in enumerate(seq):
+            d, tf = per_term[t]
+            pos_abs = decode_position_lists(per_pos[t], tf)
+            doc_rep = np.repeat(d, tf)
+            mask = np.isin(doc_rep, inter, assume_unique=False)
+            keys = doc_rep[mask] * M + (pos_abs[mask] - np.int64(i) + off)
+            keysets.append(keys)
+        phrase_keys = reduce(
+            lambda a, b: a[np.isin(a, b, assume_unique=True)], keysets
+        )
+        if len(phrase_keys) == 0:
+            return empty
+        udocs, freqs = np.unique(phrase_keys // M, return_counts=True)
+        # idf = float32 sum over the phrase's terms in order
+        # (BM25Similarity.computeWeight over TermStatistics[])
+        idf_sum = np.float32(0.0)
+        for t in seq:
+            idf_sum = np.float32(idf_sum + idfs[t])
+        scores = bm25.score_term(freqs, norms[udocs - base], idf_sum, cache)
+        docs, scores = _topk_arrays(udocs, scores.astype(np.float32), k)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
 
     present = [t for t in spec["terms"] if t in per_term]
     if kind in ("and", "not"):
@@ -266,12 +317,83 @@ class IndexSearcher:
         self._norms = spark.read.parquet(os.path.join(index_dir, "norms"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
         self._doc_map = None
+        # multi-generation state (NRT delta segments; see streaming/nrt.py):
+        # global shard id -> doc_id offset of its generation, and
+        # (dir, shard_offset, doc_offset) per extra generation
+        self._doc_offsets: dict[int, int] = {}
+        self._gens: list[tuple[str, int, int]] = []
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "IndexSearcher":
+        """Open base + NRT delta generations as one point-in-time view.
+
+        The Lucene analog is DirectoryReader.open over all committed
+        segments: BM25 stats (maxDoc, avgdl, per-term df) span every
+        generation (the df comes free from the window-sum over the
+        UNION of postings), and delta docIDs are remapped by cumulative
+        docBase offsets (MergeState.java:129-142)."""
+        s = cls(spark, index_dir)
+        gens = s.manifest.get("delta_generations") or []
+        if not gens:
+            return s
+        shard_off = max(int(x) for x in s.manifest["shard_bases"]) + 1
+        doc_off = s.max_doc
+        sttf = s.manifest["sum_total_term_freq"]
+        postings = [s._postings]
+        norms = [s._norms]
+        stats = [s._term_stats]
+        for g in gens:
+            gdir = os.path.join(index_dir, g["dir"])
+            with open(os.path.join(gdir, "manifest.json")) as fh:
+                gm = json.load(fh)
+            gp = s.spark.read.parquet(os.path.join(gdir, "postings"))
+            gn = s.spark.read.parquet(os.path.join(gdir, "norms"))
+            postings.append(
+                gp.withColumn("shard", (F.col("shard") + shard_off).cast("int"))
+            )
+            norms.append(
+                gn.withColumn("shard", (F.col("shard") + shard_off).cast("int"))
+            )
+            stats.append(s.spark.read.parquet(os.path.join(gdir, "term_stats")))
+            for local_shard in gm["shard_bases"]:
+                s._doc_offsets[int(local_shard) + shard_off] = doc_off
+            s._gens.append((gdir, shard_off, doc_off))
+            doc_off += gm["max_doc"]
+            sttf += gm["sum_total_term_freq"]
+            shard_off += max(int(x) for x in gm["shard_bases"]) + 1
+        from functools import reduce as _reduce
+
+        def union_all(dfs):
+            return _reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+            )
+
+        s._postings = union_all(postings)
+        s._norms = union_all(norms)
+        s._term_stats = (
+            union_all(stats)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        s.max_doc = doc_off
+        s.avgdl = bm25.avgdl(sttf, s.max_doc)
+        s.cache = bm25.norm_cache(s.avgdl)
+        return s
 
     def doc_map(self) -> DataFrame:
         if self._doc_map is None:
-            self._doc_map = self.spark.read.parquet(
-                os.path.join(self.index_dir, "doc_map")
-            )
+            dm = self.spark.read.parquet(os.path.join(self.index_dir, "doc_map"))
+            parts = [dm]
+            for gdir, shard_off, doc_off in self._gens:
+                gdm = self.spark.read.parquet(os.path.join(gdir, "doc_map"))
+                parts.append(
+                    gdm.withColumn("doc_id", F.col("doc_id") + doc_off)
+                    .withColumn("shard", (F.col("shard") + shard_off).cast("int"))
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            self._doc_map = out
         return self._doc_map
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -302,6 +424,8 @@ class IndexSearcher:
             }
         if isinstance(q, DisjunctionMax):
             return {"kind": "dismax", "terms": list(q.should), "tie": q.tie}
+        if isinstance(q, PhraseQuery):
+            return {"kind": "phrase", "terms": list(q.phrase)}
         raise TypeError(f"unsupported query {q!r}")
 
     def _matched(self, terms: list[str]) -> DataFrame:
@@ -322,6 +446,13 @@ class IndexSearcher:
         k=None returns ALL matches with scores (Solr /export handler
         analog — full sorted result-set streaming, SURVEY.md §2.8)."""
         q = rewrite(query)
+        if isinstance(q, (PrefixQuery, WildcardQuery)):
+            return self._search_constant(q, k)
+        if isinstance(q, FuzzyQuery):
+            expanded = self._expand_fuzzy(q)
+            if not expanded:
+                return self._empty()
+            return self.search(BooleanOr(tuple(sorted(expanded))), k, prune)
         spec = self._spec(q)
         terms = sorted(set(spec["terms"]))
         joined = self._matched(terms).join(F.broadcast(self._norms), "shard")
@@ -329,11 +460,16 @@ class IndexSearcher:
         cache = self.cache
         max_doc = self.max_doc
         use_prune = prune and spec["kind"] == "term"
+        offsets = dict(self._doc_offsets)
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             decoded = _decode_shard(pdf)
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
-            return _score_spec(pdf, decoded, spec, idfs, cache, k, use_prune)
+            out = _score_spec(pdf, decoded, spec, idfs, cache, k, use_prune)
+            off = offsets.get(int(pdf["shard"].iloc[0]), 0)
+            if off:
+                out["doc_id"] = out["doc_id"] + off
+            return out
 
         per_shard = joined.groupBy("shard").applyInPandas(
             score_group, "doc_id long, score float"
@@ -360,14 +496,18 @@ class IndexSearcher:
 
         cache = self.cache
         max_doc = self.max_doc
+        offsets = dict(self._doc_offsets)
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             decoded = _decode_shard(pdf)
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
+            off = offsets.get(int(pdf["shard"].iloc[0]), 0)
             outs = []
             for qid, spec in specs.items():
                 use_prune = prune and spec["kind"] == "term"
                 r = _score_spec(pdf, decoded, spec, idfs, cache, k, use_prune)
+                if off:
+                    r["doc_id"] = r["doc_id"] + off
                 r.insert(0, "qid", qid)
                 outs.append(r)
             return pd.concat(outs, ignore_index=True)
@@ -385,6 +525,56 @@ class IndexSearcher:
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score float")
+
+    def _search_constant(self, q, k: int | None) -> DataFrame:
+        """CONSTANT_SCORE multi-term rewrite (MultiTermQuery.java:68-94):
+        expand against the dictionary with a pushed-down term predicate,
+        union the matching doc sets, score 1.0, order docID asc."""
+        import re as _re
+
+        if isinstance(q, PrefixQuery):
+            cond = F.col("term").startswith(q.prefix)
+        else:  # WildcardQuery
+            regex = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in q.pattern
+            ) + "$"
+            cond = F.col("term").rlike(regex)
+        matched = self._postings.where(cond)
+        offsets = dict(self._doc_offsets)
+
+        def dec(batches):
+            for pdf in batches:
+                outs = []
+                for _, row in pdf.iterrows():
+                    d, _t = decode_posting_list(
+                        bytes(row["doc_enc"]), bytes(row["tf_enc"]), int(row["df"])
+                    )
+                    outs.append(d + offsets.get(int(row["shard"]), 0))
+                if outs:
+                    yield pd.DataFrame({"doc_id": np.unique(np.concatenate(outs))})
+
+        docs = matched.select("shard", "df", "doc_enc", "tf_enc").mapInPandas(
+            dec, "doc_id long"
+        ).distinct()
+        out = (
+            docs.withColumn("score", F.lit(1.0).cast("float"))
+            .orderBy("doc_id")
+        )
+        return out if k is None else out.limit(k)
+
+    def _expand_fuzzy(self, q: FuzzyQuery) -> list[str]:
+        """Dictionary expansion by Levenshtein distance, distributed
+        (JVM levenshtein over the term dict — the FuzzyTermsEnum
+        automaton-intersection analog, FuzzyQuery.java:54)."""
+        rows = (
+            self._term_stats.where(
+                F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+            )
+            .select("term")
+            .collect()
+        )
+        return [r.term for r in rows]
 
     def search_with_keys(self, query: Query, k: int = 10, prune: bool = True) -> DataFrame:
         """Top-k joined back to the source key (stored-fields fetch analog,
