@@ -28,7 +28,10 @@ from lucene_solr_spark.search.query import (
     BooleanNot,
     BooleanOr,
     DisjunctionMax,
+    FuzzyQuery,
+    PhraseQuery,
     TermQuery,
+    WildcardQuery,
 )
 from lucene_solr_spark.search.searcher import IndexSearcher
 
@@ -67,7 +70,8 @@ def _searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
             src,
             out,
             IndexConfig(n_shards=4, segs_per_shard=4, analyzer="standard",
-                        id_col="doc_id", text_col="text", sharding="range_int"),
+                        id_col="doc_id", text_col="text", sharding="range_int",
+                        index_positions=True),
         )
     s = IndexSearcher(spark, out)
     _SEARCHERS[key] = s
@@ -354,6 +358,83 @@ def _q_prefix_constant(spark, sf):
     )
 
 
+Q_PHRASE = ("table", "scan")
+
+
+def _q_phrase(spark, sf):
+    return _hits(spark, sf, PhraseQuery(Q_PHRASE), K)
+
+
+def _q_fuzzy(spark, sf):
+    return _hits(spark, sf, FuzzyQuery("tabl", max_edits=1), K)
+
+
+def _q_wildcard(spark, sf):
+    s = _searcher_for(spark, sf)
+    return s.search(WildcardQuery("v?lue"), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _phrase_sql(t0: str, t1: str, k: int) -> str:
+    """Exact-phrase BM25: positions from the raw token sequence (stop
+    removal keeps position gaps), freq = adjacent-pair count, idf =
+    float32 sum of the two idfs."""
+    return f"""
+WITH {_BM25_CTES},
+rawp AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term,
+         generate_subscripts(string_split_regex(trim(text), ' +'), 1) - 1 AS pos
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term, pos FROM rawp
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
+),
+ph AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT
+    (SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL)
+     FROM dfs WHERE term = '{t0}')
+    +
+    (SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL)
+     FROM dfs WHERE term = '{t1}') AS s
+)
+SELECT ph.doc_id,
+  CAST(((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+       * CAST(ph.freq AS REAL) / (CAST(ph.freq AS REAL) + cachet.c)
+       AS DOUBLE) AS score
+FROM ph JOIN cachet USING (doc_id)
+ORDER BY CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
+       * CAST(ph.freq AS REAL) / (CAST(ph.freq AS REAL) + cachet.c) AS REAL) DESC,
+       ph.doc_id
+LIMIT {k}"""
+
+
+def _fuzzy_sql(q: str, max_edits: int, k: int) -> str:
+    """Scoring-OR over levenshtein-expanded terms (same shape as
+    _or_sql but with a dynamic dictionary predicate)."""
+    return f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, tf.term,
+    (CAST(ln(1 + ((SELECT n FROM a) - dfs.df + 0.5) / (dfs.df + 0.5)) AS REAL)
+       * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+      * CAST(tf.tf AS REAL) / (CAST(tf.tf AS REAL) + cachet.c) AS s
+  FROM tf JOIN dfs USING (term) JOIN cachet USING (doc_id)
+  WHERE levenshtein(tf.term, '{q}') <= {max_edits}
+)
+SELECT doc_id, CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _q_match_all_count(spark, sf):
     """MatchAllDocsQuery + TotalHitCountCollector."""
     s = _searcher_for(spark, sf)
@@ -479,6 +560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_facet_nchars": _q_range_facet,
         "group_top1_per_source": _q_group_top1_per_source,
         "prefix_constant_topk": _q_prefix_constant,
+        "bm25_phrase_topk": _q_phrase,
+        "fuzzy_or_topk": _q_fuzzy,
+        "wildcard_constant_topk": _q_wildcard,
         "match_all_count": _q_match_all_count,
         "numeric_range_count": _q_numeric_range,
         # training-data pipeline ops
@@ -553,6 +637,13 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_BM25_CTES} "
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
             f"WHERE term LIKE 'sc%' ORDER BY doc_id LIMIT {K}"
+        ),
+        "bm25_phrase_topk": _phrase_sql(*Q_PHRASE, K),
+        "fuzzy_or_topk": _fuzzy_sql("tabl", 1, K),
+        "wildcard_constant_topk": (
+            f"WITH {_BM25_CTES} "
+            "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
+            f"WHERE regexp_matches(term, '^v.lue$') ORDER BY doc_id LIMIT {K}"
         ),
         "match_all_count": "SELECT count(*)::BIGINT AS total_hits FROM documents",
         "numeric_range_count": (

@@ -28,6 +28,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    from lucene_solr_spark.session import apply_worker_malloc_env
+
+    apply_worker_malloc_env()
     from pyspark.sql import SparkSession
 
     spark = (

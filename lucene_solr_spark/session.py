@@ -72,3 +72,30 @@ def get_spark(master: str = "local[*]", app_name: str = "lucene_solr_spark",
     spark = b.getOrCreate()
     ensure_on_workers(spark)
     return spark
+
+
+# glibc/pymalloc tuning for Arrow-batched python workers.
+#
+# Rationale (measured on the sandbox, a Firecracker guest): guest
+# page faults exit to the host and serialize there, so 32 concurrent
+# python workers each faulting a fresh heap (pymalloc arena churn +
+# glibc mmap/munmap of large buffers) collapse to ~1/12th speed.
+# Routing CPython allocations through a persistent, never-trimmed
+# glibc heap makes worker memory fault ONCE per (reused) worker; the
+# steady state then scales linearly with cores. On a real multi-node
+# cluster the same settings reduce allocator jitter but matter less.
+WORKER_MALLOC_ENV = {
+    "PYTHONMALLOC": "malloc",
+    "MALLOC_ARENA_MAX": "1",
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    "MALLOC_MMAP_MAX_": "0",
+}
+
+
+def apply_worker_malloc_env() -> None:
+    """Set the allocator tuning in os.environ BEFORE SparkSession
+    creation (local mode: the JVM and its python workers inherit it).
+    On a cluster, pass the same dict as spark.executorEnv.* instead."""
+    for k, v in WORKER_MALLOC_ENV.items():
+        os.environ.setdefault(k, v)

@@ -61,6 +61,9 @@ def query_set():
 
 
 def worker(cpus: int, pages_dir: str, out_file: str) -> None:
+    from lucene_solr_spark.session import apply_worker_malloc_env
+
+    apply_worker_malloc_env()
     from pyspark.sql import SparkSession
 
     spark = (
