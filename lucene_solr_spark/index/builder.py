@@ -85,6 +85,11 @@ class IndexConfig:
     # write the .pos analog (per-doc delta position streams) — needed
     # for PhraseQuery; off by default (DOCS_AND_FREQS IndexOptions)
     index_positions: bool = False
+    # segment-build engine: 'arrow' tokenizes JVM-side and inverts via
+    # pyarrow dictionary_encode (no per-token Python objects — the
+    # scale path); 'pandas' is the reference implementation. Outputs
+    # are identical (tested).
+    engine: str = "arrow"
     # merge-time skew handling: a segment-level posting with df above this
     # marks the term hot; hot terms merge into doc-range parts of at most
     # `hot_segs_per_part` segments each (salted two-level reduce).
@@ -449,12 +454,27 @@ def build_index(
     if done:
         todo = with_g.where(~F.col("g").isin([int(x) for x in done]))
 
-    seg_rows = todo.groupBy("g").applyInPandas(
-        _make_segment_builder(
-            cfg.analyzer, cfg.segs_per_shard, key_kind, cfg.index_positions
-        ),
-        SEGMENT_SCHEMA,
-    )
+    if cfg.engine == "arrow":
+        from lucene_solr_spark.analysis.jvm import JVM_ANALYZERS, JVM_ANALYZERS_POS
+        from lucene_solr_spark.index.arrow_builder import make_arrow_segment_builder
+
+        tok_col = (
+            JVM_ANALYZERS_POS[cfg.analyzer]
+            if cfg.index_positions
+            else JVM_ANALYZERS[cfg.analyzer]
+        )
+        todo_tok = todo.withColumn("toks", tok_col(F.col("text"))).drop("text")
+        seg_rows = todo_tok.groupBy("g").applyInArrow(
+            make_arrow_segment_builder(key_kind, cfg.index_positions),
+            SEGMENT_SCHEMA,
+        )
+    else:
+        seg_rows = todo.groupBy("g").applyInPandas(
+            _make_segment_builder(
+                cfg.analyzer, cfg.segs_per_shard, key_kind, cfg.index_positions
+            ),
+            SEGMENT_SCHEMA,
+        )
     mode = "append" if done else "overwrite"
     seg_rows.write.mode(mode).parquet(seg_path)
     _pt.mark("seg_build_write")
