@@ -435,6 +435,197 @@ FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+Q_REQOPT = (("vector",), ("table", "scan"))
+Q_COMMON = ("dup", "table", "scan")
+Q_DISMAX = ("scan", "table")
+MLT_DOC = 42
+
+
+def _q_reqopt(spark, sf):
+    from lucene_solr_spark.search.query import BooleanMustShould
+
+    return _hits(spark, sf, BooleanMustShould(*Q_REQOPT), K)
+
+
+def _q_common_terms(spark, sf):
+    from lucene_solr_spark.search.query import CommonTermsQuery
+
+    return _hits(spark, sf, CommonTermsQuery(Q_COMMON, max_term_frequency=0.5), K)
+
+
+def _q_dismax(spark, sf):
+    return _hits(spark, sf, DisjunctionMax(Q_DISMAX, tie=0.3), K)
+
+
+def _q_mlt(spark, sf):
+    s = _searcher_for(spark, sf)
+    text = (
+        _docs(spark, sf).where(F.col("doc_id") == MLT_DOC).select("text").first()[0]
+    )
+    return s.more_like_this(text, k=K, max_query_terms=10).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_search_after(spark, sf):
+    """Keyset paging: page 2 of the Q_TERM results (cursor = last hit of
+    page 1)."""
+    s = _searcher_for(spark, sf)
+    first = s.search(TermQuery(Q_TERM), k=K).collect()
+    cur = first[-1]
+    return s.search_after(
+        TermQuery(Q_TERM), k=K, after_score=cur.score, after_doc=cur.doc_id
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_sort_by_field(spark, sf):
+    """TopFieldCollector analog: matches of Q_TERM sorted by a doc-values
+    column (n_chars desc, doc_id asc)."""
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "n_chars")
+    return (
+        hits.join(docs, "doc_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(K)
+        .select("doc_id", F.col("n_chars").cast("long"), F.col("score").cast("double"))
+    )
+
+
+def _q_rollup_events(spark, sf):
+    """RollupStream analog over the events table (SURVEY §2.8)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _q_percentile_nchars(spark, sf):
+    """StatsComponent percentiles (exact interpolated median per lang)."""
+    return (
+        _docs(spark, sf)
+        .groupBy("lang")
+        .agg(F.expr("percentile(n_chars, 0.5)").alias("median_nc"))
+        .orderBy("lang")
+    )
+
+
+def _q_window_events_hourly(spark, sf):
+    """Event-time hourly windowed aggregation (batch form of the
+    Structured Streaming windowed agg)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+def _q_regexp(spark, sf):
+    """RegexpQuery constant-score: terms matching s.*n (scan, span...)."""
+    from lucene_solr_spark.search.query import RegexpQuery
+
+    s = _searcher_for(spark, sf)
+    return s.search(RegexpQuery("sc[a-z]n"), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_join_semi(spark, sf):
+    """JoinUtil / Solr {!join} analog: docs sharing a `source` with any
+    doc matching the query (query-time equi semi-join,
+    join/.../JoinUtil.java:36)."""
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery("dup"), k=None)
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "source")
+    from_side = hits.join(docs, "doc_id").select("source").distinct()
+    return (
+        docs.join(F.broadcast(from_side), "source", "left_semi")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _q_block_join_sum(spark, sf):
+    """ToParentBlockJoinQuery(ScoreMode.Total) analog: child hits
+    aggregate to the parent (source) with summed scores
+    (join/.../ToParentBlockJoinQuery.java:82)."""
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "source")
+    return (
+        hits.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_children"),
+            F.round(F.sum(F.col("score").cast("double")), 4).alias("sum_score"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_function_score(spark, sf):
+    """FunctionQuery / CustomScoreQuery analog: BM25 * recip(n_chars)
+    with recip(x) = 1000/(x + 1000) (queries/.../function/valuesource
+    ReciprocalFloatFunction semantics), computed in double."""
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "n_chars")
+    j = hits.join(docs, "doc_id")
+    fscore = F.round(
+        F.col("score").cast("double")
+        * (F.lit(1000.0) / (F.col("n_chars").cast("double") + F.lit(1000.0))),
+        6,
+    )
+    return (
+        j.select("doc_id", fscore.alias("fscore"))
+        .orderBy(F.desc("fscore"), "doc_id")
+        .limit(K)
+    )
+
+
+def _q_grouping_two_pass(spark, sf):
+    """Two-pass grouping (grouping/.../TermFirstPassGroupingCollector):
+    pass 1 = top 5 groups by best score; pass 2 = top 2 docs per
+    surviving group."""
+    from pyspark.sql import Window
+
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "source")
+    j = hits.join(docs, "doc_id")
+    heads = (
+        j.groupBy("source")
+        .agg(F.max("score").alias("head"))
+        .orderBy(F.desc("head"), "source")
+        .limit(5)
+        .select("source")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.join(F.broadcast(heads), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("source", "doc_id", F.col("score").cast("double"), F.col("rn").cast("long"))
+        .orderBy("source", "rn")
+    )
+
+
 def _q_match_all_count(spark, sf):
     """MatchAllDocsQuery + TotalHitCountCollector."""
     s = _searcher_for(spark, sf)
@@ -543,6 +734,94 @@ def _op_multimodal_len(spark, sf):
     return binary_length_stats(_docs(spark, sf))
 
 
+def _reqopt_sql(must: tuple[str, ...], should: tuple[str, ...], k: int) -> str:
+    """ReqOptSumScorer: f32(f32(sum must) + f32(sum matching should))."""
+    all_terms = must + should
+    mlist = ",".join(f"'{t}'" for t in must)
+    olist = ",".join(f"'{t}'" for t in should)
+    return f"""
+WITH {_BM25_CTES}, {_sc_cte(all_terms)},
+req AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS rs
+  FROM sc WHERE term IN ({mlist})
+  GROUP BY doc_id HAVING count(*) = {len(must)}
+),
+opt AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS os
+  FROM sc WHERE term IN ({olist}) GROUP BY doc_id
+)
+SELECT r.doc_id, CAST(r.rs + coalesce(o.os, CAST(0 AS REAL)) AS DOUBLE) AS score
+FROM req r LEFT JOIN opt o USING (doc_id)
+ORDER BY r.rs + coalesce(o.os, CAST(0 AS REAL)) DESC, r.doc_id LIMIT {k}"""
+
+
+def _common_terms_sql(terms: tuple[str, ...], frac: float, k: int) -> str:
+    tlist = ",".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {_BM25_CTES}, {_sc_cte(terms)},
+qt(term) AS (VALUES {tlist}),
+cls AS (SELECT qt.term, coalesce(dfs.df, 0) AS df FROM qt LEFT JOIN dfs USING (term)),
+must AS (SELECT term FROM cls WHERE df <= {frac} * (SELECT n FROM a)),
+opt AS (SELECT term FROM cls WHERE df > {frac} * (SELECT n FROM a)),
+req AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS rs
+  FROM sc WHERE term IN (SELECT term FROM must)
+  GROUP BY doc_id HAVING count(*) = (SELECT count(*) FROM must)
+),
+osum AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS os
+  FROM sc WHERE term IN (SELECT term FROM opt) GROUP BY doc_id
+)
+SELECT r.doc_id, CAST(r.rs + coalesce(o.os, CAST(0 AS REAL)) AS DOUBLE) AS score
+FROM req r LEFT JOIN osum o USING (doc_id)
+ORDER BY r.rs + coalesce(o.os, CAST(0 AS REAL)) DESC, r.doc_id LIMIT {k}"""
+
+
+def _dismax_sql(terms: tuple[str, ...], tie: float, k: int) -> str:
+    """2-clause DisjunctionMax: f32 max + tie*(sum-max); with exactly
+    two clauses the f32 sum is order-independent (max + min)."""
+    assert len(terms) == 2
+    return f"""
+WITH {_BM25_CTES}, {_sc_cte(terms)},
+g AS (
+  SELECT doc_id, CAST(max(s) AS REAL) AS mx,
+         CAST(max(s) AS REAL) + CAST(min(s) AS REAL) AS sm,
+         count(*) AS nm
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(CASE WHEN nm = 1 THEN mx
+       ELSE mx + (sm - mx) * CAST({tie} AS REAL) END AS DOUBLE) AS score
+FROM g
+ORDER BY CASE WHEN nm = 1 THEN mx
+         ELSE mx + (sm - mx) * CAST({tie} AS REAL) END DESC, doc_id LIMIT {k}"""
+
+
+def _mlt_sql(doc_id: int, max_terms: int, k: int) -> str:
+    """MoreLikeThis: top tf*idf terms of the source doc (classic idf =
+    ln(N/df)+1), then scoring OR over those terms."""
+    return f"""
+WITH {_BM25_CTES},
+src AS (SELECT term, tf FROM tf WHERE doc_id = {doc_id}),
+mlt AS (
+  SELECT s.term,
+         CAST(s.tf AS DOUBLE) * (ln(CAST((SELECT n FROM a) AS DOUBLE) / dfs.df) + 1.0) AS q
+  FROM src s JOIN dfs USING (term)
+),
+top_terms AS (SELECT term FROM mlt ORDER BY q DESC, term LIMIT {max_terms}),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+    (CAST(ln(1 + ((SELECT n FROM a) - dfs.df + 0.5) / (dfs.df + 0.5)) AS REAL)
+       * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+      * CAST(tf.tf AS REAL) / (CAST(tf.tf AS REAL) + cachet.c) AS s
+  FROM tf JOIN dfs USING (term) JOIN cachet USING (doc_id)
+  WHERE tf.term IN (SELECT term FROM top_terms)
+)
+SELECT doc_id, CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_term_topk": _q_term,
@@ -563,6 +842,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
         "wildcard_constant_topk": _q_wildcard,
+        "bm25_reqopt_topk": _q_reqopt,
+        "common_terms_topk": _q_common_terms,
+        "bm25_dismax_topk": _q_dismax,
+        "more_like_this_topk": _q_mlt,
+        "search_after_page2": _q_search_after,
+        "sort_by_field_topk": _q_sort_by_field,
+        "regexp_constant_topk": _q_regexp,
+        "join_semi_by_source": _q_join_semi,
+        "block_join_sum_by_source": _q_block_join_sum,
+        "function_score_topk": _q_function_score,
+        "grouping_two_pass": _q_grouping_two_pass,
+        "rollup_events_daily": _q_rollup_events,
+        "percentile_nchars": _q_percentile_nchars,
+        "window_events_hourly": _q_window_events_hourly,
         "match_all_count": _q_match_all_count,
         "numeric_range_count": _q_numeric_range,
         # training-data pipeline ops
@@ -637,6 +930,76 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_BM25_CTES} "
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
             f"WHERE term LIKE 'sc%' ORDER BY doc_id LIMIT {K}"
+        ),
+        "bm25_reqopt_topk": _reqopt_sql(*Q_REQOPT, K),
+        "common_terms_topk": _common_terms_sql(Q_COMMON, 0.5, K),
+        "bm25_dismax_topk": _dismax_sql(Q_DISMAX, 0.3, K),
+        "more_like_this_topk": _mlt_sql(MLT_DOC, 10, K),
+        "search_after_page2": (
+            f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
+            "SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
+            f"ORDER BY s DESC, doc_id OFFSET {K} LIMIT {K}"
+        ),
+        "sort_by_field_topk": (
+            f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
+            "SELECT sc.doc_id, d.n_chars::BIGINT AS n_chars, "
+            "CAST(sc.s AS DOUBLE) AS score "
+            "FROM sc JOIN documents d USING (doc_id) "
+            f"ORDER BY d.n_chars DESC, sc.doc_id LIMIT {K}"
+        ),
+        "regexp_constant_topk": (
+            f"WITH {_BM25_CTES} "
+            "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
+            f"WHERE regexp_matches(term, '^(?:sc[a-z]n)$') ORDER BY doc_id LIMIT {K}"
+        ),
+        "join_semi_by_source": (
+            f"WITH {_BM25_CTES} "
+            "SELECT d.doc_id FROM documents d WHERE d.source IN ("
+            f"  SELECT DISTINCT d2.source FROM tf JOIN documents d2 USING (doc_id) "
+            f"  WHERE tf.term = 'dup') "
+            "ORDER BY d.doc_id"
+        ),
+        "block_join_sum_by_source": (
+            f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
+            "SELECT d.source, count(*)::BIGINT AS n_children, "
+            "round(sum(CAST(sc.s AS DOUBLE)), 4) AS sum_score "
+            "FROM sc JOIN documents d USING (doc_id) "
+            "GROUP BY d.source ORDER BY d.source"
+        ),
+        "function_score_topk": (
+            f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
+            "SELECT sc.doc_id, round(CAST(sc.s AS DOUBLE) * "
+            "(1000.0 / (CAST(d.n_chars AS DOUBLE) + 1000.0)), 6) AS fscore "
+            "FROM sc JOIN documents d USING (doc_id) "
+            "ORDER BY round(CAST(sc.s AS DOUBLE) * (1000.0 / (CAST(d.n_chars AS DOUBLE) + 1000.0)), 6) DESC, sc.doc_id "
+            f"LIMIT {K}"
+        ),
+        "grouping_two_pass": (
+            f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))}, "
+            "j AS (SELECT sc.doc_id, CAST(sc.s AS DOUBLE) AS score, d.source "
+            "      FROM sc JOIN documents d USING (doc_id)), "
+            "heads AS (SELECT source FROM (SELECT source, max(score) AS head FROM j GROUP BY source) "
+            "          ORDER BY head DESC, source LIMIT 5), "
+            "ranked AS (SELECT j.source, j.doc_id, j.score, "
+            "  row_number() OVER (PARTITION BY j.source ORDER BY j.score DESC, j.doc_id) AS rn "
+            "  FROM j JOIN heads USING (source)) "
+            "SELECT source, doc_id, score, rn::BIGINT AS rn FROM ranked "
+            "WHERE rn <= 2 ORDER BY source, rn"
+        ),
+        "rollup_events_daily": (
+            "SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            "count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value, "
+            "round(min(value), 6) AS min_value, round(max(value), 6) AS max_value "
+            "FROM events GROUP BY 1, 2 ORDER BY event_type, day"
+        ),
+        "percentile_nchars": (
+            "SELECT lang, quantile_cont(n_chars, 0.5) AS median_nc "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "window_events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS cnt, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1 ORDER BY hour"
         ),
         "bm25_phrase_topk": _phrase_sql(*Q_PHRASE, K),
         "fuzzy_or_topk": _fuzzy_sql("tabl", 1, K),

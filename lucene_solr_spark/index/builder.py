@@ -499,15 +499,17 @@ def build_index(
         0, subset=["n_terms", "n_postings", "sum_cf", "bytes"]
     )
     ckpt.write.mode("overwrite").parquet(ckpt_path)
-    # sumTotalTermFreq == sum of cf over all segments — read off the
-    # (tiny) checkpoint table instead of re-aggregating doc_map later
-    sttf = spark.read.parquet(ckpt_path).agg(F.sum("sum_cf")).first()[0]
+    # ONE tiny driver read of the checkpoint table yields both the
+    # docBase inputs and sumTotalTermFreq (sum of per-segment cf) —
+    # no extra scans of the big segments file
+    ckpt_rows = spark.read.parquet(ckpt_path).select(
+        "g", "n_docs", "sum_cf"
+    ).collect()
+    sttf = sum(int(r.sum_cf) for r in ckpt_rows)
     _pt.mark("checkpoint")
 
     # ---- doc bases (MergeState.docBase concatenation rule) ----
-    seg_meta = sorted(
-        ((int(r.g), int(r.n_docs)) for r in meta.select("g", "n_docs").collect())
-    )
+    seg_meta = sorted((int(r.g), int(r.n_docs)) for r in ckpt_rows)
     bases: dict[int, int] = {}
     acc = 0
     for g, nd in seg_meta:

@@ -80,6 +80,38 @@ class DisjunctionMax(Query):
 
 
 @dataclass(frozen=True)
+class BooleanMustShould(Query):
+    """General BooleanQuery with required and optional scoring clauses
+    (BooleanWeight.java:260-359 -> ReqOptSumScorer.java:28): required
+    clauses drive matching; optional clauses add their score when they
+    align. score = f32(f32(sum must) + f32(sum matching should)).
+
+    CommonTermsQuery (queries/.../CommonTermsQuery.java:63) rewrites to
+    this form: terms with df/maxDoc above the cutoff become SHOULD
+    (high-frequency terms stop gating recall), the rest stay MUST."""
+
+    must: tuple[str, ...]
+    should: tuple[str, ...]
+
+    def terms(self) -> list[str]:
+        return list(self.must) + list(self.should)
+
+
+@dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """High-df terms demoted to optional (CommonTermsQuery.java:63).
+
+    The split uses GLOBAL df: term is "common" when df > cutoff *
+    maxDoc. Rewrites at search time (df lookup) to BooleanMustShould."""
+
+    terms_: tuple[str, ...]
+    max_term_frequency: float = 0.3
+
+    def terms(self) -> list[str]:
+        return list(self.terms_)
+
+
+@dataclass(frozen=True)
 class PhraseQuery(Query):
     """Exact phrase: terms must appear at consecutive positions
     (search/PhraseQuery.java:64, ExactPhraseScorer.java:27). Matching is
@@ -112,6 +144,17 @@ class WildcardQuery(Query):
     """Wildcard pattern (`*` any run, `?` one char), CONSTANT_SCORE
     rewrite (search/WildcardQuery.java:127). Compiled to an anchored
     regex over the term dictionary."""
+
+    pattern: str
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    """Anchored regular-expression term query, CONSTANT_SCORE rewrite
+    (search/RegexpQuery.java:127): dictionary expansion by regex."""
 
     pattern: str
 

@@ -39,13 +39,16 @@ from lucene_solr_spark.functions import bm25
 from lucene_solr_spark.index.codec import decode_blocks, decode_posting_list
 from lucene_solr_spark.search.query import (
     BooleanAnd,
+    BooleanMustShould,
     BooleanNot,
     BooleanOr,
+    CommonTermsQuery,
     DisjunctionMax,
     FuzzyQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
+    RegexpQuery,
     TermQuery,
     WildcardQuery,
     rewrite,
@@ -131,6 +134,36 @@ def _score_spec(
             docs, scores = term_scores(term)
             docs, scores = _topk_arrays(docs, scores.astype(np.float32), k)
         return pd.DataFrame({"doc_id": docs, "score": scores.astype(np.float32)})
+
+    if kind == "reqopt":
+        must = spec["must"]
+        opts = spec["should"]
+        if any(t not in per_term for t in must):
+            return empty
+        inter = reduce(
+            lambda a, b: a[np.isin(a, b, assume_unique=True)],
+            [per_term[t][0] for t in must],
+        )
+        if len(inter) == 0:
+            return empty
+        req_scores = []
+        for t in must:
+            d, s = term_scores(t)
+            req_scores.append(s[np.searchsorted(d, inter)])
+        req = bm25.sum_bool(req_scores)  # f32(f64 sum)
+        opt64 = np.zeros(len(inter), np.float64)
+        for t in opts:
+            if t not in per_term:
+                continue
+            d, s = term_scores(t)
+            pos = np.searchsorted(d, inter)
+            pos = np.minimum(pos, len(d) - 1)
+            hit = d[pos] == inter
+            opt64[hit] += s[pos[hit]].astype(np.float64)
+        # ReqOptSumScorer.score(): float req + float opt
+        total = (req + opt64.astype(np.float32)).astype(np.float32)
+        docs, scores = _topk_arrays(inter, total, k)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
 
     if kind == "phrase":
         from lucene_solr_spark.index.codec import decode_position_lists
@@ -426,6 +459,13 @@ class IndexSearcher:
             return {"kind": "dismax", "terms": list(q.should), "tie": q.tie}
         if isinstance(q, PhraseQuery):
             return {"kind": "phrase", "terms": list(q.phrase)}
+        if isinstance(q, BooleanMustShould):
+            return {
+                "kind": "reqopt",
+                "terms": list(q.must) + list(q.should),
+                "must": list(q.must),
+                "should": list(q.should),
+            }
         raise TypeError(f"unsupported query {q!r}")
 
     def _matched(self, terms: list[str]) -> DataFrame:
@@ -446,13 +486,23 @@ class IndexSearcher:
         k=None returns ALL matches with scores (Solr /export handler
         analog — full sorted result-set streaming, SURVEY.md §2.8)."""
         q = rewrite(query)
-        if isinstance(q, (PrefixQuery, WildcardQuery)):
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery)):
             return self._search_constant(q, k)
         if isinstance(q, FuzzyQuery):
             expanded = self._expand_fuzzy(q)
             if not expanded:
                 return self._empty()
             return self.search(BooleanOr(tuple(sorted(expanded))), k, prune)
+        if isinstance(q, CommonTermsQuery):
+            # split by GLOBAL df (dictionary stats lookup, like Lucene's
+            # TermStates pull) then rewrite to required + optional
+            dfs = self.term_dfs(sorted(set(q.terms_)))
+            cutoff = q.max_term_frequency * self.max_doc
+            must = tuple(t for t in q.terms_ if dfs.get(t, 0) <= cutoff)
+            should = tuple(t for t in q.terms_ if dfs.get(t, 0) > cutoff)
+            if not must:
+                return self.search(BooleanAnd(should), k, prune)
+            return self.search(BooleanMustShould(must, should), k, prune)
         spec = self._spec(q)
         terms = sorted(set(spec["terms"]))
         joined = self._matched(terms).join(F.broadcast(self._norms), "shard")
@@ -534,6 +584,8 @@ class IndexSearcher:
 
         if isinstance(q, PrefixQuery):
             cond = F.col("term").startswith(q.prefix)
+        elif isinstance(q, RegexpQuery):
+            cond = F.col("term").rlike("^(?:" + q.pattern + ")$")
         else:  # WildcardQuery
             regex = "^" + "".join(
                 ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
@@ -575,6 +627,59 @@ class IndexSearcher:
             .collect()
         )
         return [r.term for r in rows]
+
+    def search_after(
+        self,
+        query: Query,
+        k: int = 10,
+        after_score: float | None = None,
+        after_doc: int | None = None,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Keyset paging (IndexSearcher.searchAfter, TopScoreDocCollector
+        .java:87-121): resume strictly after the (score, docID) cursor in
+        the global (score desc, docID asc) order."""
+        hits = self.search(query, k=None, prune=False)
+        if after_score is not None:
+            s32 = float(np.float32(after_score))
+            hits = hits.where(
+                (F.col("score") < s32)
+                | ((F.col("score") == s32) & (F.col("doc_id") > int(after_doc)))
+            )
+        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def mlt_terms(self, text: str, max_query_terms: int = 10) -> list[str]:
+        """MoreLikeThis term extraction (queries/.../mlt/MoreLikeThis
+        .java:140): analyze the text, rank its terms by tf * idf with
+        the classic idf = ln(numDocs/docFreq) + 1 (TFIDFSimilarity),
+        keep the top max_query_terms (score desc, term asc)."""
+        import math
+
+        from lucene_solr_spark.analysis.analyzers import ANALYZERS
+
+        toks = ANALYZERS[self.manifest["config"]["analyzer"]](pd.Series([text]))[0]
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        dfs = self.term_dfs(sorted(tf))
+        scored = []
+        for t, f_ in tf.items():
+            df = dfs.get(t, 0)
+            if df == 0:
+                continue
+            idf = math.log(self.max_doc / df) + 1.0
+            scored.append((-f_ * idf, t))
+        scored.sort()
+        return [t for _, t in scored[:max_query_terms]]
+
+    def more_like_this(
+        self, text: str, k: int = 10, max_query_terms: int = 10
+    ) -> DataFrame:
+        """MoreLikeThis: top tf-idf terms of `text` -> scoring OR."""
+        terms = self.mlt_terms(text, max_query_terms)
+        if not terms:
+            return self._empty()
+        return self.search(BooleanOr(tuple(sorted(terms))), k)
 
     def search_with_keys(self, query: Query, k: int = 10, prune: bool = True) -> DataFrame:
         """Top-k joined back to the source key (stored-fields fetch analog,
