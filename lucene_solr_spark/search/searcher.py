@@ -74,33 +74,109 @@ def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int):
     return docs[order], scores[order]
 
 
-def _decode_shard(pdf: pd.DataFrame):
-    """Decode a shard's matched postings rows once.
+class _LazyTerms:
+    """Lazy per-term access to a shard's matched posting rows.
 
-    Returns (base, norms, per_term, dfs, per_pos): per_term maps term ->
-    (doc_ids, tfs) with parts concatenated in doc order; dfs maps
-    term -> GLOBAL df (the window-summed df_total column); per_pos maps
-    term -> concatenated .pos byte stream (None when not indexed)."""
+    Mirrors the reference's two-level access: block metadata (the skip
+    list: last docID + block-max impact per 128-block) is available
+    without touching posting bytes; bodies decode on demand — fully
+    (`full`) or only the blocks overlapping a candidate set
+    (`decode_for`, the `advance()`/skip-read analog,
+    Lucene50PostingsReader.java:395-435)."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        self.has_pos = "pos_enc" in pdf.columns
+        self.rows: dict[str, list] = {}
+        self.dfs: dict[str, int] = {}
+        for term, grp in pdf.sort_values("part").groupby("term", sort=False):
+            self.rows[term] = list(grp.itertuples(index=False))
+            self.dfs[term] = int(grp["df_total"].iloc[0])
+        self._full: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._blk: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+    def __contains__(self, term: str) -> bool:
+        return term in self.rows
+
+    def full(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        if term not in self._full:
+            ds, ts = [], []
+            for row in self.rows[term]:
+                d, t = decode_posting_list(
+                    bytes(row.doc_enc), bytes(row.tf_enc), int(row.df)
+                )
+                ds.append(d)
+                ts.append(t)
+            self._full[term] = (np.concatenate(ds), np.concatenate(ts))
+        return self._full[term]
+
+    def pos_stream(self, term: str) -> bytes | None:
+        if not self.has_pos:
+            return None
+        ps = [bytes(r.pos_enc) for r in self.rows[term] if r.pos_enc is not None]
+        return b"".join(ps) if ps else None
+
+    def block_bounds(self, term: str):
+        """(block_last arrays per part row) for skip decisions."""
+        return [np.asarray(r.block_last, np.int64) for r in self.rows[term]]
+
+    def decode_for(self, term: str, cand: np.ndarray):
+        """Decode only blocks whose doc range can contain `cand` docs.
+
+        Returns (docs, tfs) covering every cand doc the term has;
+        decode work is proportional to touched blocks, not df."""
+        if term in self._full:
+            return self._full[term]
+        from lucene_solr_spark import BLOCK_SIZE
+
+        ds, ts = [], []
+        for ri, row in enumerate(self.rows[term]):
+            bl = np.asarray(row.block_last, np.int64)
+            sel = cand[
+                (cand <= int(bl[-1])) if len(bl) else np.zeros(len(cand), bool)
+            ]
+            if len(sel) == 0:
+                continue
+            bids = np.unique(np.searchsorted(bl, sel))
+            bids = bids[bids < len(bl)]
+            if len(bids) == 0:
+                continue
+            missing = [b for b in bids.tolist() if (term, ri, b) not in self._blk]
+            if missing:
+                marr = np.asarray(missing, np.int64)
+                d, t = decode_blocks(
+                    bytes(row.doc_enc),
+                    bytes(row.tf_enc),
+                    marr,
+                    bl,
+                    np.asarray(row.block_doc_off, np.int64),
+                    np.asarray(row.block_tf_off, np.int64),
+                    int(row.df),
+                )
+                # split decoded run back into per-block slices (block b
+                # holds min(BLOCK_SIZE, df - b*BLOCK_SIZE) postings)
+                df_row = int(row.df)
+                lens = [min(BLOCK_SIZE, df_row - b * BLOCK_SIZE) for b in missing]
+                off = 0
+                for b, ln in zip(missing, lens):
+                    self._blk[(term, ri, b)] = (d[off : off + ln], t[off : off + ln])
+                    off += ln
+            for b in bids.tolist():
+                db, tb = self._blk[(term, ri, b)]
+                ds.append(db)
+                ts.append(tb)
+        if not ds:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(ds), np.concatenate(ts)
+
+
+def _decode_shard(pdf: pd.DataFrame):
+    """Build lazy shard accessors.
+
+    Returns (base, norms, lt, dfs, per_pos_fn) with lt a _LazyTerms."""
     base = int(pdf["base"].iloc[0])
     norms = np.frombuffer(pdf["norms"].iloc[0], np.uint8)
-    has_pos = "pos_enc" in pdf.columns
-    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    per_pos: dict[str, bytes | None] = {}
-    dfs: dict[str, int] = {}
-    for term, grp in pdf.sort_values("part").groupby("term", sort=False):
-        ds, ts, ps = [], [], []
-        for _, row in grp.iterrows():
-            d, t = decode_posting_list(
-                bytes(row["doc_enc"]), bytes(row["tf_enc"]), int(row["df"])
-            )
-            ds.append(d)
-            ts.append(t)
-            if has_pos and row["pos_enc"] is not None:
-                ps.append(bytes(row["pos_enc"]))
-        per_term[term] = (np.concatenate(ds), np.concatenate(ts))
-        per_pos[term] = b"".join(ps) if ps else None
-        dfs[term] = int(grp["df_total"].iloc[0])
-    return base, norms, per_term, dfs, per_pos
+    lt = _LazyTerms(pdf)
+    return base, norms, lt, lt.dfs, lt
 
 
 def _score_spec(
@@ -113,12 +189,17 @@ def _score_spec(
     prune: bool,
 ) -> pd.DataFrame:
     """Score one decoded shard against one query spec -> top-k rows."""
-    base, norms, per_term, _dfs, per_pos = decoded
+    base, norms, lt, _dfs, _ = decoded
 
     def term_scores(term: str) -> tuple[np.ndarray, np.ndarray]:
-        d, t = per_term[term]
+        d, t = lt.full(term)
         s = bm25.score_term(t, norms[d - base], idfs[term], cache)
         return d, s
+
+    def scores_at(term: str, d_src, t_src, docs: np.ndarray) -> np.ndarray:
+        """Per-doc scores for `docs` (must all exist in d_src)."""
+        idx = np.searchsorted(d_src, docs)
+        return bm25.score_term(t_src[idx], norms[docs - base], idfs[term], cache)
 
     kind = spec["kind"]
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -126,7 +207,7 @@ def _score_spec(
 
     if kind == "term":
         term = spec["terms"][0]
-        if term not in per_term:
+        if term not in lt:
             return empty
         if prune and k is not None:
             docs, scores = _score_term_pruned(pdf, term, base, norms, idfs, cache, k)
@@ -138,24 +219,21 @@ def _score_spec(
     if kind == "reqopt":
         must = spec["must"]
         opts = spec["should"]
-        if any(t not in per_term for t in must):
+        if any(t not in lt for t in must):
             return empty
-        inter = reduce(
-            lambda a, b: a[np.isin(a, b, assume_unique=True)],
-            [per_term[t][0] for t in must],
-        )
+        inter, src = _leapfrog(lt, must, prune)
         if len(inter) == 0:
             return empty
-        req_scores = []
-        for t in must:
-            d, s = term_scores(t)
-            req_scores.append(s[np.searchsorted(d, inter)])
+        req_scores = [scores_at(t, *src[t], inter) for t in must]
         req = bm25.sum_bool(req_scores)  # f32(f64 sum)
         opt64 = np.zeros(len(inter), np.float64)
         for t in opts:
-            if t not in per_term:
+            if t not in lt:
                 continue
-            d, s = term_scores(t)
+            d, tf = lt.decode_for(t, inter) if prune else lt.full(t)
+            if len(d) == 0:
+                continue
+            s = bm25.score_term(tf, norms[d - base], idfs[t], cache)
             pos = np.searchsorted(d, inter)
             pos = np.minimum(pos, len(d) - 1)
             hit = d[pos] == inter
@@ -170,11 +248,12 @@ def _score_spec(
 
         seq = spec["terms"]  # phrase order, duplicates kept
         uniq_terms = list(dict.fromkeys(seq))
-        if any(t not in per_term or per_pos.get(t) is None for t in uniq_terms):
+        pos_streams = {t: lt.pos_stream(t) for t in uniq_terms}
+        if any(t not in lt or pos_streams[t] is None for t in uniq_terms):
             return empty
         inter = reduce(
             lambda a, b: a[np.isin(a, b, assume_unique=True)],
-            [per_term[t][0] for t in uniq_terms],
+            [lt.full(t)[0] for t in uniq_terms],
         )
         if len(inter) == 0:
             return empty
@@ -185,8 +264,8 @@ def _score_spec(
         off = np.int64(len(seq))
         keysets = []
         for i, t in enumerate(seq):
-            d, tf = per_term[t]
-            pos_abs = decode_position_lists(per_pos[t], tf)
+            d, tf = lt.full(t)
+            pos_abs = decode_position_lists(pos_streams[t], tf)
             doc_rep = np.repeat(d, tf)
             mask = np.isin(doc_rep, inter, assume_unique=False)
             keys = doc_rep[mask] * M + (pos_abs[mask] - np.int64(i) + off)
@@ -206,25 +285,21 @@ def _score_spec(
         docs, scores = _topk_arrays(udocs, scores.astype(np.float32), k)
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
-    present = [t for t in spec["terms"] if t in per_term]
+    present = [t for t in spec["terms"] if t in lt]
     if kind in ("and", "not"):
-        must = [t for t in (spec.get("must") or spec["terms"]) ]
-        if any(t not in per_term for t in must):
+        must = [t for t in (spec.get("must") or spec["terms"])]
+        if any(t not in lt for t in must):
             return empty
-        inter = reduce(
-            lambda a, b: a[np.isin(a, b, assume_unique=True)],
-            [per_term[t][0] for t in must],
-        )
-        if kind == "not":
+        inter, src = _leapfrog(lt, must, prune)
+        if kind == "not" and len(inter):
             for t in spec["must_not"]:
-                if t in per_term:
-                    inter = inter[~np.isin(inter, per_term[t][0], assume_unique=True)]
+                if t in lt:
+                    d, _ = lt.decode_for(t, inter) if prune else lt.full(t)
+                    inter = inter[~np.isin(inter, d, assume_unique=True)]
         if len(inter) == 0:
             return empty
-        clause_scores = []
-        for t in must:
-            d, s = term_scores(t)
-            clause_scores.append(s[np.searchsorted(d, inter)])
+        # sum in `must` (query clause) order so pruned == unpruned bitwise
+        clause_scores = [scores_at(t, *src[t], inter) for t in must]
         total = bm25.sum_bool(clause_scores)
         docs, scores = _topk_arrays(inter, total, k)
         return pd.DataFrame({"doc_id": docs, "score": scores})
@@ -232,7 +307,13 @@ def _score_spec(
     if kind in ("or", "dismax"):
         if not present:
             return empty
-        union = reduce(np.union1d, [per_term[t][0] for t in present])
+        msm = spec.get("min_should_match", 1)
+        if prune and kind == "or" and msm <= 1 and k is not None and len(present) > 1:
+            docs, scores = _score_or_wand(
+                lt, present, base, norms, idfs, cache, k
+            )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+        union = reduce(np.union1d, [lt.full(t)[0] for t in present])
         # OR sums sub-scores in DOUBLE (DisjunctionSumScorer.java:44-48);
         # DISMAX accumulates in FLOAT (DisjunctionMaxScorer.java:
         # `float scoreSum/scoreMax`), clause order = sorted terms here.
@@ -252,7 +333,6 @@ def _score_spec(
             total = (mx + (acc32 - mx) * tie).astype(np.float32)
         else:
             total = acc64.astype(np.float32)
-        msm = spec.get("min_should_match", 1)
         if msm > 1:
             keep = nmatch >= msm
             union, total = union[keep], total[keep]
@@ -262,6 +342,123 @@ def _score_spec(
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     raise ValueError(f"unknown query kind {kind}")
+
+
+def _leapfrog(lt: _LazyTerms, must: list[str], prune: bool):
+    """Cost-sorted skip intersection (ConjunctionDISI.java:84-133).
+
+    Lead = globally-rarest term (df_total); every other term decodes
+    ONLY the 128-blocks overlapping the shrinking candidate set, using
+    the per-block last-docID skip entries. Returns (inter, src) where
+    src[t] = (docs, tfs) arrays guaranteed to contain every inter doc."""
+    order = sorted(must, key=lambda t: (lt.dfs[t], t)) if prune else list(must)
+    src: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    lead = order[0]
+    d0, t0 = lt.full(lead)
+    src[lead] = (d0, t0)
+    inter = d0
+    for t in order[1:]:
+        if t in src:
+            continue
+        if len(inter) == 0:
+            src[t] = lt.full(t) if not prune else (np.empty(0, np.int64),) * 2
+            continue
+        d, tf = lt.decode_for(t, inter) if prune else lt.full(t)
+        src[t] = (d, tf)
+        inter = inter[np.isin(inter, d, assume_unique=True)]
+    return inter, src
+
+
+def _score_or_wand(lt: _LazyTerms, present, base, norms, idfs, cache, k):
+    """Block-max WAND for a sum-scored disjunction (Ding & Suel,
+    SIGIR 2011 — the north-rule addition, SURVEY §4.5).
+
+    Doc space is cut into segments at every term's 128-block
+    boundaries; a segment's upper bound is the sum over terms of the
+    covering block's max impact. Segments are visited in UB-desc
+    order, decoding only the covering blocks, until the running kth
+    score strictly beats every remaining segment bound. Output is
+    bitwise identical to the exhaustive path (same per-doc f64
+    accumulation order over `present`)."""
+    K1f = np.float32(K1)
+    one = np.float32(1.0)
+    # per-term concatenated block metadata + UB arrays
+    meta = {}
+    for t in present:
+        bl_parts, ub_parts = [], []
+        wv = (np.float32(idfs[t]) * one) * (K1f + one)
+        for row in lt.rows[t]:
+            bl = np.asarray(row.block_last, np.int64)
+            bmt = np.asarray(row.block_max_tf, np.float32)
+            bmn = np.asarray(row.block_max_norm, np.int64)
+            bl_parts.append(bl)
+            ub_parts.append((wv * bmt) / (bmt + cache[bmn]))
+        meta[t] = (np.concatenate(bl_parts), np.concatenate(ub_parts))
+
+    bounds = np.unique(np.concatenate([meta[t][0] for t in present]))
+    seg_lo = np.empty(len(bounds), np.int64)
+    seg_lo[0] = np.iinfo(np.int64).min
+    seg_lo[1:] = bounds[:-1]
+    seg_ub = np.zeros(len(bounds), np.float64)
+    for t in present:
+        bl, ub = meta[t]
+        idx = np.searchsorted(bl, bounds)
+        valid = idx < len(bl)
+        seg_ub[valid] += ub[idx[valid]].astype(np.float64)
+
+    order = np.argsort(-seg_ub, kind="stable")
+    docs_acc: list[np.ndarray] = []
+    score_acc: list[np.ndarray] = []
+    kth = -np.inf
+    CHUNK = 8
+    for s0 in range(0, len(order), CHUNK):
+        sel = order[s0 : s0 + CHUNK]
+        if kth > seg_ub[sel[0]]:
+            break  # strictly above every remaining bound
+        for si in sel:
+            lo, hi = int(seg_lo[si]), int(bounds[si])
+            per_term_docs = []
+            per_term_scores = []
+            for t in present:
+                bl, _ub = meta[t]
+                bid = int(np.searchsorted(bl, hi))
+                if bid >= len(bl):
+                    per_term_docs.append(None)
+                    per_term_scores.append(None)
+                    continue
+                d, tf = lt.decode_for(t, np.array([hi], np.int64))
+                m = (d > lo) & (d <= hi)
+                dm = d[m]
+                if len(dm) == 0:
+                    per_term_docs.append(None)
+                    per_term_scores.append(None)
+                    continue
+                sc = bm25.score_term(tf[m], norms[dm - base], idfs[t], cache)
+                per_term_docs.append(dm)
+                per_term_scores.append(sc)
+            nz = [d for d in per_term_docs if d is not None]
+            if not nz:
+                continue
+            u = np.unique(np.concatenate(nz))
+            acc64 = np.zeros(len(u), np.float64)
+            for dm, sc in zip(per_term_docs, per_term_scores):
+                if dm is None:
+                    continue
+                pos = np.searchsorted(u, dm)
+                acc64[pos] += sc.astype(np.float64)
+            docs_acc.append(u)
+            score_acc.append(acc64.astype(np.float32))
+        docs = np.concatenate(docs_acc)
+        scores = np.concatenate(score_acc)
+        if len(docs) >= k:
+            top_d, top_s = _topk_arrays(docs, scores, k)
+            if len(top_s) == k:
+                kth = top_s[-1]
+    if not docs_acc:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    docs = np.concatenate(docs_acc)
+    scores = np.concatenate(score_acc)
+    return _topk_arrays(docs, scores, k)
 
 
 def _score_term_pruned(pdf, term, base, norms, idfs, cache, k):

@@ -189,3 +189,24 @@ def test_search_many_matches_individual(searcher):
     for qid, q in qs.items():
         single = [(r.doc_id, r.score) for r in searcher.search(q, k=15).collect()]
         assert by_qid.get(qid, []) == single, qid
+
+
+def test_pruned_paths_identical_to_exhaustive(searcher):
+    """Leapfrog AND skipping and block-max WAND OR must be output-
+    identical (docIDs + bitwise scores) to the exhaustive path."""
+    from lucene_solr_spark.search.query import BooleanMustShould
+
+    queries = [
+        BooleanAnd(("scan", "table")),
+        BooleanAnd(("fast", "slow", "value")),
+        BooleanNot(("table",), ("scan",)),
+        BooleanOr(("customer", "spark", "vector")),
+        BooleanOr(("table", "scan", "fast", "slow", "value", "customer")),
+        BooleanOr(("vector", "zzzmissing")),
+        BooleanMustShould(("vector",), ("table", "scan")),
+    ]
+    for q in queries:
+        for k in (5, 20, 100):
+            fast = [(r.doc_id, r.score) for r in searcher.search(q, k=k, prune=True).collect()]
+            slow = [(r.doc_id, r.score) for r in searcher.search(q, k=k, prune=False).collect()]
+            assert fast == slow, (q, k)
