@@ -17,10 +17,17 @@ Query lifecycle mirrors IndexSearcher.search (SURVEY.md §3.1):
    tie-breaks exactly (score desc, earlier shard, shard-internal order;
    TopDocs.java:94-116).
 
-Block-max fast path (Ding & Suel SIGIR'11; north-rule addition, SURVEY §4.5):
-for single-term queries, blocks are visited in upper-bound order and
-decoding stops once the heap's kth score beats every remaining block's
-bound — output-identical to the exhaustive path (tested).
+Block-max fast paths (Ding & Suel SIGIR'11; north-rule addition, SURVEY §4.5),
+all output-identical to the exhaustive path (tested):
+- TermQuery: blocks visited in upper-bound order, decode stops when the
+  kth score beats every remaining block bound (_score_term_pruned).
+- AND / NOT / req+opt: cost-sorted leapfrog — the globally rarest term
+  leads; other terms decode only the 128-blocks overlapping the
+  shrinking candidate set via the per-block last-docID skip entries
+  (_leapfrog; ConjunctionDISI.java:84-133 + advance()).
+- OR (sum-scored): block-max WAND — doc space segmented at block
+  boundaries, per-segment bound = sum of covering blocks' max impacts,
+  visited bound-desc until the kth score wins (_score_or_wand).
 """
 
 from __future__ import annotations
