@@ -1,0 +1,104 @@
+"""Delete / update support (live-docs semantics).
+
+Reference model: deletes are a sidecar liveDocs bitset applied at the
+scorer level (codecs/lucene50/Lucene50LiveDocsFormat.java, the
+`liveDocs` argument threaded through every Scorer); collection
+statistics (maxDoc, docFreq, sumTotalTermFreq) deliberately STILL
+include deleted docs until a merge rewrites the segments
+(BM25Similarity uses maxDoc, not numDocs — SURVEY §2.6). We reproduce
+exactly that: deleted keys accumulate in a tombstone table; the
+searcher resolves them to docIDs and filters candidates; scores of
+surviving docs are bit-unchanged.
+
+`update_documents` = delete-by-key + NRT append of the new versions
+(IndexWriter.updateDocument semantics, index/IndexWriter.java:1456-1473).
+
+Scale note: tombstones are a (key) table; the searcher resolves them
+via the doc_map once per searcher open and ships the sorted docID
+array to shards. At 10^12 scale this becomes a roaring-bitmap column
+per shard joined at scan time; the seam is the same.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _tomb_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def _current_total_docs(manifest: dict) -> int:
+    return manifest["max_doc"] + sum(
+        g["n_docs"] for g in manifest.get("delta_generations", [])
+    )
+
+
+def delete_by_keys(spark: SparkSession, index_dir: str, keys: list) -> int:
+    """Append delete-by-uniqueKey tombstones. Returns total tombstones.
+
+    Each tombstone carries a docID watermark (total docs at delete
+    time): it kills only doc versions that existed when the delete was
+    issued — a later re-add (update) gets a docID above the watermark
+    and survives (Lucene's delete-then-add sequencing on the in-order
+    update stream, BufferedUpdates delGen semantics)."""
+    import json
+
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    key_type = "string" if manifest.get("key_kind") == "s" else "long"
+    wm = _current_total_docs(manifest)
+    df = spark.createDataFrame(
+        [(k, wm) for k in keys], f"key {key_type}, wm long"
+    )
+    df.write.mode("append").parquet(_tomb_dir(index_dir))
+    return spark.read.parquet(_tomb_dir(index_dir)).count()
+
+
+def load_deleted_doc_ids(spark: SparkSession, index_dir: str, doc_map: DataFrame):
+    """Resolve tombstone keys -> sorted global docID numpy array.
+
+    Latest-generation docs win on update: ONLY doc_map rows whose key
+    is tombstoned are dead (the re-added version lives in a delta
+    generation with a different docID and no tombstone against it —
+    append_batch runs after delete, and tombstones match the base
+    rows)."""
+    import numpy as np
+
+    td = _tomb_dir(index_dir)
+    if not os.path.isdir(td):
+        return np.empty(0, np.int64)
+    tombs = (
+        spark.read.parquet(td)
+        .groupBy("key")
+        .agg(F.max("wm").alias("wm"))
+    )
+    rows = (
+        doc_map.join(F.broadcast(tombs), "key")
+        .where(F.col("doc_id") < F.col("wm"))
+        .select("doc_id")
+        .collect()
+    )
+    return np.array(sorted(int(r.doc_id) for r in rows), np.int64)
+
+
+def update_documents(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    batch_id: int | str,
+) -> None:
+    """updateDocument = delete-by-key + NRT append of the new docs."""
+    import json
+
+    from lucene_solr_spark.streaming.nrt import append_batch
+
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    id_col = manifest["config"]["id_col"]
+    keys = [r[0] for r in batch.select(id_col).collect()]
+    delete_by_keys(spark, index_dir, keys)
+    append_batch(spark, batch, index_dir, batch_id)

@@ -186,6 +186,14 @@ def _decode_shard(pdf: pd.DataFrame):
     return base, norms, lt, lt.dfs, lt
 
 
+def _alive(docs: np.ndarray, deleted: np.ndarray | None) -> np.ndarray:
+    """liveDocs filter (Lucene50LiveDocsFormat analog): drop tombstoned
+    docs from a candidate set; scoring statistics stay untouched."""
+    if deleted is None or len(deleted) == 0 or len(docs) == 0:
+        return docs
+    return docs[~np.isin(docs, deleted)]
+
+
 def _score_spec(
     pdf: pd.DataFrame,
     decoded,
@@ -194,6 +202,7 @@ def _score_spec(
     cache: np.ndarray,
     k: int,
     prune: bool,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score one decoded shard against one query spec -> top-k rows."""
     base, norms, lt, _dfs, _ = decoded
@@ -217,9 +226,14 @@ def _score_spec(
         if term not in lt:
             return empty
         if prune and k is not None:
-            docs, scores = _score_term_pruned(pdf, term, base, norms, idfs, cache, k)
+            docs, scores = _score_term_pruned(
+                pdf, term, base, norms, idfs, cache, k, deleted
+            )
         else:
             docs, scores = term_scores(term)
+            if deleted is not None and len(deleted):
+                m = ~np.isin(docs, deleted)
+                docs, scores = docs[m], scores[m]
             docs, scores = _topk_arrays(docs, scores.astype(np.float32), k)
         return pd.DataFrame({"doc_id": docs, "score": scores.astype(np.float32)})
 
@@ -229,6 +243,7 @@ def _score_spec(
         if any(t not in lt for t in must):
             return empty
         inter, src = _leapfrog(lt, must, prune)
+        inter = _alive(inter, deleted)
         if len(inter) == 0:
             return empty
         req_scores = [scores_at(t, *src[t], inter) for t in must]
@@ -262,6 +277,7 @@ def _score_spec(
             lambda a, b: a[np.isin(a, b, assume_unique=True)],
             [lt.full(t)[0] for t in uniq_terms],
         )
+        inter = _alive(inter, deleted)
         if len(inter) == 0:
             return empty
         # vectorized exact-phrase check: per term i, key = doc * 2^32 +
@@ -303,6 +319,7 @@ def _score_spec(
                 if t in lt:
                     d, _ = lt.decode_for(t, inter) if prune else lt.full(t)
                     inter = inter[~np.isin(inter, d, assume_unique=True)]
+        inter = _alive(inter, deleted)
         if len(inter) == 0:
             return empty
         # sum in `must` (query clause) order so pruned == unpruned bitwise
@@ -317,10 +334,12 @@ def _score_spec(
         msm = spec.get("min_should_match", 1)
         if prune and kind == "or" and msm <= 1 and k is not None and len(present) > 1:
             docs, scores = _score_or_wand(
-                lt, present, base, norms, idfs, cache, k
+                lt, present, base, norms, idfs, cache, k, deleted
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
-        union = reduce(np.union1d, [lt.full(t)[0] for t in present])
+        union = _alive(
+            reduce(np.union1d, [lt.full(t)[0] for t in present]), deleted
+        )
         # OR sums sub-scores in DOUBLE (DisjunctionSumScorer.java:44-48);
         # DISMAX accumulates in FLOAT (DisjunctionMaxScorer.java:
         # `float scoreSum/scoreMax`), clause order = sorted terms here.
@@ -376,7 +395,8 @@ def _leapfrog(lt: _LazyTerms, must: list[str], prune: bool):
     return inter, src
 
 
-def _score_or_wand(lt: _LazyTerms, present, base, norms, idfs, cache, k):
+def _score_or_wand(lt: _LazyTerms, present, base, norms, idfs, cache, k,
+                   deleted: np.ndarray | None = None):
     """Block-max WAND for a sum-scored disjunction (Ding & Suel,
     SIGIR 2011 — the north-rule addition, SURVEY §4.5).
 
@@ -447,12 +467,18 @@ def _score_or_wand(lt: _LazyTerms, present, base, norms, idfs, cache, k):
             if not nz:
                 continue
             u = np.unique(np.concatenate(nz))
+            if deleted is not None and len(deleted):
+                keep = ~np.isin(u, deleted)
+            else:
+                keep = None
             acc64 = np.zeros(len(u), np.float64)
             for dm, sc in zip(per_term_docs, per_term_scores):
                 if dm is None:
                     continue
                 pos = np.searchsorted(u, dm)
                 acc64[pos] += sc.astype(np.float64)
+            if keep is not None:
+                u, acc64 = u[keep], acc64[keep]
             docs_acc.append(u)
             score_acc.append(acc64.astype(np.float32))
         docs = np.concatenate(docs_acc)
@@ -468,7 +494,8 @@ def _score_or_wand(lt: _LazyTerms, present, base, norms, idfs, cache, k):
     return _topk_arrays(docs, scores, k)
 
 
-def _score_term_pruned(pdf, term, base, norms, idfs, cache, k):
+def _score_term_pruned(pdf, term, base, norms, idfs, cache, k,
+                       deleted: np.ndarray | None = None):
     """Block-max pruning for a single-term query (output-identical).
 
     Upper bound per block: weightValue * max_tf / (max_tf + cache[max_norm])
@@ -519,6 +546,9 @@ def _score_term_pruned(pdf, term, base, norms, idfs, cache, k):
                 int(row.df),
             )
             sc = bm25.score_term(t, norms[d - base], idfs[term], cache)
+            if deleted is not None and len(deleted):
+                m = ~np.isin(d, deleted)
+                d, sc = d[m], sc[m]
             docs_acc.append(d)
             score_acc.append(sc)
         docs = np.concatenate(docs_acc)
@@ -559,6 +589,7 @@ class IndexSearcher:
         # (dir, shard_offset, doc_offset) per extra generation
         self._doc_offsets: dict[int, int] = {}
         self._gens: list[tuple[str, int, int]] = []
+        self._deleted: np.ndarray | None = None  # lazy tombstone resolve
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexSearcher":
@@ -632,6 +663,17 @@ class IndexSearcher:
                 out = out.unionByName(p, allowMissingColumns=True)
             self._doc_map = out
         return self._doc_map
+
+    def deleted_doc_ids(self) -> np.ndarray:
+        """Sorted global docIDs of tombstoned docs (liveDocs complement).
+        Resolved once per searcher (point-in-time view)."""
+        if self._deleted is None:
+            from lucene_solr_spark.index.deletes import load_deleted_doc_ids
+
+            self._deleted = load_deleted_doc_ids(
+                self.spark, self.index_dir, self.doc_map()
+            )
+        return self._deleted
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         rows = (
@@ -715,12 +757,16 @@ class IndexSearcher:
         max_doc = self.max_doc
         use_prune = prune and spec["kind"] == "term"
         offsets = dict(self._doc_offsets)
+        deleted = self.deleted_doc_ids()
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             decoded = _decode_shard(pdf)
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
-            out = _score_spec(pdf, decoded, spec, idfs, cache, k, use_prune)
             off = offsets.get(int(pdf["shard"].iloc[0]), 0)
+            del_local = deleted - off if len(deleted) else deleted
+            out = _score_spec(
+                pdf, decoded, spec, idfs, cache, k, use_prune, del_local
+            )
             if off:
                 out["doc_id"] = out["doc_id"] + off
             return out
@@ -751,15 +797,19 @@ class IndexSearcher:
         cache = self.cache
         max_doc = self.max_doc
         offsets = dict(self._doc_offsets)
+        deleted = self.deleted_doc_ids()
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             decoded = _decode_shard(pdf)
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
             off = offsets.get(int(pdf["shard"].iloc[0]), 0)
+            del_local = deleted - off if len(deleted) else deleted
             outs = []
             for qid, spec in specs.items():
                 use_prune = prune and spec["kind"] == "term"
-                r = _score_spec(pdf, decoded, spec, idfs, cache, k, use_prune)
+                r = _score_spec(
+                    pdf, decoded, spec, idfs, cache, k, use_prune, del_local
+                )
                 if off:
                     r["doc_id"] = r["doc_id"] + off
                 r.insert(0, "qid", qid)
@@ -798,6 +848,7 @@ class IndexSearcher:
             cond = F.col("term").rlike(regex)
         matched = self._postings.where(cond)
         offsets = dict(self._doc_offsets)
+        deleted = self.deleted_doc_ids()
 
         def dec(batches):
             for pdf in batches:
@@ -806,7 +857,10 @@ class IndexSearcher:
                     d, _t = decode_posting_list(
                         bytes(row["doc_enc"]), bytes(row["tf_enc"]), int(row["df"])
                     )
-                    outs.append(d + offsets.get(int(row["shard"]), 0))
+                    d = d + offsets.get(int(row["shard"]), 0)
+                    if len(deleted):
+                        d = d[~np.isin(d, deleted)]
+                    outs.append(d)
                 if outs:
                     yield pd.DataFrame({"doc_id": np.unique(np.concatenate(outs))})
 
