@@ -1,0 +1,83 @@
+"""Compaction: merge deltas + apply deletes; scores must equal a fresh
+build over the logically-current corpus (SegmentMerger-with-deletions
+equivalence)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _scores_by_key(spark, ix, queries):
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher.open(spark, ix)
+    out = {}
+    for name, q in queries:
+        rows = s.search_with_keys(q, k=None).collect()
+        out[name] = sorted((r.key, np.float32(r.score)) for r in rows)
+    return out
+
+
+def test_compact_equals_fresh_build(spark, tmp_path):
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.index.check import check_index
+    from lucene_solr_spark.index.compact import compact
+    from lucene_solr_spark.index.deletes import delete_by_keys, update_documents
+    from lucene_solr_spark.search.query import BooleanAnd, BooleanOr, TermQuery
+
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    ix = str(tmp_path / "ix")
+    cfg = IndexConfig(n_shards=2, segs_per_shard=2)
+    build_index(spark, src, ix, cfg)
+
+    # mutate: delete 5 docs, update 2, append 2 new
+    delete_by_keys(spark, ix, [1, 2, 3, 4, 5])
+    upd = spark.createDataFrame(
+        [(10, "updated content table scan"), (11, "another updated value")],
+        "doc_id long, text string",
+    )
+    update_documents(spark, ix, upd, batch_id="u")
+    from lucene_solr_spark.streaming.nrt import append_batch
+
+    new = spark.createDataFrame(
+        [(9001, "brand new table doc"), (9002, "fresh vector doc")],
+        "doc_id long, text string",
+    )
+    append_batch(spark, new, ix, batch_id="n")
+
+    queries = [
+        ("t", TermQuery("table")),
+        ("v", TermQuery("vector")),
+        ("a", BooleanAnd(("scan", "table"))),
+        ("o", BooleanOr(("customer", "spark", "vector"))),
+    ]
+
+    # compact
+    cix = str(tmp_path / "cix")
+    m = compact(spark, ix, cix)
+    check_index(spark, cix, sample_terms=40)
+
+    # gold: fresh build over the logically-current corpus
+    cur = (
+        src.select("doc_id", "text")
+        .where(~F.col("doc_id").isin([1, 2, 3, 4, 5, 10, 11]))
+        .unionByName(upd)
+        .unionByName(new)
+    )
+    gold_ix = str(tmp_path / "gold")
+    build_index(spark, cur, gold_ix, cfg)
+
+    got = _scores_by_key(spark, cix, queries)
+    want = _scores_by_key(spark, gold_ix, queries)
+    assert m["max_doc"] == cur.count()
+    for name, _ in queries:
+        assert got[name] == want[name], name
+
+    # compacted view must equal the pre-compaction live view too
+    live = _scores_by_key(spark, ix, queries)
+    for name, _ in queries:
+        assert {k for k, _ in got[name]} == {k for k, _ in live[name]}, name
