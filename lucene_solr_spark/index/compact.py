@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.builder import NORMS_SCHEMA, POSTINGS_SCHEMA
 from lucene_solr_spark.index.codec import (
+    decode_position_lists,
     decode_posting_list,
+    encode_position_lists,
     encode_posting_lists,
 )
 
@@ -106,7 +108,18 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
             for kcol in ("block_last", "block_doc_off", "block_tf_off",
                          "block_max_tf", "block_max_norm"):
                 out[kcol].append(enc[kcol][0])
-            out["pos_enc"].append(None)  # positions drop at compaction (re-add by rebuild)
+            # positions survive: per-doc runs are doc-local, so keep the
+            # alive docs' runs and re-encode (no rebase needed)
+            if row["pos_enc"] is not None:
+                pos_abs = decode_position_lists(bytes(row["pos_enc"]), t)
+                keep_rep = np.repeat(keep, t)
+                out["pos_enc"].append(
+                    encode_position_lists(
+                        pos_abs[keep_rep], new_t, np.array([int(new_t.sum())])
+                    )[0]
+                )
+            else:
+                out["pos_enc"].append(None)
         return pd.DataFrame(out)
 
     # ship new norms alongside: build new norms blobs first

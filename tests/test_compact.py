@@ -81,3 +81,35 @@ def test_compact_equals_fresh_build(spark, tmp_path):
     live = _scores_by_key(spark, ix, queries)
     for name, _ in queries:
         assert {k for k, _ in got[name]} == {k for k, _ in live[name]}, name
+
+
+def test_compact_preserves_positions(spark, tmp_path):
+    """Phrase queries must keep working on a compacted positions index."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.index.compact import compact
+    from lucene_solr_spark.index.deletes import delete_by_keys
+    from lucene_solr_spark.search.query import PhraseQuery
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    ix = str(tmp_path / "pix")
+    build_index(
+        spark, src, ix,
+        IndexConfig(n_shards=2, segs_per_shard=2, index_positions=True),
+    )
+    s0 = IndexSearcher(spark, ix)
+    before = [
+        (r.key, np.float32(r.score))
+        for r in s0.search_with_keys(PhraseQuery(("table", "scan")), k=None).collect()
+    ]
+    victims = [k for k, _ in before[:2]]
+    delete_by_keys(spark, ix, victims)
+    cix = str(tmp_path / "pcix")
+    compact(spark, ix, cix)
+    s1 = IndexSearcher(spark, cix)
+    after = sorted(
+        (r.key, np.float32(r.score))
+        for r in s1.search_with_keys(PhraseQuery(("table", "scan")), k=None).collect()
+    )
+    # scores change (stats recomputed) but the surviving match SET is exact
+    assert {k for k, _ in after} == {k for k, _ in before} - set(victims)
