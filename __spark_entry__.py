@@ -626,6 +626,35 @@ def _q_grouping_two_pass(spark, sf):
     )
 
 
+def _q_spellcheck(spark, sf):
+    """SpellCheckComponent analog (solr/.../component/SpellCheckComponent
+    .java): top corrections for a misspelled term, ranked by edit
+    distance asc, then df desc, then term asc — a distributed scan of
+    the term dictionary."""
+    s = _searcher_for(spark, sf)
+    return (
+        s._term_stats.withColumn(
+            "dist", F.levenshtein(F.col("term"), F.lit("tabel"))
+        )
+        .where(F.col("dist") <= 2)
+        .orderBy("dist", F.desc("df"), "term")
+        .limit(5)
+        .select("term", F.col("dist").cast("long"), F.col("df").cast("long"))
+    )
+
+
+def _q_suggest_prefix(spark, sf):
+    """Suggester analog (suggest/.../AnalyzingSuggester.java semantics,
+    popularity-weighted): prefix completion ranked by df desc."""
+    s = _searcher_for(spark, sf)
+    return (
+        s._term_stats.where(F.col("term").startswith("s"))
+        .orderBy(F.desc("df"), "term")
+        .limit(10)
+        .select("term", F.col("df").cast("long"))
+    )
+
+
 def _q_match_all_count(spark, sf):
     """MatchAllDocsQuery + TotalHitCountCollector."""
     s = _searcher_for(spark, sf)
@@ -848,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this_topk": _q_mlt,
         "search_after_page2": _q_search_after,
         "sort_by_field_topk": _q_sort_by_field,
+        "spellcheck_suggest": _q_spellcheck,
+        "suggest_prefix": _q_suggest_prefix,
         "regexp_constant_topk": _q_regexp,
         "join_semi_by_source": _q_join_semi,
         "block_join_sum_by_source": _q_block_join_sum,
@@ -946,6 +977,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sc.s AS DOUBLE) AS score "
             "FROM sc JOIN documents d USING (doc_id) "
             f"ORDER BY d.n_chars DESC, sc.doc_id LIMIT {K}"
+        ),
+        "spellcheck_suggest": (
+            f"WITH {_BM25_CTES} "
+            "SELECT term, CAST(levenshtein(term, 'tabel') AS BIGINT) AS dist, df "
+            "FROM dfs WHERE levenshtein(term, 'tabel') <= 2 "
+            "ORDER BY dist, df DESC, term LIMIT 5"
+        ),
+        "suggest_prefix": (
+            f"WITH {_BM25_CTES} "
+            "SELECT term, df FROM dfs WHERE term LIKE 's%' "
+            "ORDER BY df DESC, term LIMIT 10"
         ),
         "regexp_constant_topk": (
             f"WITH {_BM25_CTES} "
