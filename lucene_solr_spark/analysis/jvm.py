@@ -54,12 +54,16 @@ def standard_tokens_pos_col(text: Column) -> Column:
 
 
 def whitespace_tokens_col(text: Column) -> Column:
-    """WhitespaceAnalyzer analog (no case folding, no stopwords)."""
-    return F.filter(F.split(text, "\\s+"), lambda t: t != F.lit(""))
+    """WhitespaceAnalyzer analog (no case folding, no stopwords).
+
+    Trimmed first: a leading-whitespace split would otherwise yield an
+    empty first element, shifting every position by one relative to the
+    pandas engine (which drops empties before enumerating)."""
+    return F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != F.lit(""))
 
 
 def whitespace_tokens_pos_col(text: Column) -> Column:
-    toks = F.split(text, "\\s+")
+    toks = F.split(F.trim(text), "\\s+")
     pairs = F.transform(
         toks, lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos"))
     )

@@ -100,12 +100,17 @@ class _LazyTerms:
             self.dfs[term] = int(grp["df_total"].iloc[0])
         self._full: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._blk: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+        # decode telemetry (lets tests prove the skip path really ran:
+        # a pruned execution decodes blocks, not whole lists)
+        self.n_full_decodes = 0
+        self.n_block_decodes = 0
 
     def __contains__(self, term: str) -> bool:
         return term in self.rows
 
     def full(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         if term not in self._full:
+            self.n_full_decodes += 1
             ds, ts = [], []
             for row in self.rows[term]:
                 d, t = decode_posting_list(
@@ -133,8 +138,6 @@ class _LazyTerms:
         decode work is proportional to touched blocks, not df."""
         if term in self._full:
             return self._full[term]
-        from lucene_solr_spark import BLOCK_SIZE
-
         ds, ts = [], []
         for ri, row in enumerate(self.rows[term]):
             bl = np.asarray(row.block_last, np.int64)
@@ -149,24 +152,24 @@ class _LazyTerms:
                 continue
             missing = [b for b in bids.tolist() if (term, ri, b) not in self._blk]
             if missing:
-                marr = np.asarray(missing, np.int64)
-                d, t = decode_blocks(
-                    bytes(row.doc_enc),
-                    bytes(row.tf_enc),
-                    marr,
-                    bl,
-                    np.asarray(row.block_doc_off, np.int64),
-                    np.asarray(row.block_tf_off, np.int64),
-                    int(row.df),
-                )
-                # split decoded run back into per-block slices (block b
-                # holds min(BLOCK_SIZE, df - b*BLOCK_SIZE) postings)
-                df_row = int(row.df)
-                lens = [min(BLOCK_SIZE, df_row - b * BLOCK_SIZE) for b in missing]
-                off = 0
-                for b, ln in zip(missing, lens):
-                    self._blk[(term, ri, b)] = (d[off : off + ln], t[off : off + ln])
-                    off += ln
+                self.n_block_decodes += len(missing)
+                # one decode per block: merged rows carry IRREGULAR block
+                # sizes (each source segment's tail run is its own block),
+                # so a block's posting count is only known after decoding
+                # its byte range — never assume BLOCK_SIZE postings.
+                bdo = np.asarray(row.block_doc_off, np.int64)
+                bto = np.asarray(row.block_tf_off, np.int64)
+                for b in missing:
+                    db, tb = decode_blocks(
+                        bytes(row.doc_enc),
+                        bytes(row.tf_enc),
+                        np.asarray([b], np.int64),
+                        bl,
+                        bdo,
+                        bto,
+                        int(row.df),
+                    )
+                    self._blk[(term, ri, b)] = (db, tb)
             for b in bids.tolist():
                 db, tb = self._blk[(term, ri, b)]
                 ds.append(db)
@@ -337,9 +340,12 @@ def _score_spec(
                 lt, present, base, norms, idfs, cache, k, deleted
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
-        union = _alive(
-            reduce(np.union1d, [lt.full(t)[0] for t in present]), deleted
-        )
+        # Accumulate over the UNFILTERED union (each term's doc array may
+        # contain tombstoned docs; scattering into a liveDocs-filtered
+        # union would misalign positions). liveDocs apply at collection
+        # time, after per-doc accumulation — exactly BulkScorer
+        # .score(collector, liveDocs) semantics.
+        union = reduce(np.union1d, [lt.full(t)[0] for t in present])
         # OR sums sub-scores in DOUBLE (DisjunctionSumScorer.java:44-48);
         # DISMAX accumulates in FLOAT (DisjunctionMaxScorer.java:
         # `float scoreSum/scoreMax`), clause order = sorted terms here.
@@ -359,6 +365,9 @@ def _score_spec(
             total = (mx + (acc32 - mx) * tie).astype(np.float32)
         else:
             total = acc64.astype(np.float32)
+        if deleted is not None and len(deleted):
+            live = ~np.isin(union, deleted)
+            union, total, nmatch = union[live], total[live], nmatch[live]
         if msm > 1:
             keep = nmatch >= msm
             union, total = union[keep], total[keep]
@@ -368,6 +377,20 @@ def _score_spec(
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     raise ValueError(f"unknown query kind {kind}")
+
+
+def _prune_eligible(spec: dict, k: int | None, prune: bool) -> bool:
+    """Gate for the block-skip fast paths (leapfrog AND / block-max
+    WAND OR / block-max term). Every eligible kind dispatches to an
+    output-identical pruned kernel inside _score_spec; kinds without a
+    pruned kernel (dismax, msm>1, phrase) fall back internally, so the
+    gate is simply `prune` for every multi-term kind. A single term
+    additionally needs a bounded k (block-max needs a heap floor)."""
+    if not prune:
+        return False
+    if spec["kind"] == "term":
+        return k is not None
+    return True
 
 
 def _leapfrog(lt: _LazyTerms, must: list[str], prune: bool):
@@ -481,6 +504,8 @@ def _score_or_wand(lt: _LazyTerms, present, base, norms, idfs, cache, k,
                 u, acc64 = u[keep], acc64[keep]
             docs_acc.append(u)
             score_acc.append(acc64.astype(np.float32))
+        if not docs_acc:
+            continue
         docs = np.concatenate(docs_acc)
         scores = np.concatenate(score_acc)
         if len(docs) >= k:
@@ -755,7 +780,7 @@ class IndexSearcher:
 
         cache = self.cache
         max_doc = self.max_doc
-        use_prune = prune and spec["kind"] == "term"
+        use_prune = _prune_eligible(spec, k, prune)
         offsets = dict(self._doc_offsets)
         deleted = self.deleted_doc_ids()
 
@@ -806,7 +831,7 @@ class IndexSearcher:
             del_local = deleted - off if len(deleted) else deleted
             outs = []
             for qid, spec in specs.items():
-                use_prune = prune and spec["kind"] == "term"
+                use_prune = _prune_eligible(spec, k, prune)
                 r = _score_spec(
                     pdf, decoded, spec, idfs, cache, k, use_prune, del_local
                 )

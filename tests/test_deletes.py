@@ -53,6 +53,44 @@ def test_delete_removes_docs_scores_unchanged(spark, del_index):
     assert all(r.doc_id not in victims for r in top)
 
 
+def test_delete_victim_matching_or_dismax(spark, del_index):
+    """Tombstoned docs that MATCH a disjunction clause must not corrupt
+    other docs' scores (regression: scattering per-term scores into a
+    liveDocs-filtered union misaligned the accumulators and inflated
+    minShouldMatch counts)."""
+    from lucene_solr_spark.index.deletes import delete_by_keys
+    from lucene_solr_spark.search.query import (
+        BooleanOr,
+        DisjunctionMax,
+        TermQuery,
+    )
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    s0 = IndexSearcher(spark, del_index)
+    queries = {
+        "or2": BooleanOr(("customer", "table")),
+        "or_msm": BooleanOr(("customer", "table", "scan"), min_should_match=2),
+        "dismax": DisjunctionMax(("customer", "table"), tie=0.3),
+    }
+    before = {
+        n: [(r.doc_id, r.score)
+            for r in s0.search(q, k=None, prune=False).collect()]
+        for n, q in queries.items()
+    }
+    # delete docs that match "table": its doc arrays now carry tombstones
+    victims = [r.doc_id for r in s0.search(TermQuery("table"), k=5).collect()]
+    delete_by_keys(spark, del_index, victims)
+    s1 = IndexSearcher(spark, del_index)
+    for n, q in queries.items():
+        want = [(d, sc) for d, sc in before[n] if d not in victims]
+        after = [(r.doc_id, r.score)
+                 for r in s1.search(q, k=None, prune=False).collect()]
+        assert after == want, n
+        pruned = [(r.doc_id, r.score)
+                  for r in s1.search(q, k=20, prune=True).collect()]
+        assert pruned == want[:20], n
+
+
 def test_update_documents_replaces_content(spark, del_index):
     from lucene_solr_spark.index.deletes import update_documents
     from lucene_solr_spark.search.query import TermQuery

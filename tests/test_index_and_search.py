@@ -210,3 +210,66 @@ def test_pruned_paths_identical_to_exhaustive(searcher):
             fast = [(r.doc_id, r.score) for r in searcher.search(q, k=k, prune=True).collect()]
             slow = [(r.doc_id, r.score) for r in searcher.search(q, k=k, prune=False).collect()]
             assert fast == slow, (q, k)
+
+
+def test_prune_gate_covers_all_boolean_kinds():
+    """The production gate must route AND/OR/NOT/reqopt to the pruned
+    kernels — a regression to `kind == "term"` makes block-skip dead
+    code (round-1 verdict #1)."""
+    from lucene_solr_spark.search.searcher import _prune_eligible
+
+    for kind in ("and", "or", "not", "reqopt", "dismax", "phrase"):
+        assert _prune_eligible({"kind": kind}, 10, True), kind
+        assert _prune_eligible({"kind": kind}, None, True), kind
+        assert not _prune_eligible({"kind": kind}, 10, False), kind
+    assert _prune_eligible({"kind": "term"}, 10, True)
+    assert not _prune_eligible({"kind": "term"}, None, True)
+
+
+def test_pruned_kernel_actually_skips(searcher):
+    """Kernel-level duel: _score_spec(prune=True) vs (prune=False) on the
+    same shard frame — identical output AND the pruned run must show
+    skip activity in the decode counters (block decodes, or fewer full
+    list decodes). This genuinely distinguishes the two paths (the
+    round-1 parity test compared exhaustive vs exhaustive)."""
+    from lucene_solr_spark.functions import bm25
+    from lucene_solr_spark.search import searcher as S
+
+    cases = [
+        {"kind": "and", "terms": ["scan", "table"], "must": ["scan", "table"]},
+        {"kind": "not", "terms": ["table", "scan"], "must": ["table"],
+         "must_not": ["scan"]},
+        {"kind": "or", "terms": ["customer", "spark", "vector"],
+         "min_should_match": 1},
+        {"kind": "reqopt", "terms": ["vector", "table", "scan"],
+         "must": ["vector"], "should": ["table", "scan"]},
+    ]
+    all_terms = sorted({t for c in cases for t in c["terms"]})
+    joined = searcher._matched(all_terms).join(
+        F.broadcast(searcher._norms), "shard"
+    )
+    pdf_all = joined.toPandas()
+    with_all = [
+        sh for sh, g in pdf_all.groupby("shard")
+        if set(all_terms) <= set(g["term"])
+    ]
+    assert with_all, "no shard contains every test term"
+    pdf = pdf_all[pdf_all["shard"] == with_all[0]].reset_index(drop=True)
+    for spec in cases:
+        for k in (5, 20):
+            dec_fast = S._decode_shard(pdf)
+            idfs = {t: bm25.idf(d, searcher.max_doc)
+                    for t, d in dec_fast[3].items()}
+            fast = S._score_spec(pdf, dec_fast, spec, idfs, searcher.cache,
+                                 k, True)
+            dec_slow = S._decode_shard(pdf)
+            slow = S._score_spec(pdf, dec_slow, spec, idfs, searcher.cache,
+                                 k, False)
+            assert fast["doc_id"].tolist() == slow["doc_id"].tolist(), (spec, k)
+            assert fast["score"].tolist() == slow["score"].tolist(), (spec, k)
+            lt_fast, lt_slow = dec_fast[2], dec_slow[2]
+            assert lt_slow.n_block_decodes == 0, (spec, k)
+            assert (
+                lt_fast.n_block_decodes > 0
+                or lt_fast.n_full_decodes < lt_slow.n_full_decodes
+            ), (spec, k, lt_fast.n_block_decodes, lt_fast.n_full_decodes)
