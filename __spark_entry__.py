@@ -435,6 +435,149 @@ FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _q_nested_bool(spark, sf):
+    """Nested BooleanQuery: (+vector +(table OR scan)) -dup — a
+    conjunction with a nested disjunction and an exclusion
+    (BooleanQuery.java:308, BooleanWeight.java:260-359)."""
+    from lucene_solr_spark.search.query import BooleanQuery, Clause
+
+    q = BooleanQuery(
+        (
+            Clause("MUST", TermQuery("vector")),
+            Clause(
+                "MUST",
+                BooleanQuery(
+                    (
+                        Clause("SHOULD", TermQuery("table")),
+                        Clause("SHOULD", TermQuery("scan")),
+                    )
+                ),
+            ),
+            Clause("MUST_NOT", TermQuery("dup")),
+        )
+    )
+    return _hits(spark, sf, q, K)
+
+
+def _q_boosted_or(spark, sf):
+    """Per-clause boost: table^2 OR scan (weight = idf * boost,
+    BM25Similarity.java:288-293)."""
+    from lucene_solr_spark.search.query import BooleanQuery, BoostQuery, Clause
+
+    q = BooleanQuery(
+        (
+            Clause("SHOULD", BoostQuery(TermQuery("table"), 2.0)),
+            Clause("SHOULD", TermQuery("scan")),
+        )
+    )
+    return _hits(spark, sf, q, K)
+
+
+def _q_parser(spark, sf):
+    """Classic QueryParser entry point (QueryParserBase.java:114-118,
+    demo/SearchFiles.java:100-170): '(fast OR slow) AND value'."""
+    from lucene_solr_spark.search.parser import parse_query
+
+    return _hits(spark, sf, parse_query("(fast OR slow) AND value"), K)
+
+
+def _q_sloppy_phrase(spark, sf):
+    """Sloppy phrase "table scan"~2: ordered within-slop windows (see
+    searcher._eval_phrase docstring for the documented deviation from
+    SloppyPhraseScorer's slop-factor weighting)."""
+    return _hits(spark, sf, PhraseQuery(("table", "scan"), slop=2), K)
+
+
+def _nested_bool_sql(k: int) -> str:
+    """f32( f64(s_vector) + f64(f32(f64-sum over {table,scan})) ) over
+    docs matching vector AND (table|scan) AND NOT dup."""
+    return f"""
+WITH {_BM25_CTES}, {_sc_cte(("vector", "table", "scan"))},
+orsub AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS os
+  FROM sc WHERE term IN ('table','scan') GROUP BY doc_id
+),
+vecs AS (SELECT doc_id, s AS vs FROM sc WHERE term = 'vector')
+SELECT v.doc_id,
+  CAST(CAST(CAST(v.vs AS DOUBLE) + CAST(o.os AS DOUBLE) AS REAL) AS DOUBLE) AS score
+FROM vecs v JOIN orsub o USING (doc_id)
+WHERE v.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+ORDER BY CAST(CAST(v.vs AS DOUBLE) + CAST(o.os AS DOUBLE) AS REAL) DESC, v.doc_id
+LIMIT {k}"""
+
+
+def _boosted_or_sql(k: int) -> str:
+    return f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, tf.term,
+    ((CAST(ln(1 + ((SELECT n FROM a) - dfs.df + 0.5) / (dfs.df + 0.5)) AS REAL)
+       * CASE WHEN tf.term = 'table' THEN CAST(2.0 AS REAL) ELSE CAST(1.0 AS REAL) END)
+       * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+      * CAST(tf.tf AS REAL) / (CAST(tf.tf AS REAL) + cachet.c) AS s
+  FROM tf JOIN dfs USING (term) JOIN cachet USING (doc_id)
+  WHERE tf.term IN ('table','scan')
+)
+SELECT doc_id, CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _parser_sql(k: int) -> str:
+    """'(fast OR slow) AND value' -> f32(f64(f32-or-sum) + f64(s_value))."""
+    return f"""
+WITH {_BM25_CTES}, {_sc_cte(("fast", "slow", "value"))},
+orsub AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS os
+  FROM sc WHERE term IN ('fast','slow') GROUP BY doc_id
+),
+vals AS (SELECT doc_id, s AS vs FROM sc WHERE term = 'value')
+SELECT o.doc_id,
+  CAST(CAST(CAST(o.os AS DOUBLE) + CAST(v.vs AS DOUBLE) AS REAL) AS DOUBLE) AS score
+FROM orsub o JOIN vals v USING (doc_id)
+ORDER BY CAST(CAST(o.os AS DOUBLE) + CAST(v.vs AS DOUBLE) AS REAL) DESC, o.doc_id
+LIMIT {k}"""
+
+
+def _sloppy_phrase_sql(t0: str, t1: str, slop: int, k: int) -> str:
+    """Ordered within-slop pair count: b.pos in [a.pos+1, a.pos+1+slop]."""
+    return f"""
+WITH {_BM25_CTES},
+rawp AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term,
+         generate_subscripts(string_split_regex(trim(text), ' +'), 1) - 1 AS pos
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term, pos FROM rawp
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
+),
+ph AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id
+    AND b.pos BETWEEN a.pos + 1 AND a.pos + {1 + slop}
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT
+    (SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL)
+     FROM dfs WHERE term = '{t0}')
+    +
+    (SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL)
+     FROM dfs WHERE term = '{t1}') AS s
+)
+SELECT ph.doc_id,
+  CAST(((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+       * CAST(ph.freq AS REAL) / (CAST(ph.freq AS REAL) + cachet.c)
+       AS DOUBLE) AS score
+FROM ph JOIN cachet USING (doc_id)
+ORDER BY CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
+       * CAST(ph.freq AS REAL) / (CAST(ph.freq AS REAL) + cachet.c) AS REAL) DESC,
+       ph.doc_id
+LIMIT {k}"""
+
+
 Q_REQOPT = (("vector",), ("table", "scan"))
 Q_COMMON = ("dup", "table", "scan")
 Q_DISMAX = ("scan", "table")
@@ -871,6 +1014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
         "wildcard_constant_topk": _q_wildcard,
+        "bm25_nested_bool_topk": _q_nested_bool,
+        "bm25_boosted_or_topk": _q_boosted_or,
+        "query_parser_topk": _q_parser,
+        "bm25_sloppy_phrase_topk": _q_sloppy_phrase,
         "bm25_reqopt_topk": _q_reqopt,
         "common_terms_topk": _q_common_terms,
         "bm25_dismax_topk": _q_dismax,
@@ -962,6 +1109,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
             f"WHERE term LIKE 'sc%' ORDER BY doc_id LIMIT {K}"
         ),
+        "bm25_nested_bool_topk": _nested_bool_sql(K),
+        "bm25_boosted_or_topk": _boosted_or_sql(K),
+        "query_parser_topk": _parser_sql(K),
+        "bm25_sloppy_phrase_topk": _sloppy_phrase_sql("table", "scan", 2, K),
         "bm25_reqopt_topk": _reqopt_sql(*Q_REQOPT, K),
         "common_terms_topk": _common_terms_sql(Q_COMMON, 0.5, K),
         "bm25_dismax_topk": _dismax_sql(Q_DISMAX, 0.3, K),

@@ -1,0 +1,261 @@
+"""Classic QueryParser subset (reference: queryparser/.../classic/
+QueryParser.jj grammar via QueryParserBase.java:114-118, the demo
+entry point demo/SearchFiles.java:100-170).
+
+Grammar (field-free, default operator OR — the reference default):
+
+    query   := clause+
+    clause  := [conj] [mods] (group | phrase | term)
+    conj    := AND | && | OR | ||
+    mods    := + | - | NOT | !
+    group   := '(' query ')' ['^' boost]
+    phrase  := '"' text '"' ['~' slop] ['^' boost]
+    term    := word ['~' [edits]] ['^' boost]
+              (word with '*' / '?' -> wildcard; trailing-'*'-only ->
+               prefix; both CONSTANT_SCORE rewrites)
+
+Clause-occur resolution reproduces QueryParserBase.addClause for the
+OR default operator: `a AND b` retro-promotes the previous clause to
+MUST; `+`/`-`/NOT set MUST / MUST_NOT; everything else is SHOULD.
+
+Query text is analyzed with the same analyzer as the index
+(QueryBuilder semantics): a term that analyzes to nothing (stopword)
+drops its clause; one that analyzes to several tokens becomes a
+SHOULD-disjunction (unquoted) or keeps phrase order (quoted).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from lucene_solr_spark.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    Clause,
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    WildcardQuery,
+)
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<plus>\+)
+  | (?P<minus>-)
+  | (?P<bang>!)
+  | (?P<andop>&&)
+  | (?P<orop>\|\|)
+  | "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>[0-9]+(?:\.[0-9]+)?))?
+  | \^(?P<boost>[0-9]+(?:\.[0-9]+)?)
+  | (?P<term>[^\s()+\-!"^~]+)(?:~(?P<edits>[0-9]*))?(?:\^(?P<tboost>[0-9]+(?:\.[0-9]+)?))?
+    """,
+    re.X,
+)
+
+
+def _lex(s: str) -> list[tuple]:
+    """-> [(type, payload)] with types: ( ) + - ! AND OR NOT BOOST
+    PHRASE TERM."""
+    out: list[tuple] = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if m is None:
+            raise ValueError(f"cannot lex query at offset {pos}: {s[pos:]!r}")
+        pos = m.end()
+        if m.group("ws"):
+            continue
+        if m.group("lparen"):
+            out.append(("(", None))
+        elif m.group("rparen"):
+            out.append((")", None))
+        elif m.group("plus"):
+            out.append(("+", None))
+        elif m.group("minus"):
+            out.append(("-", None))
+        elif m.group("bang"):
+            out.append(("NOT", None))
+        elif m.group("andop"):
+            out.append(("AND", None))
+        elif m.group("orop"):
+            out.append(("OR", None))
+        elif m.group("phrase") is not None:
+            out.append(
+                (
+                    "PHRASE",
+                    {
+                        "text": m.group("phrase"),
+                        "slop": int(m.group("slop")) if m.group("slop") else 0,
+                        "boost": float(m.group("pboost"))
+                        if m.group("pboost")
+                        else None,
+                    },
+                )
+            )
+        elif m.group("boost") is not None:
+            out.append(("BOOST", float(m.group("boost"))))
+        else:
+            word = m.group("term")
+            if word == "AND":
+                out.append(("AND", None))
+            elif word == "OR":
+                out.append(("OR", None))
+            elif word == "NOT":
+                out.append(("NOT", None))
+            else:
+                edits = m.group("edits")
+                out.append(
+                    (
+                        "TERM",
+                        {
+                            "text": word,
+                            "fuzzy": edits is not None,
+                            "edits": int(edits) if edits else 2,
+                            "boost": float(m.group("tboost"))
+                            if m.group("tboost")
+                            else None,
+                        },
+                    )
+                )
+    return out
+
+
+class QueryParser:
+    """parse(s) -> Query over the configured analyzer."""
+
+    def __init__(self, analyzer: str = "standard"):
+        from lucene_solr_spark.analysis.analyzers import ANALYZERS
+
+        self._analyze = ANALYZERS[analyzer]
+
+    def _tokens(self, text: str) -> list[str]:
+        return list(self._analyze(pd.Series([text]))[0])
+
+    def parse(self, s: str) -> Query | None:
+        toks = _lex(s)
+        q, i = self._parse_query(toks, 0)
+        if i != len(toks):
+            raise ValueError(f"unbalanced ')' at token {i} in {s!r}")
+        return q
+
+    # ---- recursive descent ------------------------------------------
+
+    def _parse_query(self, toks: list, i: int) -> tuple[Query | None, int]:
+        clauses: list[Clause] = []
+        conj = None
+        mods = None
+        while i < len(toks):
+            t, payload = toks[i]
+            if t == ")":
+                break
+            if t in ("AND", "OR"):
+                conj = t
+                i += 1
+                continue
+            if t == "NOT":
+                mods = "NOT"
+                i += 1
+                continue
+            if t == "+":
+                mods = "PLUS"
+                i += 1
+                continue
+            if t == "-":
+                mods = "MINUS"
+                i += 1
+                continue
+            if t == "(":
+                sub, i = self._parse_query(toks, i + 1)
+                if i >= len(toks) or toks[i][0] != ")":
+                    raise ValueError("missing ')'")
+                i += 1
+                if i < len(toks) and toks[i][0] == "BOOST":
+                    if sub is not None:
+                        sub = BoostQuery(sub, toks[i][1])
+                    i += 1
+                q = sub
+            elif t == "PHRASE":
+                q = self._phrase_query(payload)
+                i += 1
+            elif t == "TERM":
+                q = self._term_query(payload)
+                i += 1
+            else:
+                raise ValueError(f"unexpected token {t}")
+            self._add_clause(clauses, conj, mods, q)
+            conj = None
+            mods = None
+        return self._build(clauses), i
+
+    @staticmethod
+    def _add_clause(clauses: list[Clause], conj, mods, q) -> None:
+        """QueryParserBase.addClause, OR default operator: CONJ_AND
+        retro-promotes the previous non-prohibited clause to MUST."""
+        if clauses and conj == "AND":
+            last = clauses[-1]
+            if last.occur != "MUST_NOT":
+                clauses[-1] = Clause("MUST", last.query)
+        if q is None:  # analyzer erased it (pure stopwords)
+            return
+        if mods in ("MINUS", "NOT"):
+            occur = "MUST_NOT"
+        elif mods == "PLUS" or conj == "AND":
+            occur = "MUST"
+        else:
+            occur = "SHOULD"
+        clauses.append(Clause(occur, q))
+
+    @staticmethod
+    def _build(clauses: list[Clause]) -> Query | None:
+        if not clauses:
+            return None
+        if len(clauses) == 1 and clauses[0].occur in ("MUST", "SHOULD"):
+            return clauses[0].query
+        return BooleanQuery(tuple(clauses))
+
+    def _term_query(self, p: dict) -> Query | None:
+        word = p["text"]
+        boost = p["boost"]
+        if "*" in word or "?" in word:
+            # expanded terms are lowercased, not analyzed
+            # (QueryParserBase lowercaseExpandedTerms default true)
+            w = word.lower()
+            if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+                q: Query = PrefixQuery(w[:-1])
+            else:
+                q = WildcardQuery(w)
+        elif p["fuzzy"]:
+            q = FuzzyQuery(word.lower(), max_edits=p["edits"])
+        else:
+            toks = self._tokens(word)
+            if not toks:
+                return None
+            if len(toks) == 1:
+                q = TermQuery(toks[0])
+            else:
+                q = BooleanQuery(
+                    tuple(Clause("SHOULD", TermQuery(t)) for t in toks)
+                )
+        return BoostQuery(q, boost) if boost is not None else q
+
+    def _phrase_query(self, p: dict) -> Query | None:
+        toks = self._tokens(p["text"])
+        if not toks:
+            return None
+        if len(toks) == 1:
+            q: Query = TermQuery(toks[0])
+        else:
+            q = PhraseQuery(tuple(toks), slop=p["slop"])
+        boost = p["boost"]
+        return BoostQuery(q, boost) if boost is not None else q
+
+
+def parse_query(s: str, analyzer: str = "standard") -> Query | None:
+    return QueryParser(analyzer).parse(s)

@@ -121,6 +121,7 @@ class PhraseQuery(Query):
     TermStatistics)."""
 
     phrase: tuple[str, ...]
+    slop: int = 0
 
     def terms(self) -> list[str]:
         return list(self.phrase)
@@ -179,6 +180,69 @@ class FuzzyQuery(Query):
         return []
 
 
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    """Per-clause boost wrapper (search/BoostQuery.java analog; in the
+    6.0 snapshot every Query carries setBoost — BM25 folds it into the
+    term weight: weight = idf * boost * topLevelBoost,
+    BM25Similarity.java:288-293). Boosts MULTIPLY down the tree."""
+
+    query: Query
+    boost: float
+
+    def terms(self) -> list[str]:
+        return self.query.terms()
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Generic constant-score wrapper (search/ConstantScoreQuery.java):
+    matches exactly the wrapped query's docs, every hit scores `boost`
+    (the inner scores are discarded)."""
+
+    query: Query
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return self.query.terms()
+
+
+@dataclass(frozen=True)
+class Clause:
+    """One BooleanQuery clause (search/BooleanClause.java): occur in
+    MUST / SHOULD / MUST_NOT / FILTER."""
+
+    occur: str
+    query: Query
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    """General nested BooleanQuery (search/BooleanQuery.java:308 LoC,
+    BooleanWeight.java:260-359): clauses are arbitrary sub-queries, so
+    `(+a +(b c)) -d` is expressible. Scoring (coord = 1 for BM25):
+
+    - MUST/FILTER clauses all match; FILTER never scores.
+    - required score = float32(double-sum of MUST sub-scores)
+      (ConjunctionScorer.score()).
+    - SHOULD with required clauses present = optional score added when
+      aligned: total = f32(f32(req) + f32(f64-sum of matching SHOULD))
+      (ReqOptSumScorer.java:28).
+    - no required clauses: pure disjunction, f32(f64 sum), with
+      min_should_match (MinShouldMatchSumScorer.java).
+    - MUST_NOT excludes and never scores (ReqExclScorer.java:30).
+    """
+
+    clauses: tuple[Clause, ...]
+    min_should_match: int = 0
+
+    def terms(self) -> list[str]:
+        out: list[str] = []
+        for c in self.clauses:
+            out.extend(c.query.terms())
+        return out
+
+
 def rewrite(q: Query) -> Query:
     """Logical rewrites to fixpoint (IndexSearcher.java:634-640).
 
@@ -195,4 +259,15 @@ def rewrite(q: Query) -> Query:
             return rewrite(BooleanAnd(q.should))
     if isinstance(q, BooleanNot) and not q.must_not:
         return rewrite(BooleanAnd(q.must))
+    if isinstance(q, BooleanQuery):
+        # 1-clause inlining (BooleanQuery.java:201-207): a lone
+        # MUST/SHOULD clause with no msm constraint IS its sub-query
+        if len(q.clauses) == 1 and q.min_should_match <= 1:
+            c = q.clauses[0]
+            if c.occur == "MUST" or (
+                c.occur == "SHOULD" and q.min_should_match == 0
+            ):
+                return rewrite(c.query)
+    if isinstance(q, BoostQuery) and q.boost == 1.0:
+        return rewrite(q.query)
     return q

@@ -49,7 +49,10 @@ from lucene_solr_spark.search.query import (
     BooleanMustShould,
     BooleanNot,
     BooleanOr,
+    BooleanQuery,
+    BoostQuery,
     CommonTermsQuery,
+    ConstantScoreQuery,
     DisjunctionMax,
     FuzzyQuery,
     PhraseQuery,
@@ -269,47 +272,22 @@ def _score_spec(
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     if kind == "phrase":
-        from lucene_solr_spark.index.codec import decode_position_lists
-
-        seq = spec["terms"]  # phrase order, duplicates kept
-        uniq_terms = list(dict.fromkeys(seq))
-        pos_streams = {t: lt.pos_stream(t) for t in uniq_terms}
-        if any(t not in lt or pos_streams[t] is None for t in uniq_terms):
-            return empty
-        inter = reduce(
-            lambda a, b: a[np.isin(a, b, assume_unique=True)],
-            [lt.full(t)[0] for t in uniq_terms],
+        udocs, scores = _eval_phrase(
+            spec["terms"], lt, base, norms, idfs, cache, deleted=deleted,
+            slop=int(spec.get("slop", 0)),
         )
-        inter = _alive(inter, deleted)
-        if len(inter) == 0:
-            return empty
-        # vectorized exact-phrase check: per term i, key = doc * 2^32 +
-        # (pos - i); a phrase occurrence is a key present for every i
-        # (ExactPhraseScorer.java:27 semantics, but set-at-a-time)
-        M = np.int64(1) << np.int64(32)
-        off = np.int64(len(seq))
-        keysets = []
-        for i, t in enumerate(seq):
-            d, tf = lt.full(t)
-            pos_abs = decode_position_lists(pos_streams[t], tf)
-            doc_rep = np.repeat(d, tf)
-            mask = np.isin(doc_rep, inter, assume_unique=False)
-            keys = doc_rep[mask] * M + (pos_abs[mask] - np.int64(i) + off)
-            keysets.append(keys)
-        phrase_keys = reduce(
-            lambda a, b: a[np.isin(a, b, assume_unique=True)], keysets
-        )
-        if len(phrase_keys) == 0:
-            return empty
-        udocs, freqs = np.unique(phrase_keys // M, return_counts=True)
-        # idf = float32 sum over the phrase's terms in order
-        # (BM25Similarity.computeWeight over TermStatistics[])
-        idf_sum = np.float32(0.0)
-        for t in seq:
-            idf_sum = np.float32(idf_sum + idfs[t])
-        scores = bm25.score_term(freqs, norms[udocs - base], idf_sum, cache)
-        docs, scores = _topk_arrays(udocs, scores.astype(np.float32), k)
+        docs, scores = _topk_arrays(udocs, scores, k)
         return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    if kind == "tree":
+        # nested BooleanQuery / boosts / constant-score (exhaustive
+        # vectorized path; liveDocs applied at collection time)
+        docs, scores = _eval_tree(spec["tree"], lt, base, norms, idfs, cache)
+        if deleted is not None and len(deleted) and len(docs):
+            m = ~np.isin(docs, deleted)
+            docs, scores = docs[m], scores[m]
+        docs, scores = _topk_arrays(docs, scores, k)
+        return pd.DataFrame({"doc_id": docs, "score": scores.astype(np.float32)})
 
     present = [t for t in spec["terms"] if t in lt]
     if kind in ("and", "not"):
@@ -377,6 +355,272 @@ def _score_spec(
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     raise ValueError(f"unknown query kind {kind}")
+
+
+def _eval_phrase(
+    seq: list[str],
+    lt: "_LazyTerms",
+    base: int,
+    norms: np.ndarray,
+    idfs: dict,
+    cache: np.ndarray,
+    boost: float = 1.0,
+    deleted: np.ndarray | None = None,
+    slop: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Phrase leaf: (docs, f32 scores) with tf = phrase freq and
+    idf = f32 sum of term idfs (PhraseQuery.java:64).
+
+    slop == 0: exact phrase (ExactPhraseScorer.java:27) — set-at-a-
+    time: per term i the key doc*2^32 + (pos - i) must exist for all i.
+
+    slop > 0: ordered within-slop windows — tuples (p_0 < ... <
+    p_{n-1}), p_i from term i, with p_{n-1} - p_0 - (n-1) <= slop;
+    freq = tuple count. Documented deviation: the reference's
+    SloppyPhraseScorer (SloppyPhraseScorer.java, 601 LoC) allows
+    transpositions and weights each match by 1/(1+matchLength); this
+    engine scores the SpanNearQuery(ordered)-style match set with
+    unit weight, which keeps the kernel vectorized and the oracle
+    SQL-expressible."""
+    from lucene_solr_spark.index.codec import decode_position_lists
+
+    E = (np.empty(0, np.int64), np.empty(0, np.float32))
+    uniq_terms = list(dict.fromkeys(seq))
+    pos_streams = {t: lt.pos_stream(t) for t in uniq_terms}
+    if any(t not in lt or pos_streams[t] is None for t in uniq_terms):
+        return E
+    inter = reduce(
+        lambda a, b: a[np.isin(a, b, assume_unique=True)],
+        [lt.full(t)[0] for t in uniq_terms],
+    )
+    inter = _alive(inter, deleted)
+    if len(inter) == 0:
+        return E
+    M = np.int64(1) << np.int64(32)
+    if slop <= 0:
+        off = np.int64(len(seq))
+        keysets = []
+        for i, t in enumerate(seq):
+            d, tf = lt.full(t)
+            pos_abs = decode_position_lists(pos_streams[t], tf)
+            doc_rep = np.repeat(d, tf)
+            mask = np.isin(doc_rep, inter, assume_unique=False)
+            keys = doc_rep[mask] * M + (pos_abs[mask] - np.int64(i) + off)
+            keysets.append(keys)
+        phrase_keys = reduce(
+            lambda a, b: a[np.isin(a, b, assume_unique=True)], keysets
+        )
+        if len(phrase_keys) == 0:
+            return E
+        udocs, freqs = np.unique(phrase_keys // M, return_counts=True)
+    else:
+        # sorted (doc*M + pos) per term, restricted to candidate docs
+        keysets = []
+        for t in seq:
+            d, tf = lt.full(t)
+            pos_abs = decode_position_lists(pos_streams[t], tf)
+            doc_rep = np.repeat(d, tf)
+            mask = np.isin(doc_rep, inter, assume_unique=False)
+            keysets.append(np.sort(doc_rep[mask] * M + pos_abs[mask]))
+        k0 = keysets[0]
+        cur_doc, cur_p0 = k0 // M, k0 % M
+        cur_plast = cur_p0
+        for i in range(1, len(seq)):
+            if len(cur_doc) == 0:
+                break
+            ks = keysets[i]
+            # occurrences of term i in (plast, p0 + i + slop] of the
+            # same doc (windowed range gather, fully vectorized)
+            lo = np.searchsorted(ks, cur_doc * M + cur_plast + 1)
+            hi = np.searchsorted(
+                ks, cur_doc * M + cur_p0 + np.int64(i + slop), side="right"
+            )
+            cnt = np.maximum(hi - lo, 0)
+            total = int(cnt.sum())
+            if total == 0:
+                cur_doc = cur_doc[:0]
+                break
+            starts = np.repeat(lo, cnt)
+            offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            new_keys = ks[starts + offs]
+            cur_doc = np.repeat(cur_doc, cnt)
+            cur_p0 = np.repeat(cur_p0, cnt)
+            cur_plast = new_keys % M
+        if len(cur_doc) == 0:
+            return E
+        udocs, freqs = np.unique(cur_doc, return_counts=True)
+    # idf = float32 sum over the phrase's terms in order
+    # (BM25Similarity.computeWeight over TermStatistics[])
+    idf_sum = np.float32(0.0)
+    for t in seq:
+        idf_sum = np.float32(idf_sum + idfs[t])
+    scores = bm25.score_term(
+        freqs, norms[udocs - base], idf_sum, cache, boost=boost
+    )
+    return udocs, scores.astype(np.float32)
+
+
+def _eval_tree(
+    node: dict,
+    lt: "_LazyTerms",
+    base: int,
+    norms: np.ndarray,
+    idfs: dict,
+    cache: np.ndarray,
+    pboost: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Recursive nested-query evaluation -> (sorted docs, f32 scores).
+
+    Node kinds: term, phrase, const (pre-expanded multi-term rewrite),
+    constwrap (generic ConstantScoreQuery), dismax, bool. Boosts
+    multiply down the tree and fold into leaf weights —
+    weight = idf * boost * topLevelBoost (BM25Similarity.java:288-293,
+    BooleanWeight normalize cascade). Composition semantics per
+    BooleanWeight.java:260-359 (see query.BooleanQuery docstring)."""
+    E = (np.empty(0, np.int64), np.empty(0, np.float32))
+    boost = np.float32(np.float32(pboost) * np.float32(node.get("boost", 1.0)))
+    kind = node["kind"]
+
+    if kind == "term":
+        t = node["term"]
+        if t not in lt:
+            return E
+        d, tf = lt.full(t)
+        s = bm25.score_term(tf, norms[d - base], idfs[t], cache, boost=boost)
+        return d, s.astype(np.float32)
+
+    if kind == "phrase":
+        return _eval_phrase(
+            node["terms"], lt, base, norms, idfs, cache, boost=boost,
+            slop=int(node.get("slop", 0)),
+        )
+
+    if kind == "const":
+        # CONSTANT_SCORE multi-term rewrite, pre-expanded against the
+        # dictionary (MultiTermQuery.java:68-94): every matching doc
+        # scores the boost
+        ds = [lt.full(t)[0] for t in node["terms"] if t in lt]
+        if not ds:
+            return E
+        u = reduce(np.union1d, ds)
+        return u, np.full(len(u), boost, np.float32)
+
+    if kind == "constwrap":
+        d, _ = _eval_tree(node["query"], lt, base, norms, idfs, cache, 1.0)
+        return d, np.full(len(d), boost, np.float32)
+
+    if kind == "dismax":
+        subs = [
+            _eval_tree(sub, lt, base, norms, idfs, cache, boost)
+            for sub in node["clauses"]
+        ]
+        subs = [(d, s) for d, s in subs if len(d)]
+        if not subs:
+            return E
+        union = reduce(np.union1d, [d for d, _ in subs])
+        acc32 = np.zeros(len(union), np.float32)
+        mx = np.full(len(union), -np.inf, np.float32)
+        for d, s in subs:
+            pos = np.searchsorted(union, d)
+            acc32[pos] += s
+            np.maximum.at(mx, pos, s)
+        tie = np.float32(node.get("tie", 0.0))
+        return union, (mx + (acc32 - mx) * tie).astype(np.float32)
+
+    if kind == "bool":
+        musts: list[tuple[np.ndarray, np.ndarray]] = []
+        filters: list[np.ndarray] = []
+        shoulds: list[tuple[np.ndarray, np.ndarray]] = []
+        nots: list[np.ndarray] = []
+        for occ, sub in node["clauses"]:
+            r = _eval_tree(sub, lt, base, norms, idfs, cache, boost)
+            if occ == "MUST":
+                musts.append(r)
+            elif occ == "FILTER":
+                filters.append(r[0])
+            elif occ == "SHOULD":
+                shoulds.append(r)
+            else:  # MUST_NOT
+                nots.append(r[0])
+        msm = int(node.get("msm", 0))
+
+        if musts or filters:
+            docs = musts[0][0] if musts else filters[0]
+            rest = [d for d, _ in musts[1:]] + (
+                filters if musts else filters[1:]
+            )
+            for d in rest:
+                docs = docs[np.isin(docs, d, assume_unique=True)]
+            for d in nots:
+                if len(d) and len(docs):
+                    docs = docs[~np.isin(docs, d, assume_unique=True)]
+            if len(docs) == 0:
+                return E
+            # required score: f32 of the double sum in clause order
+            # (ConjunctionScorer.score())
+            req64 = np.zeros(len(docs), np.float64)
+            for d, s in musts:
+                pos = np.searchsorted(d, docs)
+                req64 += s[pos].astype(np.float64)
+            req = req64.astype(np.float32)
+            # optional contributions (ReqOptSumScorer / msm-required)
+            opt64 = np.zeros(len(docs), np.float64)
+            nmatch = np.zeros(len(docs), np.int32)
+            for d, s in shoulds:
+                if len(d) == 0:
+                    continue
+                pos = np.searchsorted(d, docs)
+                pos_c = np.minimum(pos, len(d) - 1)
+                hit = d[pos_c] == docs
+                opt64[hit] += s[pos_c[hit]].astype(np.float64)
+                nmatch[hit] += 1
+            if msm > 0:
+                keep = nmatch >= msm
+                docs, req, opt64 = docs[keep], req[keep], opt64[keep]
+                if len(docs) == 0:
+                    return E
+            total = (req + opt64.astype(np.float32)).astype(np.float32)
+            return docs, total
+
+        # pure disjunction (DisjunctionSumScorer / MinShouldMatchSumScorer)
+        live = [(d, s) for d, s in shoulds if len(d)]
+        if not live:
+            return E
+        union = reduce(np.union1d, [d for d, _ in live])
+        acc64 = np.zeros(len(union), np.float64)
+        nmatch = np.zeros(len(union), np.int32)
+        for d, s in live:
+            pos = np.searchsorted(union, d)
+            acc64[pos] += s.astype(np.float64)
+            nmatch[pos] += 1
+        keep = np.ones(len(union), bool)
+        for d in nots:
+            if len(d):
+                keep &= ~np.isin(union, d)
+        if msm > 1:
+            keep &= nmatch >= msm
+        union, total = union[keep], acc64[keep].astype(np.float32)
+        if len(union) == 0:
+            return E
+        return union, total
+
+    raise ValueError(f"unknown tree node kind {kind}")
+
+
+def _tree_terms(node: dict) -> list[str]:
+    """All dictionary terms a tree touches (for the pushed-down scan)."""
+    k = node["kind"]
+    if k == "term":
+        return [node["term"]]
+    if k in ("phrase", "const"):
+        return list(node["terms"])
+    if k == "constwrap":
+        return _tree_terms(node["query"])
+    if k == "dismax":
+        return [t for sub in node["clauses"] for t in _tree_terms(sub)]
+    if k == "bool":
+        return [t for _, sub in node["clauses"] for t in _tree_terms(sub)]
+    raise ValueError(f"unknown tree node kind {k}")
 
 
 def _prune_eligible(spec: dict, k: int | None, prune: bool) -> bool:
@@ -708,7 +952,107 @@ class IndexSearcher:
         )
         return {r.term: int(r.df) for r in rows}
 
+    def _expand_mtq(self, q) -> list[str]:
+        """Dictionary expansion for prefix/wildcard/regexp (the automaton
+        ∩ term-dict seek, MultiTermQuery.java:68-94), distributed as a
+        pushed-down predicate over term_stats."""
+        import re as _re
+
+        if isinstance(q, PrefixQuery):
+            cond = F.col("term").startswith(q.prefix)
+        elif isinstance(q, RegexpQuery):
+            cond = F.col("term").rlike("^(?:" + q.pattern + ")$")
+        else:  # WildcardQuery
+            regex = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in q.pattern
+            ) + "$"
+            cond = F.col("term").rlike(regex)
+        rows = self._term_stats.where(cond).select("term").collect()
+        return sorted(r.term for r in rows)
+
+    def _tree(self, q: Query) -> dict:
+        """Compile a Query into a picklable nested-tree dict for
+        _eval_tree, expanding dictionary-dependent leaves (multi-term /
+        fuzzy / common-terms rewrites) on the driver — the
+        Query.rewrite(reader) analog for nested clauses."""
+        q = rewrite(q)
+        T = lambda t: {"kind": "term", "term": t}  # noqa: E731
+        if isinstance(q, TermQuery):
+            return T(q.term)
+        if isinstance(q, PhraseQuery):
+            return {"kind": "phrase", "terms": list(q.phrase), "slop": q.slop}
+        if isinstance(q, BoostQuery):
+            inner = self._tree(q.query)
+            b = float(q.boost) * float(inner.pop("boost", 1.0))
+            return {**inner, "boost": b}
+        if isinstance(q, ConstantScoreQuery):
+            inner_q = rewrite(q.query)
+            if isinstance(inner_q, (PrefixQuery, WildcardQuery, RegexpQuery)):
+                return {
+                    "kind": "const",
+                    "terms": self._expand_mtq(inner_q),
+                    "boost": float(q.boost),
+                }
+            return {
+                "kind": "constwrap",
+                "query": self._tree(inner_q),
+                "boost": float(q.boost),
+            }
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery)):
+            return {"kind": "const", "terms": self._expand_mtq(q)}
+        if isinstance(q, FuzzyQuery):
+            return {
+                "kind": "bool",
+                "msm": 0,
+                "clauses": [
+                    ("SHOULD", T(t)) for t in sorted(self._expand_fuzzy(q))
+                ],
+            }
+        if isinstance(q, CommonTermsQuery):
+            dfs = self.term_dfs(sorted(set(q.terms_)))
+            cutoff = q.max_term_frequency * self.max_doc
+            cl = [
+                ("MUST", T(t)) for t in q.terms_ if dfs.get(t, 0) <= cutoff
+            ] + [
+                ("SHOULD", T(t)) for t in q.terms_ if dfs.get(t, 0) > cutoff
+            ]
+            return {"kind": "bool", "msm": 0, "clauses": cl}
+        if isinstance(q, BooleanQuery):
+            return {
+                "kind": "bool",
+                "msm": q.min_should_match,
+                "clauses": [
+                    (c.occur, self._tree(c.query)) for c in q.clauses
+                ],
+            }
+        if isinstance(q, BooleanAnd):
+            return {"kind": "bool", "msm": 0,
+                    "clauses": [("MUST", T(t)) for t in q.must]}
+        if isinstance(q, BooleanOr):
+            return {"kind": "bool", "msm": q.min_should_match,
+                    "clauses": [("SHOULD", T(t)) for t in q.should]}
+        if isinstance(q, BooleanNot):
+            return {
+                "kind": "bool", "msm": 0,
+                "clauses": [("MUST", T(t)) for t in q.must]
+                + [("MUST_NOT", T(t)) for t in q.must_not],
+            }
+        if isinstance(q, BooleanMustShould):
+            return {
+                "kind": "bool", "msm": 0,
+                "clauses": [("MUST", T(t)) for t in q.must]
+                + [("SHOULD", T(t)) for t in q.should],
+            }
+        if isinstance(q, DisjunctionMax):
+            return {"kind": "dismax", "tie": q.tie,
+                    "clauses": [T(t) for t in q.should]}
+        raise TypeError(f"unsupported query in tree: {q!r}")
+
     def _spec(self, q: Query) -> dict:
+        if isinstance(q, (BooleanQuery, BoostQuery, ConstantScoreQuery)):
+            tree = self._tree(q)
+            return {"kind": "tree", "tree": tree, "terms": _tree_terms(tree)}
         if isinstance(q, TermQuery):
             return {"kind": "term", "terms": [q.term]}
         if isinstance(q, BooleanAnd):
@@ -729,7 +1073,7 @@ class IndexSearcher:
         if isinstance(q, DisjunctionMax):
             return {"kind": "dismax", "terms": list(q.should), "tie": q.tie}
         if isinstance(q, PhraseQuery):
-            return {"kind": "phrase", "terms": list(q.phrase)}
+            return {"kind": "phrase", "terms": list(q.phrase), "slop": q.slop}
         if isinstance(q, BooleanMustShould):
             return {
                 "kind": "reqopt",

@@ -1,0 +1,338 @@
+"""Nested BooleanQuery / boosts / QueryParser / sloppy phrase tests.
+
+Equivalence contract: every flat query class must produce bitwise-
+identical results when re-expressed as a nested BooleanQuery tree, and
+parsed query strings must equal their programmatic counterparts
+(QueryParserBase.java:114-118 semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.search.parser import parse_query
+from lucene_solr_spark.search.query import (
+    BooleanAnd,
+    BooleanMustShould,
+    BooleanNot,
+    BooleanOr,
+    BooleanQuery,
+    BoostQuery,
+    Clause,
+    ConstantScoreQuery,
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    WildcardQuery,
+)
+from lucene_solr_spark.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, docs_index):
+    out, _ = docs_index
+    return IndexSearcher(spark, out)
+
+
+def hits(df):
+    return [(r.doc_id, r.score) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------
+# parser structure
+# ---------------------------------------------------------------------
+
+
+def test_parse_default_or():
+    q = parse_query("table scan")
+    assert q == BooleanQuery(
+        (Clause("SHOULD", TermQuery("table")), Clause("SHOULD", TermQuery("scan")))
+    )
+
+
+def test_parse_and_retro_promotes():
+    q = parse_query("table AND scan")
+    assert q == BooleanQuery(
+        (Clause("MUST", TermQuery("table")), Clause("MUST", TermQuery("scan")))
+    )
+
+
+def test_parse_mods_and_group():
+    q = parse_query("+vector (table scan) -dup")
+    assert q == BooleanQuery(
+        (
+            Clause("MUST", TermQuery("vector")),
+            Clause(
+                "SHOULD",
+                BooleanQuery(
+                    (
+                        Clause("SHOULD", TermQuery("table")),
+                        Clause("SHOULD", TermQuery("scan")),
+                    )
+                ),
+            ),
+            Clause("MUST_NOT", TermQuery("dup")),
+        )
+    )
+
+
+def test_parse_single_clause_inlines():
+    assert parse_query("table") == TermQuery("table")
+    assert parse_query("(table)") == TermQuery("table")
+
+
+def test_parse_stopword_drops():
+    assert parse_query("the") is None
+    # stopword clause vanishes, the rest survives
+    assert parse_query("the table") == TermQuery("table")
+
+
+def test_parse_analysis_lowercases():
+    assert parse_query("Table") == TermQuery("table")
+
+
+def test_parse_special_terms():
+    assert parse_query("tabl~1") == FuzzyQuery("tabl", max_edits=1)
+    assert parse_query("tabl~") == FuzzyQuery("tabl", max_edits=2)
+    assert parse_query("sc*") == PrefixQuery("sc")
+    assert parse_query("v?lue") == WildcardQuery("v?lue")
+    assert parse_query('"table scan"') == PhraseQuery(("table", "scan"))
+    assert parse_query('"table scan"~2') == PhraseQuery(("table", "scan"), slop=2)
+
+
+def test_parse_boosts():
+    assert parse_query("table^2") == BoostQuery(TermQuery("table"), 2.0)
+    q = parse_query("(table scan)^3 vector")
+    assert isinstance(q, BooleanQuery)
+    assert isinstance(q.clauses[0].query, BoostQuery)
+    assert q.clauses[0].query.boost == 3.0
+
+
+def test_parse_not_keyword():
+    q = parse_query("table NOT scan")
+    assert q == BooleanQuery(
+        (Clause("SHOULD", TermQuery("table")), Clause("MUST_NOT", TermQuery("scan")))
+    )
+
+
+# ---------------------------------------------------------------------
+# engine equivalences (bitwise)
+# ---------------------------------------------------------------------
+
+
+def test_tree_equals_flat_and(searcher):
+    flat = hits(searcher.search(BooleanAnd(("scan", "table")), k=30))
+    tree = hits(
+        searcher.search(
+            BooleanQuery(
+                (Clause("MUST", TermQuery("scan")), Clause("MUST", TermQuery("table")))
+            ),
+            k=30,
+        )
+    )
+    assert flat == tree and len(flat) > 0
+
+
+def test_tree_equals_flat_or(searcher):
+    flat = hits(searcher.search(BooleanOr(("customer", "spark", "vector")), k=30))
+    tree = hits(
+        searcher.search(
+            BooleanQuery(
+                tuple(
+                    Clause("SHOULD", TermQuery(t))
+                    for t in ("customer", "spark", "vector")
+                )
+            ),
+            k=30,
+        )
+    )
+    assert flat == tree and len(flat) > 0
+
+
+def test_tree_equals_flat_reqopt_and_not(searcher):
+    flat = hits(searcher.search(BooleanMustShould(("vector",), ("table", "scan")), k=30))
+    tree = hits(
+        searcher.search(
+            BooleanQuery(
+                (
+                    Clause("MUST", TermQuery("vector")),
+                    Clause("SHOULD", TermQuery("table")),
+                    Clause("SHOULD", TermQuery("scan")),
+                )
+            ),
+            k=30,
+        )
+    )
+    assert flat == tree and len(flat) > 0
+
+    flat_not = hits(searcher.search(BooleanNot(("table",), ("scan",)), k=30))
+    tree_not = hits(
+        searcher.search(
+            BooleanQuery(
+                (
+                    Clause("MUST", TermQuery("table")),
+                    Clause("MUST_NOT", TermQuery("scan")),
+                )
+            ),
+            k=30,
+        )
+    )
+    assert flat_not == tree_not and len(flat_not) > 0
+
+
+def test_boost_scales_term_scores(searcher):
+    base = hits(searcher.search(TermQuery("table"), k=30))
+    boosted = hits(searcher.search(BoostQuery(TermQuery("table"), 2.0), k=30))
+    assert [d for d, _ in base] == [d for d, _ in boosted]
+    for (_, s0), (_, s2) in zip(base, boosted):
+        # weight = f32(idf)*f32(2) — exact doubling in float32
+        assert np.float32(s2) == np.float32(np.float32(2.0) * np.float32(s0))
+
+
+def test_boost_identity_is_noop(searcher):
+    assert hits(searcher.search(BoostQuery(TermQuery("table"), 1.0), k=20)) == hits(
+        searcher.search(TermQuery("table"), k=20)
+    )
+
+
+def test_nested_group_query(searcher):
+    """(+vector +(table OR scan)) — conjunction with a nested
+    disjunction, inexpressible in the flat model."""
+    q = BooleanQuery(
+        (
+            Clause("MUST", TermQuery("vector")),
+            Clause(
+                "MUST",
+                BooleanQuery(
+                    (
+                        Clause("SHOULD", TermQuery("table")),
+                        Clause("SHOULD", TermQuery("scan")),
+                    )
+                ),
+            ),
+        )
+    )
+    got = hits(searcher.search(q, k=None))
+    assert len(got) > 0
+    # membership check vs flat primitives
+    vec = {d for d, _ in hits(searcher.search(TermQuery("vector"), k=None))}
+    tor = {d for d, _ in hits(searcher.search(BooleanOr(("table", "scan")), k=None))}
+    assert {d for d, _ in got} == vec & tor
+    # score = f32(f64(score_vector + f32(or_sum)))
+    or_scores = dict(hits(searcher.search(BooleanOr(("table", "scan")), k=None)))
+    v_scores = dict(hits(searcher.search(TermQuery("vector"), k=None)))
+    for d, s in got:
+        want = np.float32(np.float64(v_scores[d]) + np.float64(or_scores[d]))
+        assert np.float32(s) == want, d
+
+
+def test_parsed_equals_programmatic(searcher):
+    q1 = parse_query("+vector (table scan) -dup")
+    q2 = BooleanQuery(
+        (
+            Clause("MUST", TermQuery("vector")),
+            Clause(
+                "SHOULD",
+                BooleanQuery(
+                    (
+                        Clause("SHOULD", TermQuery("table")),
+                        Clause("SHOULD", TermQuery("scan")),
+                    )
+                ),
+            ),
+            Clause("MUST_NOT", TermQuery("dup")),
+        )
+    )
+    assert hits(searcher.search(q1, k=30)) == hits(searcher.search(q2, k=30))
+
+
+def test_constant_score_wrapper(searcher):
+    inner = BooleanAnd(("scan", "table"))
+    docs = {d for d, _ in hits(searcher.search(inner, k=None))}
+    got = hits(searcher.search(ConstantScoreQuery(inner, boost=1.5), k=None))
+    assert {d for d, _ in got} == docs
+    assert all(s == np.float32(1.5) for _, s in got)
+
+
+def test_filter_clause_matches_without_scoring(searcher):
+    scored = hits(
+        searcher.search(
+            BooleanQuery(
+                (
+                    Clause("MUST", TermQuery("vector")),
+                    Clause("FILTER", TermQuery("table")),
+                )
+            ),
+            k=None,
+        )
+    )
+    both = {
+        d for d, _ in hits(searcher.search(BooleanAnd(("table", "vector")), k=None))
+    }
+    vec = dict(hits(searcher.search(TermQuery("vector"), k=None)))
+    assert {d for d, _ in scored} == both
+    for d, s in scored:  # FILTER contributes matching, not score
+        assert np.float32(s) == np.float32(vec[d]), d
+
+
+# ---------------------------------------------------------------------
+# sloppy phrase
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark, tmp_path_factory):
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+
+    rows = [
+        (0, "alpha beta gamma"),           # exact "alpha gamma"? no; a _ g slop1
+        (1, "alpha gamma beta"),           # exact "alpha gamma"
+        (2, "gamma alpha"),                # reversed only
+        (3, "alpha x y gamma"),            # gap 2
+        (4, "alpha gamma alpha gamma"),    # exact twice
+    ]
+    out = str(tmp_path_factory.mktemp("tiny") / "ix")
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(
+        spark, src, out,
+        IndexConfig(n_shards=1, segs_per_shard=1, id_col="doc_id",
+                    text_col="text", sharding="range_int",
+                    index_positions=True),
+    )
+    return IndexSearcher(spark, out)
+
+
+def test_sloppy_phrase_windows(tiny_index):
+    def docs(slop):
+        return {
+            r.doc_id
+            for r in tiny_index.search(
+                PhraseQuery(("alpha", "gamma"), slop=slop), k=None
+            ).collect()
+        }
+
+    assert docs(0) == {1, 4}
+    assert docs(1) == {0, 1, 4}
+    assert docs(2) == {0, 1, 4, 3}
+    # ordered-only semantics: doc 2 ("gamma alpha") never matches
+    assert 2 not in docs(5)
+
+
+def test_sloppy_zero_equals_exact(tiny_index):
+    exact = hits(tiny_index.search(PhraseQuery(("alpha", "gamma")), k=30))
+    slop0 = hits(tiny_index.search(PhraseQuery(("alpha", "gamma"), slop=0), k=30))
+    assert exact == slop0 and len(exact) > 0
+
+
+def test_sloppy_freq_counts(tiny_index):
+    """doc 4 = 'alpha gamma alpha gamma': slop=2 ordered windows are
+    (0,1) (0,3) (2,3) -> freq 3; doc 1 freq 1. Richer freq must not
+    lower the score (same doc_len here => strictly higher)."""
+    out = {
+        r.doc_id: r.score
+        for r in tiny_index.search(
+            PhraseQuery(("alpha", "gamma"), slop=2), k=None
+        ).collect()
+    }
+    assert out[4] > out[1]
