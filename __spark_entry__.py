@@ -858,6 +858,12 @@ def _op_embedding_pairs(spark, sf):
     return embedding_topk_pairs(_emb(spark, sf))
 
 
+def _op_embedding_lsh_pairs(spark, sf):
+    from lucene_solr_spark.ops.dedup import embedding_topk_pairs_lsh
+
+    return embedding_topk_pairs_lsh(_emb(spark, sf))
+
+
 def _op_ann_brute(spark, sf):
     from lucene_solr_spark.ops.similarity import cosine_topk
 
@@ -1043,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_docs": _op_simhash,
         "dedup_simhash_pairs": _op_simhash_pairs,
         "dedup_embedding_topk_pairs": _op_embedding_pairs,
+        "dedup_embedding_lsh_pairs": _op_embedding_lsh_pairs,
         "ann_cosine_topk": _op_ann_brute,
         "ann_ivf_topk": _op_ann_ivf,
         "knn_label_vote": _op_knn_vote,
@@ -1206,14 +1213,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*)::BIGINT AS cnt FROM documents "
             "WHERE n_chars BETWEEN 100 AND 300"
         ),
-        # training-data pipeline ops (ann_ivf_topk is approximate by
-        # design -> rows-only check, no oracle entry)
+        # training-data pipeline ops (ann_ivf_topk / the LSH pair path
+        # are approximate by DESIGN but deterministic, so their oracles
+        # reproduce the probe/bucket pipeline exactly)
         "dedup_exact_stats": _ops_oracles.exact_dedup_sql(),
         "dedup_ngram_jaccard": _ops_oracles.ngram_jaccard_sql(),
         "dedup_minhash_lsh": _ops_oracles.minhash_lsh_sql(),
         "dedup_simhash_docs": _ops_oracles.simhash_docs_sql(),
         "dedup_simhash_pairs": _ops_oracles.simhash_pairs_sql(),
         "dedup_embedding_topk_pairs": _ops_oracles.embedding_topk_pairs_sql(),
+        "dedup_embedding_lsh_pairs": _ops_oracles.embedding_topk_pairs_lsh_sql(),
+        "ann_ivf_topk": _ops_oracles.ann_ivf_sql(),
         "ann_cosine_topk": _ops_oracles.ann_brute_sql(),
         "knn_label_vote": _ops_oracles.knn_vote_sql(),
         "text_token_counts": _ops_oracles.token_counts_sql(),

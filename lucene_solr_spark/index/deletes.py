@@ -13,10 +13,11 @@ surviving docs are bit-unchanged.
 `update_documents` = delete-by-key + NRT append of the new versions
 (IndexWriter.updateDocument semantics, index/IndexWriter.java:1456-1473).
 
-Scale note: tombstones are a (key) table; the searcher resolves them
-via the doc_map once per searcher open and ships the sorted docID
-array to shards. At 10^12 scale this becomes a roaring-bitmap column
-per shard joined at scan time; the seam is the same.
+Scale shape: tombstones are a (key, watermark) table; the searcher
+resolves them to docIDs DISTRIBUTIVELY (doc_map ⋈ tombstones, see
+IndexSearcher.deleted_df) and attaches each shard's deleted-id array
+to that shard's cogrouped norms row — the per-shard liveDocs-bitmap
+analog; no O(deleted) driver state anywhere on the query path.
 """
 
 from __future__ import annotations
@@ -56,33 +57,6 @@ def delete_by_keys(spark: SparkSession, index_dir: str, keys: list) -> int:
     )
     df.write.mode("append").parquet(_tomb_dir(index_dir))
     return spark.read.parquet(_tomb_dir(index_dir)).count()
-
-
-def load_deleted_doc_ids(spark: SparkSession, index_dir: str, doc_map: DataFrame):
-    """Resolve tombstone keys -> sorted global docID numpy array.
-
-    Latest-generation docs win on update: ONLY doc_map rows whose key
-    is tombstoned are dead (the re-added version lives in a delta
-    generation with a different docID and no tombstone against it —
-    append_batch runs after delete, and tombstones match the base
-    rows)."""
-    import numpy as np
-
-    td = _tomb_dir(index_dir)
-    if not os.path.isdir(td):
-        return np.empty(0, np.int64)
-    tombs = (
-        spark.read.parquet(td)
-        .groupBy("key")
-        .agg(F.max("wm").alias("wm"))
-    )
-    rows = (
-        doc_map.join(F.broadcast(tombs), "key")
-        .where(F.col("doc_id") < F.col("wm"))
-        .select("doc_id")
-        .collect()
-    )
-    return np.array(sorted(int(r.doc_id) for r in rows), np.int64)
 
 
 def update_documents(

@@ -141,18 +141,21 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
 # ----------------------------------------------------------------------
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, m0..m15): 16-permutation MinHash signature.
-
-    ONE hash-aggregate (map-side partial min) over the exploded
-    shingles — the 16 permutations are columns of the same groupBy, not
-    16 passes."""
-    ds = _distinct_shingles(docs, n).withColumn("h", h32(F.col("s")))
+def _signatures_from_shingles(ds: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15) from a (doc_id, s) distinct-shingle frame:
+    ONE hash-aggregate (map-side partial min) — the 16 permutations
+    are columns of the same groupBy, not 16 passes."""
+    hashed = ds.withColumn("h", h32(F.col("s")))
     aggs = [
         F.min(minhash_col(F.col("h"), i)).alias(f"m{i}")
         for i in range(len(MINHASH_PERMS))
     ]
-    return ds.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, m0..m15): 16-permutation MinHash signature."""
+    return _signatures_from_shingles(_distinct_shingles(docs, n))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFrame:
@@ -165,8 +168,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFram
 
     Scale: signatures are one narrow row per doc; the band-bucket
     shuffle joins on 128-bit keys so only true near-dup clusters
-    collide.  Verification touches candidate pairs only."""
-    sig = minhash_signatures(docs, n)
+    collide.  Verification touches candidate pairs only. The distinct-
+    shingle frame is computed ONCE and persisted — signatures and
+    verification share the same scan (at the 100 TB design point this
+    persist becomes a materialized shingle table)."""
+    ds = _distinct_shingles(docs, n).persist()
+    sig = _signatures_from_shingles(ds)
     band_cols = []
     for bnd in range(N_BANDS):
         ms = [F.col(f"m{bnd * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -186,8 +193,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFram
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )
-    # exact verification restricted to candidates
-    ds = _distinct_shingles(docs, n)
+    # exact verification restricted to candidates (reuses persisted ds)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = ds.select(F.col("doc_id").alias("id_a"), F.col("s"))
     sb = ds.select(F.col("doc_id").alias("id_b"), F.col("s"))
@@ -251,20 +257,53 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming —
+    BANDED, not all-pairs.
 
-    Sandbox plan is the O(n^2) comparison; the scale path blocks on
-    16-bit halves first (a pair within Hamming 6 of 32 bits shares at
-    least one exact half only when distance <= ... not guaranteed —
-    so the scale variant uses 4x 8-bit band keys: any pair within
-    Hamming 3 shares a band; we keep the exact small-scale join here
-    and note banding as the production rollout)."""
+    Pigeonhole: split the 32-bit fingerprint into (max_hamming + 1)
+    bit-bands; any pair within Hamming distance max_hamming agrees
+    EXACTLY on at least one band. Candidates come from an equi-join on
+    (band_id, band_bits) — one shuffle keyed by band values, so only
+    genuine near-dup clusters collide — then the exact 32-bit Hamming
+    verify runs on candidates only. Output identical to the all-pairs
+    plan (same oracle)."""
     sh = simhash_docs(docs)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    n_bands = max_hamming + 1
+    widths = [SIMHASH_BITS // n_bands] * n_bands
+    widths[-1] += SIMHASH_BITS % n_bands
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    band_cols = [
+        F.shiftright(F.col("simhash"), offsets[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        .cast("long")
+        for i in range(n_bands)
+    ]
+    bands = sh.select(
+        "doc_id",
+        F.col("simhash"),
+        F.posexplode(F.array(*band_cols)).alias("band", "bits"),
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bits") == F.col("y.bits"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
@@ -313,6 +352,49 @@ def embedding_topk_pairs(emb: DataFrame, k: int = 20) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos", F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+        )
+        .select("id_a", "id_b", "cos")
+    )
+    return pairs.orderBy(F.desc("cos"), "id_a", "id_b").limit(k)
+
+
+def embedding_topk_pairs_lsh(emb: DataFrame, k: int = 20) -> DataFrame:
+    """Bucket-local near-dup pair ranking — the 100 TB variant of
+    embedding_topk_pairs: the quadratic cosine kernel runs INSIDE LSH
+    buckets only (sign-bit hyperplane codes, deterministic planes
+    shared with similarity.ivf_topk), so the join is an equi-join on
+    `bucket` instead of a cross join. At scale `bucket` is the table
+    partition key and each bucket's pairs compute co-located.
+
+    Approximate by design (cross-bucket pairs are unseen) but fully
+    deterministic — the DuckDB oracle reproduces it exactly."""
+    from lucene_solr_spark.ops.similarity import _bucket_col, _hyperplanes
+
+    dim = len(emb.select("embedding").first()[0])
+    planes = _hyperplanes(dim)
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        _norm(F.col("embedding")).alias("nrm"),
+        _bucket_col(F.col("embedding"), planes).alias("bucket"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), F.col("bucket"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6),
         )
         .select("id_a", "id_b", "cos")
     )

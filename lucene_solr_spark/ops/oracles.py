@@ -179,6 +179,75 @@ def ann_brute_sql(vec_id: int = 0, k: int = 10) -> str:
     return f"{_ann_select(vec_id)} ORDER BY cos DESC, vec_id LIMIT {k}"
 
 
+def _bucket_sql(col: str, dim: int = 64) -> str:
+    """LSH bucket code of `col` with the engine's frozen hyperplanes
+    (similarity._hyperplanes — seeded, deterministic; testdata
+    embeddings are 64-d). Dot products are the same element-ordered
+    double folds as the Spark side, so bucket assignment matches
+    bit-for-bit."""
+    from lucene_solr_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN {_dot_sql(col, lit)} > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def ann_ivf_sql(
+    vec_id: int = 0, k: int = 10, n_probe: int = 4, n_centroids: int = 16
+) -> str:
+    """Centroid IVF (similarity.ivf_topk), reproduced exactly and
+    fully data-driven: coarse cells = nearest of the first n_centroids
+    vectors by cosine (ties -> smaller cid), probe the n_probe cells
+    nearest the query, exact cosine re-rank inside."""
+    dotec = _dot_sql("e.embedding", "c.ce")
+    nec = _norm_sql("c.ce")
+    dotqc = _dot_sql("q.qe", "c.ce")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {n_centroids}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dotec} / {nec} DESC, c.cid) AS rn
+  FROM embeddings e, cents c
+),
+b AS (SELECT vec_id, embedding, cid AS bucket FROM scored WHERE rn = 1),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {vec_id}),
+probes AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {dotqc} / {nec} DESC, c.cid LIMIT {n_probe}
+),
+cand AS (SELECT b.vec_id, b.embedding FROM b JOIN probes ON b.bucket = probes.cid)
+SELECT cand.vec_id,
+  round({_dot_sql("cand.embedding", "q.qe")}
+        / ({_norm_sql("cand.embedding")} * {_norm_sql("q.qe")}), 6) AS cos
+FROM cand, q WHERE cand.vec_id <> {vec_id}
+ORDER BY cos DESC, vec_id LIMIT {k}"""
+
+
+def embedding_topk_pairs_lsh_sql(k: int = 20) -> str:
+    """Bucket-local pair ranking (dedup.embedding_topk_pairs_lsh)."""
+    dot = _dot_sql("a.embedding", "b.embedding")
+    na = _norm_sql("a.embedding")
+    nb = _norm_sql("b.embedding")
+    return f"""
+WITH bk AS (
+  SELECT e.vec_id, e.embedding, {_bucket_sql("e.embedding")} AS bucket
+  FROM embeddings e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot} / ({na} * {nb}), 6) AS cos
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+ORDER BY cos DESC, id_a, id_b LIMIT {k}"""
+
+
 def knn_vote_sql(vec_id: int = 0, k: int = 10) -> str:
     return f"""
 WITH nn AS ({_ann_select(vec_id)} ORDER BY cos DESC, vec_id LIMIT {k})

@@ -51,7 +51,8 @@ def cosine_topk(
     return out.orderBy(F.desc("cos"), "vec_id").limit(k)
 
 
-# ---- IVF / LSH bucketing -------------------------------------------------
+# ---- LSH bucketing (sign-bit hyperplanes; used by the bucket-local
+# pair kernel dedup.embedding_topk_pairs_lsh) ------------------------------
 
 N_PLANES = 4  # 16 buckets
 
@@ -76,22 +77,77 @@ def _bucket_col(e: Column, planes: np.ndarray) -> Column:
     return code.cast("int")
 
 
+# ---- IVF: coarse centroid quantizer + probe + exact re-rank -------------
+
+N_CENTROIDS = 16
+
+
+def _fold_dot(a, b) -> float:
+    """Left-fold double dot product — the SAME accumulation order as
+    the JVM F.aggregate fold and the oracle's list_reduce, so driver-
+    side probe selection is bitwise consistent with both."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the N_CENTROIDS smallest
+    vec_ids. (Production would k-means a sample; the quantize/probe
+    seam — FAISS-IVF style — is identical, and a frozen seed set keeps
+    the whole pipeline oracle-reproducible.)"""
+    rows = (
+        emb.where(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+
+
+def _assign_bucket_col(e: Column, cents) -> Column:
+    """bucket = cid of the nearest centroid by cosine (ties -> smaller
+    cid, via first-occurrence array_position). |e| is a common factor,
+    so score_i = dot(e, c_i) / |c_i| suffices."""
+    import math
+
+    sims = []
+    for _cid, c in cents:
+        ccol = F.array(*[F.lit(x).cast("double") for x in c])
+        cn = math.sqrt(_fold_dot(c, c))
+        sims.append(_dot(e, ccol) / F.lit(cn))
+    arr = F.array(*sims)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
 def ivf_topk(
     emb: DataFrame, vec_id: int = 0, k: int = 10, n_probe: int = 4
 ) -> DataFrame:
-    """Approximate top-k: probe the query bucket + the n_probe-1
-    nearest buckets by Hamming distance of the sign code, exact
-    re-rank within.  Recall is tested against cosine_topk in
-    tests/test_ops.py; semantics are approximate by design (no SQL
-    oracle — driver records the rows-only check)."""
-    q = _query_vec(emb, vec_id)
-    planes = _hyperplanes(len(q))
-    proj = planes @ np.array(q, np.float64)
-    qcode = int(sum((1 << i) for i, v in enumerate(proj) if v > 0))
-    codes = sorted(range(1 << N_PLANES), key=lambda c: (bin(c ^ qcode).count("1"), c))
-    probe = codes[:n_probe]
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid (the inverted-file cell), probe the n_probe cells nearest
+    the query, exact cosine re-rank inside the probed cells.
 
-    bucketed = emb.withColumn("bucket", _bucket_col(F.col("embedding"), planes))
+    At 100 TB the cell id is the table partition key, so a query scans
+    n_probe/N_CENTROIDS of the corpus. Fully deterministic: the DuckDB
+    oracle (ops/oracles.ann_ivf_sql) reproduces assignment, probe
+    selection, and re-rank exactly; recall@10 vs cosine_topk is
+    asserted in tests/test_ops.py."""
+    import math
+
+    q = _query_vec(emb, vec_id)
+    cents = _centroids(emb)
+    if not cents:
+        return cosine_topk(emb, vec_id, k)
+    scored = sorted(
+        (-(_fold_dot(q, c) / math.sqrt(_fold_dot(c, c))), cid)
+        for cid, c in cents
+    )
+    probe = [cid for _, cid in scored[:n_probe]]
+
+    bucketed = emb.withColumn(
+        "bucket", _assign_bucket_col(F.col("embedding"), cents)
+    )
     cand = bucketed.where(F.col("bucket").isin(probe))
     qcol = F.array(*[F.lit(float(x)).cast("double") for x in q])
     qn = float(np.sqrt(np.sum(np.array(q, np.float64) ** 2)))

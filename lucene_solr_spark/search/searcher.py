@@ -182,14 +182,29 @@ class _LazyTerms:
         return np.concatenate(ds), np.concatenate(ts)
 
 
-def _decode_shard(pdf: pd.DataFrame):
+def _decode_shard(pdf: pd.DataFrame, norms_pdf: pd.DataFrame | None = None):
     """Build lazy shard accessors.
 
-    Returns (base, norms, lt, dfs, per_pos_fn) with lt a _LazyTerms."""
-    base = int(pdf["base"].iloc[0])
-    norms = np.frombuffer(pdf["norms"].iloc[0], np.uint8)
+    Returns (base, norms, lt, dfs, per_pos_fn) with lt a _LazyTerms.
+    The shard's norm blob comes from `norms_pdf` (the cogrouped norms
+    side — one small row per shard) or, for legacy/joined frames, from
+    columns on `pdf` itself."""
+    src = norms_pdf if norms_pdf is not None else pdf
+    base = int(src["base"].iloc[0])
+    norms = np.frombuffer(src["norms"].iloc[0], np.uint8)
     lt = _LazyTerms(pdf)
     return base, norms, lt, lt.dfs, lt
+
+
+def _local_deleted(norms_pdf: pd.DataFrame, off: int) -> np.ndarray | None:
+    """Per-shard tombstoned docIDs (generation-local) from the cogrouped
+    norms row's `deleted` array column, if present."""
+    if "deleted" not in norms_pdf.columns:
+        return None
+    arr = norms_pdf["deleted"].iloc[0]
+    if arr is None or len(arr) == 0:
+        return None
+    return np.asarray(arr, np.int64) - np.int64(off)
 
 
 def _alive(docs: np.ndarray, deleted: np.ndarray | None) -> np.ndarray:
@@ -935,14 +950,63 @@ class IndexSearcher:
 
     def deleted_doc_ids(self) -> np.ndarray:
         """Sorted global docIDs of tombstoned docs (liveDocs complement).
-        Resolved once per searcher (point-in-time view)."""
-        if self._deleted is None:
-            from lucene_solr_spark.index.deletes import load_deleted_doc_ids
+        Resolved once per searcher (point-in-time view).
 
-            self._deleted = load_deleted_doc_ids(
-                self.spark, self.index_dir, self.doc_map()
-            )
+        Driver-side materialization — used only by offline maintenance
+        helpers; the query path ships deletes per shard via
+        _norms_for_query (no O(deleted) driver state)."""
+        if self._deleted is None:
+            if not self._has_tombstones():
+                self._deleted = np.empty(0, np.int64)
+            else:
+                rows = self.deleted_df().select("doc_id").collect()
+                self._deleted = np.array(
+                    sorted(int(r.doc_id) for r in rows), np.int64
+                )
         return self._deleted
+
+    def _has_tombstones(self) -> bool:
+        return os.path.isdir(os.path.join(self.index_dir, "tombstones"))
+
+    def deleted_df(self) -> DataFrame:
+        """(shard, doc_id) of tombstoned docs, resolved DISTRIBUTIVELY
+        against the doc_map (no driver materialization — the per-shard
+        liveDocs-bitmap analog, Lucene50LiveDocsFormat). A tombstone
+        kills only doc versions below its watermark (delGen
+        semantics, see index/deletes.py)."""
+        tombs = (
+            self.spark.read.parquet(
+                os.path.join(self.index_dir, "tombstones")
+            )
+            .groupBy("key")
+            .agg(F.max("wm").alias("wm"))
+        )
+        return (
+            self.doc_map()
+            .join(F.broadcast(tombs), "key")
+            .where(F.col("doc_id") < F.col("wm"))
+            .select("shard", "doc_id")
+        )
+
+    def _norms_for_query(self, matched: DataFrame) -> DataFrame:
+        """The cogroup right side: one small norms row per matched
+        shard, with the shard's tombstoned docIDs attached as an array
+        column. Replaces the old broadcast-blob join (which widened
+        every posting row by the whole shard's norm bytes) — the
+        norms blob now ships ONCE per shard into its leaf task, and
+        only for shards the query actually touches (.nvd-per-segment
+        read discipline)."""
+        norms = self._norms.join(
+            matched.select("shard").distinct(), "shard", "left_semi"
+        )
+        if self._has_tombstones():
+            dd = (
+                self.deleted_df()
+                .groupBy("shard")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("deleted"))
+            )
+            norms = norms.join(dd, "shard", "left")
+        return norms
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         rows = (
@@ -1120,28 +1184,34 @@ class IndexSearcher:
             return self.search(BooleanMustShould(must, should), k, prune)
         spec = self._spec(q)
         terms = sorted(set(spec["terms"]))
-        joined = self._matched(terms).join(F.broadcast(self._norms), "shard")
+        matched = self._matched(terms)
 
         cache = self.cache
         max_doc = self.max_doc
         use_prune = _prune_eligible(spec, k, prune)
         offsets = dict(self._doc_offsets)
-        deleted = self.deleted_doc_ids()
 
-        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            decoded = _decode_shard(pdf)
+        def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(nr) == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float32")}
+                )
+            decoded = _decode_shard(left, nr)
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
-            off = offsets.get(int(pdf["shard"].iloc[0]), 0)
-            del_local = deleted - off if len(deleted) else deleted
+            off = offsets.get(int(left["shard"].iloc[0]), 0)
+            del_local = _local_deleted(nr, off)
             out = _score_spec(
-                pdf, decoded, spec, idfs, cache, k, use_prune, del_local
+                left, decoded, spec, idfs, cache, k, use_prune, del_local
             )
             if off:
                 out["doc_id"] = out["doc_id"] + off
             return out
 
-        per_shard = joined.groupBy("shard").applyInPandas(
-            score_group, "doc_id long, score float"
+        per_shard = (
+            matched.groupBy("shard")
+            .cogroup(self._norms_for_query(matched).groupBy("shard"))
+            .applyInPandas(score_group, "doc_id long, score float")
         )
         ordered = per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
         return ordered if k is None else ordered.limit(k)
@@ -1161,23 +1231,28 @@ class IndexSearcher:
 
         specs = {qid: self._spec(rewrite(q)) for qid, q in queries.items()}
         all_terms = sorted({t for s in specs.values() for t in s["terms"]})
-        joined = self._matched(all_terms).join(F.broadcast(self._norms), "shard")
+        matched = self._matched(all_terms)
 
         cache = self.cache
         max_doc = self.max_doc
         offsets = dict(self._doc_offsets)
-        deleted = self.deleted_doc_ids()
 
-        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            decoded = _decode_shard(pdf)
+        def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(nr) == 0:
+                return pd.DataFrame(
+                    {"qid": pd.Series(dtype="object"),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float32")}
+                )
+            decoded = _decode_shard(left, nr)
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
-            off = offsets.get(int(pdf["shard"].iloc[0]), 0)
-            del_local = deleted - off if len(deleted) else deleted
+            off = offsets.get(int(left["shard"].iloc[0]), 0)
+            del_local = _local_deleted(nr, off)
             outs = []
             for qid, spec in specs.items():
                 use_prune = _prune_eligible(spec, k, prune)
                 r = _score_spec(
-                    pdf, decoded, spec, idfs, cache, k, use_prune, del_local
+                    left, decoded, spec, idfs, cache, k, use_prune, del_local
                 )
                 if off:
                     r["doc_id"] = r["doc_id"] + off
@@ -1185,8 +1260,10 @@ class IndexSearcher:
                 outs.append(r)
             return pd.concat(outs, ignore_index=True)
 
-        per_shard = joined.groupBy("shard").applyInPandas(
-            score_group, "qid string, doc_id long, score float"
+        per_shard = (
+            matched.groupBy("shard")
+            .cogroup(self._norms_for_query(matched).groupBy("shard"))
+            .applyInPandas(score_group, "qid string, doc_id long, score float")
         )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
@@ -1217,25 +1294,26 @@ class IndexSearcher:
             cond = F.col("term").rlike(regex)
         matched = self._postings.where(cond)
         offsets = dict(self._doc_offsets)
-        deleted = self.deleted_doc_ids()
 
         def dec(batches):
             for pdf in batches:
                 outs = []
-                for _, row in pdf.iterrows():
+                for row in pdf.itertuples(index=False):
                     d, _t = decode_posting_list(
-                        bytes(row["doc_enc"]), bytes(row["tf_enc"]), int(row["df"])
+                        bytes(row.doc_enc), bytes(row.tf_enc), int(row.df)
                     )
-                    d = d + offsets.get(int(row["shard"]), 0)
-                    if len(deleted):
-                        d = d[~np.isin(d, deleted)]
-                    outs.append(d)
+                    outs.append(d + offsets.get(int(row.shard), 0))
                 if outs:
                     yield pd.DataFrame({"doc_id": np.unique(np.concatenate(outs))})
 
         docs = matched.select("shard", "df", "doc_enc", "tf_enc").mapInPandas(
             dec, "doc_id long"
         ).distinct()
+        if self._has_tombstones():
+            # liveDocs as a distributed anti-join (no driver-side array)
+            docs = docs.join(
+                self.deleted_df().select("doc_id"), "doc_id", "left_anti"
+            )
         out = (
             docs.withColumn("score", F.lit(1.0).cast("float"))
             .orderBy("doc_id")
