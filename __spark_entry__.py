@@ -82,6 +82,33 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_FIELDED_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _fielded_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Multi-field index: `text` (default) + `source` as a second
+    analyzed field (per-field postings/norms/stats — Term.java:36,
+    FieldInfos.java)."""
+    key = f"{sf_dir}:fielded:{_engine_fingerprint()}"
+    if key in _FIELDED_SEARCHERS:
+        return _FIELDED_SEARCHERS[key]
+    digest = hashlib.sha256(key.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), "lss_index_cache", digest)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_index(
+            spark,
+            src,
+            out,
+            IndexConfig(n_shards=4, segs_per_shard=2, analyzer="standard",
+                        id_col="doc_id", text_col="text",
+                        extra_fields=("source",), sharding="range_int"),
+        )
+    s = IndexSearcher(spark, out)
+    _FIELDED_SEARCHERS[key] = s
+    return s
+
+
 def _hits(spark, sf_dir, query, k) -> DataFrame:
     s = _searcher_for(spark, sf_dir)
     return s.search(query, k=k).select(
@@ -486,6 +513,50 @@ def _q_sloppy_phrase(spark, sf):
     searcher._eval_phrase docstring for the documented deviation from
     SloppyPhraseScorer's slop-factor weighting)."""
     return _hits(spark, sf, PhraseQuery(("table", "scan"), slop=2), K)
+
+
+def _q_fielded(spark, sf):
+    """Per-field search: +text:table +source:src3 — cross-field
+    conjunction with per-field norms/avgdl/df (Term.java:36)."""
+    from lucene_solr_spark.search.query import BooleanQuery, Clause
+
+    s = _fielded_searcher_for(spark, sf)
+    q = BooleanQuery(
+        (
+            Clause("MUST", TermQuery("table")),
+            Clause("MUST", TermQuery("src3", field="source")),
+        )
+    )
+    return s.search(q, k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _fielded_sql(k: int) -> str:
+    """source field: every doc has exactly one token -> tf=1,
+    doc_len=1, avgdl=1, norm byte of 1/sqrt(1) -> NORM_TABLE=1, so
+    cache = k1*((1-b) + b) = k1 exactly (all f32-exact ops)."""
+    return f"""
+WITH {_BM25_CTES}, {_sc_cte(("table",))},
+sdf AS (SELECT source, count(*)::BIGINT AS df FROM documents GROUP BY source),
+src_sc AS (
+  SELECT d.doc_id,
+    ((CAST(ln(1 + ((SELECT n FROM a) - sdf.df + 0.5) / (sdf.df + 0.5)) AS REAL))
+      * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+    * CAST(1.0 AS REAL) /
+      (CAST(1.0 AS REAL) + CAST(1.2 AS REAL)
+        * ((CAST(1.0 AS REAL) - CAST(0.75 AS REAL))
+           + CAST(0.75 AS REAL) * CAST(1.0 AS REAL) / CAST(1.0 AS REAL))) AS s
+  FROM documents d JOIN sdf USING (source)
+  WHERE d.source = 'src3'
+)
+SELECT t.doc_id,
+  CAST(CAST(CAST(t.s AS DOUBLE) + CAST(x.s AS DOUBLE) AS REAL) AS DOUBLE) AS score
+FROM (SELECT doc_id, s FROM sc WHERE term = 'table') t
+JOIN src_sc x USING (doc_id)
+ORDER BY CAST(CAST(t.s AS DOUBLE) + CAST(x.s AS DOUBLE) AS REAL) DESC, t.doc_id
+LIMIT {k}"""
 
 
 def _nested_bool_sql(k: int) -> str:
@@ -1020,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
         "wildcard_constant_topk": _q_wildcard,
+        "bm25_fielded_topk": _q_fielded,
         "bm25_nested_bool_topk": _q_nested_bool,
         "bm25_boosted_or_topk": _q_boosted_or,
         "query_parser_topk": _q_parser,
@@ -1116,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
             f"WHERE term LIKE 'sc%' ORDER BY doc_id LIMIT {K}"
         ),
+        "bm25_fielded_topk": _fielded_sql(K),
         "bm25_nested_bool_topk": _nested_bool_sql(K),
         "bm25_boosted_or_topk": _boosted_or_sql(K),
         "query_parser_topk": _parser_sql(K),

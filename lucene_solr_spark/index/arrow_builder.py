@@ -51,6 +51,8 @@ def _arrow_schema():
             ("block_max_tf", _LIST_I32),
             ("block_max_norm", _LIST_I32),
             ("pos_enc", pa.binary()),
+            ("field", pa.string()),
+            ("sum_dl", pa.int64()),
             ("keys_enc", pa.binary()),
             ("doc_lens_enc", pa.binary()),
             ("norms_enc", pa.binary()),
@@ -71,8 +73,13 @@ def _list_array(parts: list[np.ndarray], dtype) -> pa.Array:
     return pa.array([], pa.list_(pa.from_numpy_dtype(dtype)))
 
 
-def make_arrow_segment_builder(key_kind: str, index_positions: bool):
-    """Returns the applyInArrow function building ONE segment's rows."""
+def make_arrow_segment_builder(
+    key_kind: str, index_positions: bool, field_name: str = "text"
+):
+    """Returns the applyInArrow function building ONE segment's rows.
+
+    Single-field fast path; multi-field builds use the pandas engine
+    (builder._make_segment_builder with `fields`)."""
 
     def build_segment(tbl: pa.Table) -> pa.Table:
         schema = _arrow_schema()
@@ -177,6 +184,8 @@ def make_arrow_segment_builder(key_kind: str, index_positions: bool):
         arrays.append(
             col((pos_encs if pos_encs is not None else none_post) + [None], pa.binary())
         )
+        arrays.append(col(none_post + [field_name], pa.string()))
+        arrays.append(col(none_post + [int(doc_lens.sum())], pa.int64()))
         arrays.append(col(none_post + [keys_b], pa.binary()))
         arrays.append(
             col(none_post + [doc_lens.astype("<i4").tobytes()], pa.binary())

@@ -74,6 +74,13 @@ from lucene_solr_spark.functions.smallfloat import encode_norm
 from lucene_solr_spark.index.codec import encode_posting_lists, vbyte_encode
 
 
+# Term = (field, bytes) (index/Term.java:36). Internally a non-default
+# field's term is stored as "<field>\x1d<token>" — the dictionary then
+# sorts by (field, term), exactly Lucene's per-field BlockTree ordering,
+# and every (term)-keyed stage (merge, stats, pushdown) works unchanged.
+FIELD_SEP = "\x1d"
+
+
 @dataclass
 class IndexConfig:
     n_shards: int = 4
@@ -81,6 +88,12 @@ class IndexConfig:
     analyzer: str = "standard"
     id_col: str = "doc_id"
     text_col: str = "text"
+    # additional analyzed fields (source columns), each with its own
+    # postings (field-prefixed terms), doc lengths, norms and
+    # collection stats (FieldInfos analog, index/FieldInfos.java).
+    # Positions are indexed for the default field only. Multi-field
+    # builds run the pandas segment engine.
+    extra_fields: tuple = ()
     sharding: str = "range_int"  # 'range_int' | 'hash'
     # write the .pos analog (per-doc delta position streams) — needed
     # for PhraseQuery; off by default (DOCS_AND_FREQS IndexOptions)
@@ -113,7 +126,9 @@ SEGMENT_SCHEMA = StructType(
         StructField("block_max_tf", ArrayType(IntegerType())),
         StructField("block_max_norm", ArrayType(IntegerType())),
         StructField("pos_enc", BinaryType()),  # .pos analog (optional)
-        # meta-row payloads (one 'm' row per segment)
+        # meta-row payloads (one 'm' row per segment AND FIELD)
+        StructField("field", StringType()),  # meta rows: which field
+        StructField("sum_dl", LongType()),  # Σ doc_len of this field
         StructField("keys_enc", BinaryType()),  # int64 LE keys, sorted
         StructField("doc_lens_enc", BinaryType()),  # int32 LE
         StructField("norms_enc", BinaryType()),  # uint8
@@ -146,6 +161,7 @@ def _make_segment_builder(
     segs_per_shard: int,
     key_kind: str = "l",
     index_positions: bool = False,
+    fields: tuple = (("text", "text"),),
 ):
     """Returns the applyInPandas function building ONE segment's rows.
 
@@ -154,10 +170,16 @@ def _make_segment_builder(
     codepoint, which equals utf-8 bytewise order (Lucene's term/key
     comparison contract, index/Term.java:49-57).
 
-    index_positions additionally emits the .pos analog: per (term, doc)
-    position lists with Lucene position-increment semantics (stopped /
-    overlong tokens advance positions but are not emitted —
-    FilteringTokenFilter.java:49-62)."""
+    index_positions additionally emits the .pos analog for the DEFAULT
+    field: per (term, doc) position lists with Lucene position-
+    increment semantics (stopped / overlong tokens advance positions
+    but are not emitted — FilteringTokenFilter.java:49-62).
+
+    `fields` is an ordered [(field_name, frame_col)]; fields[0] is the
+    default field (unprefixed terms); later fields get field-prefixed
+    terms (FIELD_SEP) and their own doc lengths / norms meta rows —
+    the FieldInfos / per-field invert of DefaultIndexingChain
+    (index/DefaultIndexingChain.java:461-499)."""
     tokenize = ANALYZERS[analyzer_name]
     if index_positions:
         from lucene_solr_spark.analysis.analyzers import ANALYZERS_POS
@@ -165,29 +187,21 @@ def _make_segment_builder(
 
         tokenize_pos = ANALYZERS_POS[analyzer_name]
 
-    def build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA.fields])
-        g = int(pdf["g"].iloc[0])
-        pdf = pdf.sort_values("key", kind="mergesort").reset_index(drop=True)
-        if key_kind == "s":
-            key_list = pdf["key"].astype(str).tolist()
-            assert all("\n" not in k for k in key_list), "string keys must not contain newlines"
-            keys_b = "\n".join(key_list).encode("utf-8")
-        else:
-            keys = pdf["key"].to_numpy(np.int64)
-            keys_b = keys.astype("<i8").tobytes()
-        if index_positions:
-            tp_lists = tokenize_pos(pdf["text"])
+    def invert(series: pd.Series, with_pos: bool):
+        """-> (doc_lens, norms, parts|None) where parts =
+        (uniques, dfs, cfs, enc, pos_encs)."""
+        n_docs = len(series)
+        if with_pos:
+            tp_lists = tokenize_pos(series)
             doc_lens = tp_lists.str.len().to_numpy(np.int64)
         else:
-            token_lists = tokenize(pdf["text"])
+            token_lists = tokenize(series)
             doc_lens = token_lists.str.len().to_numpy(np.int64)
         norms = encode_norm(doc_lens)
-        n_docs = len(pdf)
-
         total = int(doc_lens.sum())
-        if total and index_positions:
+        if not total:
+            return doc_lens, norms, None
+        if with_pos:
             flat = np.empty(total, dtype=object)
             flat_pos = np.empty(total, np.int64)
             w = 0
@@ -214,7 +228,7 @@ def _make_segment_builder(
             enc = encode_posting_lists(dfs, doc_local, tfs, norms[doc_local])
             pos_per_term = np.bincount(c_s, minlength=len(uniques)).astype(np.int64)
             pos_encs = encode_position_lists(p_s, tfs, pos_per_term)
-        elif total:
+        else:
             flat = np.empty(total, dtype=object)
             pos = 0
             for lst in token_lists:
@@ -232,39 +246,73 @@ def _make_segment_builder(
             cfs = np.add.reduceat(tfs, np.cumsum(dfs) - dfs).astype(np.int64)
             enc = encode_posting_lists(dfs, doc_local, tfs, norms[doc_local])
             pos_encs = None
-        if total:
-            posting_rows = pd.DataFrame(
-                {
-                    "g": g,
-                    "kind": "p",
-                    "term": uniques.astype(str),
-                    "df": dfs,
-                    "cf": cfs,
-                    "doc_enc": enc["doc_enc"],
-                    "tf_enc": enc["tf_enc"],
-                    "block_last": enc["block_last"],
-                    "block_doc_off": enc["block_doc_off"],
-                    "block_tf_off": enc["block_tf_off"],
-                    "block_max_tf": enc["block_max_tf"],
-                    "block_max_norm": enc["block_max_norm"],
-                    "pos_enc": pos_encs if pos_encs is not None else None,
-                }
-            )
-        else:
-            posting_rows = pd.DataFrame()
+        return doc_lens, norms, (uniques, dfs, cfs, enc, pos_encs)
 
-        meta_row = pd.DataFrame(
-            {
-                "g": [g],
-                "kind": ["m"],
-                "keys_enc": [keys_b],
-                "doc_lens_enc": [doc_lens.astype("<i4").tobytes()],
-                "norms_enc": [norms.astype(np.uint8).tobytes()],
-                "n_docs": [n_docs],
-                "fingerprint": [hashlib.sha256(keys_b).hexdigest()[:16]],
-            }
-        )
-        out = pd.concat([posting_rows, meta_row], ignore_index=True)
+    def build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA.fields])
+        g = int(pdf["g"].iloc[0])
+        pdf = pdf.sort_values("key", kind="mergesort").reset_index(drop=True)
+        if key_kind == "s":
+            key_list = pdf["key"].astype(str).tolist()
+            assert all("\n" not in k for k in key_list), "string keys must not contain newlines"
+            keys_b = "\n".join(key_list).encode("utf-8")
+        else:
+            keys = pdf["key"].to_numpy(np.int64)
+            keys_b = keys.astype("<i8").tobytes()
+        n_docs = len(pdf)
+
+        frames: list[pd.DataFrame] = []
+        for fi, (fname, fcol) in enumerate(fields):
+            with_pos = index_positions and fi == 0
+            doc_lens, norms, parts = invert(pdf[fcol], with_pos)
+            if parts is not None:
+                uniques, dfs, cfs, enc, pos_encs = parts
+                term_out = uniques.astype(str)
+                if fi > 0:
+                    term_out = np.array(
+                        [f"{fname}{FIELD_SEP}{t}" for t in term_out],
+                        dtype=object,
+                    )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "g": g,
+                            "kind": "p",
+                            "term": term_out,
+                            "df": dfs,
+                            "cf": cfs,
+                            "doc_enc": enc["doc_enc"],
+                            "tf_enc": enc["tf_enc"],
+                            "block_last": enc["block_last"],
+                            "block_doc_off": enc["block_doc_off"],
+                            "block_tf_off": enc["block_tf_off"],
+                            "block_max_tf": enc["block_max_tf"],
+                            "block_max_norm": enc["block_max_norm"],
+                            "pos_enc": pos_encs if pos_encs is not None else None,
+                        }
+                    )
+                )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "g": [g],
+                        "kind": ["m"],
+                        "field": [fname],
+                        "sum_dl": [int(doc_lens.sum())],
+                        "keys_enc": [keys_b if fi == 0 else None],
+                        "doc_lens_enc": [doc_lens.astype("<i4").tobytes()],
+                        "norms_enc": [norms.astype(np.uint8).tobytes()],
+                        "n_docs": [n_docs],
+                        "fingerprint": [
+                            hashlib.sha256(keys_b).hexdigest()[:16]
+                            if fi == 0
+                            else None
+                        ],
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
         for f in SEGMENT_SCHEMA.fields:
             if f.name not in out.columns:
                 out[f.name] = None
@@ -387,6 +435,7 @@ def _make_merger(seg_bases: dict[int, int], segs_per_shard: int):
 NORMS_SCHEMA = StructType(
     [
         StructField("shard", IntegerType()),
+        StructField("field", StringType()),
         StructField("base", LongType()),
         StructField("n_docs", LongType()),
         StructField("norms", BinaryType()),
@@ -414,10 +463,13 @@ def build_index(
         cfg.id_col
     ]
     key_kind = "s" if key_type == "string" else "l"
-    keyed = src.select(
+    sel = [
         F.col(cfg.id_col).cast("string" if key_kind == "s" else "long").alias("key"),
         F.col(cfg.text_col).cast("string").alias("text"),
-    )
+    ]
+    for i, xf in enumerate(cfg.extra_fields):
+        sel.append(F.col(xf).cast("string").alias(f"xf{i}"))
+    keyed = src.select(*sel)
 
     if key_kind == "s" and cfg.sharding == "range_int":
         raise ValueError("range_int sharding requires integer keys; use sharding='hash'")
@@ -454,7 +506,10 @@ def build_index(
     if done:
         todo = with_g.where(~F.col("g").isin([int(x) for x in done]))
 
-    if cfg.engine == "arrow":
+    fields = ((cfg.text_col, "text"),) + tuple(
+        (xf, f"xf{i}") for i, xf in enumerate(cfg.extra_fields)
+    )
+    if cfg.engine == "arrow" and not cfg.extra_fields:
         from lucene_solr_spark.analysis.jvm import JVM_ANALYZERS, JVM_ANALYZERS_POS
         from lucene_solr_spark.index.arrow_builder import make_arrow_segment_builder
 
@@ -465,13 +520,17 @@ def build_index(
         )
         todo_tok = todo.withColumn("toks", tok_col(F.col("text"))).drop("text")
         seg_rows = todo_tok.groupBy("g").applyInArrow(
-            make_arrow_segment_builder(key_kind, cfg.index_positions),
+            make_arrow_segment_builder(
+                key_kind, cfg.index_positions, field_name=cfg.text_col
+            ),
             SEGMENT_SCHEMA,
         )
     else:
+        # multi-field builds run the pandas engine (per-field invert)
         seg_rows = todo.groupBy("g").applyInPandas(
             _make_segment_builder(
-                cfg.analyzer, cfg.segs_per_shard, key_kind, cfg.index_positions
+                cfg.analyzer, cfg.segs_per_shard, key_kind,
+                cfg.index_positions, fields,
             ),
             SEGMENT_SCHEMA,
         )
@@ -482,9 +541,11 @@ def build_index(
     segments = spark.read.parquet(seg_path)
 
     # checkpoint/lineage table: one row per segment with metrics
-    meta = segments.where(F.col("kind") == "m").select(
-        "g", "n_docs", "fingerprint"
-    )
+    # (meta rows exist per (g, field); the default field's row carries
+    # keys/fingerprint)
+    meta = segments.where(
+        (F.col("kind") == "m") & (F.col("field") == cfg.text_col)
+    ).select("g", "n_docs", "fingerprint")
     post_metrics = (
         segments.where(F.col("kind") == "p")
         .groupBy("g")
@@ -499,13 +560,17 @@ def build_index(
         0, subset=["n_terms", "n_postings", "sum_cf", "bytes"]
     )
     ckpt.write.mode("overwrite").parquet(ckpt_path)
-    # ONE tiny driver read of the checkpoint table yields both the
-    # docBase inputs and sumTotalTermFreq (sum of per-segment cf) —
-    # no extra scans of the big segments file
-    ckpt_rows = spark.read.parquet(ckpt_path).select(
-        "g", "n_docs", "sum_cf"
-    ).collect()
-    sttf = sum(int(r.sum_cf) for r in ckpt_rows)
+    ckpt_rows = spark.read.parquet(ckpt_path).select("g", "n_docs").collect()
+    # per-field collection stats (CollectionStatistics.sumTotalTermFreq
+    # per field): Σ doc_len from the per-(segment, field) meta rows
+    field_stats = {
+        r["field"]: int(r["sttf"])
+        for r in segments.where(F.col("kind") == "m")
+        .groupBy("field")
+        .agg(F.sum("sum_dl").alias("sttf"))
+        .collect()
+    }
+    sttf = field_stats.get(cfg.text_col, 0)
     _pt.mark("checkpoint")
 
     # ---- doc bases (MergeState.docBase concatenation rule) ----
@@ -546,14 +611,14 @@ def build_index(
     doc_map_schema = (
         f"doc_id long, key {key_sql_type}, shard int, g long, doc_len long, norm int"
     )
-    meta_rows = segments.where(F.col("kind") == "m").select(
-        "g", "keys_enc", "doc_lens_enc", "norms_enc"
-    )
+    meta_rows = segments.where(
+        (F.col("kind") == "m") & (F.col("field") == cfg.text_col)
+    ).select("g", "keys_enc", "doc_lens_enc", "norms_enc")
     doc_map = meta_rows.mapInPandas(explode_meta, doc_map_schema)
     doc_map.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_map"))
     _pt.mark("doc_map")
 
-    # ---- per-shard norm blobs (columnar norms, Lucene53NormsFormat analog) ----
+    # ---- per-(shard, field) norm blobs (Lucene53NormsFormat analog) ----
     def build_norms(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("g")
         blob = b"".join(bytes(x) for x in pdf["norms_enc"])
@@ -561,6 +626,7 @@ def build_index(
         return pd.DataFrame(
             {
                 "shard": [int(pdf["g"].iloc[0]) // cfg.segs_per_shard],
+                "field": [pdf["field"].iloc[0]],
                 "base": [base],
                 "n_docs": [len(blob)],
                 "norms": [blob],
@@ -568,10 +634,10 @@ def build_index(
         )
 
     norms_df = (
-        meta_rows.withColumn(
-            "shard", (F.col("g") / cfg.segs_per_shard).cast("int")
-        )
-        .groupBy("shard")
+        segments.where(F.col("kind") == "m")
+        .select("g", "field", "norms_enc")
+        .withColumn("shard", (F.col("g") / cfg.segs_per_shard).cast("int"))
+        .groupBy("shard", "field")
         .applyInPandas(build_norms, NORMS_SCHEMA)
     )
     norms_df.write.mode("overwrite").parquet(os.path.join(out_dir, "norms"))
@@ -626,12 +692,16 @@ def build_index(
     for g, nd in seg_meta:
         shard = g // cfg.segs_per_shard
         shard_bases.setdefault(shard, bases[g])
+    cfg_dict = asdict(cfg)
+    cfg_dict["extra_fields"] = list(cfg.extra_fields)
     manifest = {
         "version": 1,
-        "config": asdict(cfg),
+        "config": cfg_dict,
         "key_kind": key_kind,
         "max_doc": int(max_doc),
         "sum_total_term_freq": int(sttf or 0),
+        "field_stats": {k: int(v) for k, v in field_stats.items()},
+        "fields": [cfg.text_col] + list(cfg.extra_fields),
         "n_input_rows": int(n_total),
         "seg_bases": {str(k): v for k, v in bases.items()},
         "shard_bases": {str(k): v for k, v in shard_bases.items()},

@@ -49,6 +49,12 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
 
     ensure_on_workers(spark)
     s = IndexSearcher.open(spark, index_dir)
+    if len(s.manifest.get("fields", ["text"])) > 1:
+        raise NotImplementedError(
+            "compact() currently supports single-field indexes (extra-"
+            "field norms do not ride the doc_map; rebuild instead)"
+        )
+    default_field = s._default_field
     doc_map = s.doc_map()
     doc_offsets = dict(s._doc_offsets)  # shard -> generation docID offset
 
@@ -94,6 +100,7 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
         return pd.DataFrame(
             {
                 "shard": [m["renum"][old]],
+                "field": [default_field],
                 "base": [m["base"][old]],
                 "n_docs": [len(pdf)],
                 "norms": [pdf["norm"].to_numpy(np.uint8).tobytes()],
@@ -211,6 +218,8 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
         "key_kind": s.manifest.get("key_kind", "l"),
         "max_doc": int(new_max_doc),
         "sum_total_term_freq": int(sttf),
+        "field_stats": {default_field: int(sttf)},
+        "fields": [default_field],
         "n_input_rows": int(new_max_doc),
         "seg_bases": bases,
         "shard_bases": bases,

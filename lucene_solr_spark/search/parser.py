@@ -223,6 +223,19 @@ class QueryParser:
     def _term_query(self, p: dict) -> Query | None:
         word = p["text"]
         boost = p["boost"]
+        field = None
+        if ":" in word:
+            # classic fielded clause `field:term`
+            # (QueryParser.jj Clause production)
+            fld, rest = word.split(":", 1)
+            if fld and rest:
+                field = fld
+                word = rest
+        if field is not None and ("*" in word or "?" in word or p["fuzzy"]):
+            raise ValueError(
+                "fielded wildcard/fuzzy terms are not supported by this "
+                "parser subset"
+            )
         if "*" in word or "?" in word:
             # expanded terms are lowercased, not analyzed
             # (QueryParserBase lowercaseExpandedTerms default true)
@@ -238,10 +251,13 @@ class QueryParser:
             if not toks:
                 return None
             if len(toks) == 1:
-                q = TermQuery(toks[0])
+                q = TermQuery(toks[0], field=field)
             else:
                 q = BooleanQuery(
-                    tuple(Clause("SHOULD", TermQuery(t)) for t in toks)
+                    tuple(
+                        Clause("SHOULD", TermQuery(t, field=field))
+                        for t in toks
+                    )
                 )
         return BoostQuery(q, boost) if boost is not None else q
 

@@ -23,7 +23,12 @@ class Query:
 
 @dataclass(frozen=True)
 class TermQuery(Query):
+    """A Lucene Term is (field, bytes) (index/Term.java:36,49-57).
+    field=None means the index's default analyzed field; other fields
+    must be indexed via IndexConfig.extra_fields."""
+
     term: str
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return [self.term]
@@ -122,6 +127,7 @@ class PhraseQuery(Query):
 
     phrase: tuple[str, ...]
     slop: int = 0
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return list(self.phrase)

@@ -182,18 +182,48 @@ class _LazyTerms:
         return np.concatenate(ds), np.concatenate(ts)
 
 
-def _decode_shard(pdf: pd.DataFrame, norms_pdf: pd.DataFrame | None = None):
+FIELD_SEP = "\x1d"  # internal term key = "<field>\x1d<token>" (non-default)
+
+
+def _field_key(term: str) -> str:
+    """'' for the default field, else the field name (Term.field)."""
+    i = term.find(FIELD_SEP)
+    return "" if i < 0 else term[:i]
+
+
+def _nc(term: str, norms_map: dict, caches: dict):
+    """(norm bytes, norm cache) of the term's field."""
+    f = _field_key(term)
+    return norms_map[f], caches[f]
+
+
+def _decode_shard(
+    pdf: pd.DataFrame,
+    norms_pdf: pd.DataFrame | None = None,
+    default_field: str | None = None,
+):
     """Build lazy shard accessors.
 
-    Returns (base, norms, lt, dfs, per_pos_fn) with lt a _LazyTerms.
-    The shard's norm blob comes from `norms_pdf` (the cogrouped norms
-    side — one small row per shard) or, for legacy/joined frames, from
-    columns on `pdf` itself."""
+    Returns (base, norms_map, lt, dfs, per_pos_fn) with lt a
+    _LazyTerms and norms_map a dict field-key -> uint8 norm bytes
+    ('' = default field). The shard's norm blobs come from `norms_pdf`
+    (the cogrouped norms side — one small row per shard AND FIELD) or,
+    for legacy/joined single-field frames, from columns on `pdf`."""
     src = norms_pdf if norms_pdf is not None else pdf
     base = int(src["base"].iloc[0])
-    norms = np.frombuffer(src["norms"].iloc[0], np.uint8)
+    norms_map: dict[str, np.ndarray] = {}
+    if "field" in src.columns:
+        n_fields = src["field"].nunique()
+        for row in src.itertuples(index=False):
+            f = row.field
+            arr = np.frombuffer(row.norms, np.uint8)
+            norms_map[f] = arr
+            if f == default_field or n_fields == 1:
+                norms_map[""] = arr
+    else:
+        norms_map[""] = np.frombuffer(src["norms"].iloc[0], np.uint8)
     lt = _LazyTerms(pdf)
-    return base, norms, lt, lt.dfs, lt
+    return base, norms_map, lt, lt.dfs, lt
 
 
 def _local_deleted(norms_pdf: pd.DataFrame, off: int) -> np.ndarray | None:
@@ -220,23 +250,31 @@ def _score_spec(
     decoded,
     spec: dict,
     idfs: dict[str, np.float32],
-    cache: np.ndarray,
+    caches: dict[str, np.ndarray] | np.ndarray,
     k: int,
     prune: bool,
     deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
-    """Score one decoded shard against one query spec -> top-k rows."""
-    base, norms, lt, _dfs, _ = decoded
+    """Score one decoded shard against one query spec -> top-k rows.
+
+    `caches` maps field key ('' = default field) -> the 256-float norm
+    cache of that field (per-field avgdl, BM25Similarity.java:206-211);
+    a bare array is accepted as the single-field shorthand."""
+    base, norms_map, lt, _dfs, _ = decoded
+    if not isinstance(caches, dict):
+        caches = {"": caches}
 
     def term_scores(term: str) -> tuple[np.ndarray, np.ndarray]:
         d, t = lt.full(term)
-        s = bm25.score_term(t, norms[d - base], idfs[term], cache)
+        nrm, cch = _nc(term, norms_map, caches)
+        s = bm25.score_term(t, nrm[d - base], idfs[term], cch)
         return d, s
 
     def scores_at(term: str, d_src, t_src, docs: np.ndarray) -> np.ndarray:
         """Per-doc scores for `docs` (must all exist in d_src)."""
         idx = np.searchsorted(d_src, docs)
-        return bm25.score_term(t_src[idx], norms[docs - base], idfs[term], cache)
+        nrm, cch = _nc(term, norms_map, caches)
+        return bm25.score_term(t_src[idx], nrm[docs - base], idfs[term], cch)
 
     kind = spec["kind"]
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -247,8 +285,9 @@ def _score_spec(
         if term not in lt:
             return empty
         if prune and k is not None:
+            nrm, cch = _nc(term, norms_map, caches)
             docs, scores = _score_term_pruned(
-                pdf, term, base, norms, idfs, cache, k, deleted
+                pdf, term, base, nrm, idfs, cch, k, deleted
             )
         else:
             docs, scores = term_scores(term)
@@ -276,7 +315,8 @@ def _score_spec(
             d, tf = lt.decode_for(t, inter) if prune else lt.full(t)
             if len(d) == 0:
                 continue
-            s = bm25.score_term(tf, norms[d - base], idfs[t], cache)
+            nrm, cch = _nc(t, norms_map, caches)
+            s = bm25.score_term(tf, nrm[d - base], idfs[t], cch)
             pos = np.searchsorted(d, inter)
             pos = np.minimum(pos, len(d) - 1)
             hit = d[pos] == inter
@@ -288,8 +328,8 @@ def _score_spec(
 
     if kind == "phrase":
         udocs, scores = _eval_phrase(
-            spec["terms"], lt, base, norms, idfs, cache, deleted=deleted,
-            slop=int(spec.get("slop", 0)),
+            spec["terms"], lt, base, norms_map, idfs, caches,
+            deleted=deleted, slop=int(spec.get("slop", 0)),
         )
         docs, scores = _topk_arrays(udocs, scores, k)
         return pd.DataFrame({"doc_id": docs, "score": scores})
@@ -297,7 +337,9 @@ def _score_spec(
     if kind == "tree":
         # nested BooleanQuery / boosts / constant-score (exhaustive
         # vectorized path; liveDocs applied at collection time)
-        docs, scores = _eval_tree(spec["tree"], lt, base, norms, idfs, cache)
+        docs, scores = _eval_tree(
+            spec["tree"], lt, base, norms_map, idfs, caches
+        )
         if deleted is not None and len(deleted) and len(docs):
             m = ~np.isin(docs, deleted)
             docs, scores = docs[m], scores[m]
@@ -330,7 +372,7 @@ def _score_spec(
         msm = spec.get("min_should_match", 1)
         if prune and kind == "or" and msm <= 1 and k is not None and len(present) > 1:
             docs, scores = _score_or_wand(
-                lt, present, base, norms, idfs, cache, k, deleted
+                lt, present, base, norms_map, idfs, caches, k, deleted
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
         # Accumulate over the UNFILTERED union (each term's doc array may
@@ -376,9 +418,9 @@ def _eval_phrase(
     seq: list[str],
     lt: "_LazyTerms",
     base: int,
-    norms: np.ndarray,
+    norms_map: dict,
     idfs: dict,
-    cache: np.ndarray,
+    caches: dict,
     boost: float = 1.0,
     deleted: np.ndarray | None = None,
     slop: int = 0,
@@ -469,8 +511,10 @@ def _eval_phrase(
     idf_sum = np.float32(0.0)
     for t in seq:
         idf_sum = np.float32(idf_sum + idfs[t])
+    # phrase terms share one field (enforced at compile time)
+    nrm, cch = _nc(seq[0], norms_map, caches)
     scores = bm25.score_term(
-        freqs, norms[udocs - base], idf_sum, cache, boost=boost
+        freqs, nrm[udocs - base], idf_sum, cch, boost=boost
     )
     return udocs, scores.astype(np.float32)
 
@@ -479,9 +523,9 @@ def _eval_tree(
     node: dict,
     lt: "_LazyTerms",
     base: int,
-    norms: np.ndarray,
+    norms_map: dict,
     idfs: dict,
-    cache: np.ndarray,
+    caches: dict,
     pboost: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Recursive nested-query evaluation -> (sorted docs, f32 scores).
@@ -501,12 +545,13 @@ def _eval_tree(
         if t not in lt:
             return E
         d, tf = lt.full(t)
-        s = bm25.score_term(tf, norms[d - base], idfs[t], cache, boost=boost)
+        nrm, cch = _nc(t, norms_map, caches)
+        s = bm25.score_term(tf, nrm[d - base], idfs[t], cch, boost=boost)
         return d, s.astype(np.float32)
 
     if kind == "phrase":
         return _eval_phrase(
-            node["terms"], lt, base, norms, idfs, cache, boost=boost,
+            node["terms"], lt, base, norms_map, idfs, caches, boost=boost,
             slop=int(node.get("slop", 0)),
         )
 
@@ -521,12 +566,12 @@ def _eval_tree(
         return u, np.full(len(u), boost, np.float32)
 
     if kind == "constwrap":
-        d, _ = _eval_tree(node["query"], lt, base, norms, idfs, cache, 1.0)
+        d, _ = _eval_tree(node["query"], lt, base, norms_map, idfs, caches, 1.0)
         return d, np.full(len(d), boost, np.float32)
 
     if kind == "dismax":
         subs = [
-            _eval_tree(sub, lt, base, norms, idfs, cache, boost)
+            _eval_tree(sub, lt, base, norms_map, idfs, caches, boost)
             for sub in node["clauses"]
         ]
         subs = [(d, s) for d, s in subs if len(d)]
@@ -548,7 +593,7 @@ def _eval_tree(
         shoulds: list[tuple[np.ndarray, np.ndarray]] = []
         nots: list[np.ndarray] = []
         for occ, sub in node["clauses"]:
-            r = _eval_tree(sub, lt, base, norms, idfs, cache, boost)
+            r = _eval_tree(sub, lt, base, norms_map, idfs, caches, boost)
             if occ == "MUST":
                 musts.append(r)
             elif occ == "FILTER":
@@ -677,8 +722,8 @@ def _leapfrog(lt: _LazyTerms, must: list[str], prune: bool):
     return inter, src
 
 
-def _score_or_wand(lt: _LazyTerms, present, base, norms, idfs, cache, k,
-                   deleted: np.ndarray | None = None):
+def _score_or_wand(lt: _LazyTerms, present, base, norms_map, idfs, caches,
+                   k, deleted: np.ndarray | None = None):
     """Block-max WAND for a sum-scored disjunction (Ding & Suel,
     SIGIR 2011 — the north-rule addition, SURVEY §4.5).
 
@@ -696,12 +741,13 @@ def _score_or_wand(lt: _LazyTerms, present, base, norms, idfs, cache, k,
     for t in present:
         bl_parts, ub_parts = [], []
         wv = (np.float32(idfs[t]) * one) * (K1f + one)
+        _nrm, cch = _nc(t, norms_map, caches)
         for row in lt.rows[t]:
             bl = np.asarray(row.block_last, np.int64)
             bmt = np.asarray(row.block_max_tf, np.float32)
             bmn = np.asarray(row.block_max_norm, np.int64)
             bl_parts.append(bl)
-            ub_parts.append((wv * bmt) / (bmt + cache[bmn]))
+            ub_parts.append((wv * bmt) / (bmt + cch[bmn]))
         meta[t] = (np.concatenate(bl_parts), np.concatenate(ub_parts))
 
     bounds = np.unique(np.concatenate([meta[t][0] for t in present]))
@@ -742,7 +788,8 @@ def _score_or_wand(lt: _LazyTerms, present, base, norms, idfs, cache, k,
                     per_term_docs.append(None)
                     per_term_scores.append(None)
                     continue
-                sc = bm25.score_term(tf[m], norms[dm - base], idfs[t], cache)
+                nrm, cch = _nc(t, norms_map, caches)
+                sc = bm25.score_term(tf[m], nrm[dm - base], idfs[t], cch)
                 per_term_docs.append(dm)
                 per_term_scores.append(sc)
             nz = [d for d in per_term_docs if d is not None]
@@ -864,6 +911,13 @@ class IndexSearcher:
         self.max_doc = self.manifest["max_doc"]
         self.avgdl = bm25.avgdl(self.manifest["sum_total_term_freq"], self.max_doc)
         self.cache = bm25.norm_cache(self.avgdl)
+        # per-field stats -> per-field norm caches ('' = default field)
+        self._default_field = self.manifest["config"].get("text_col", "text")
+        self._field_stats = dict(
+            self.manifest.get("field_stats")
+            or {self._default_field: self.manifest["sum_total_term_freq"]}
+        )
+        self._rebuild_caches()
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self._norms = spark.read.parquet(os.path.join(index_dir, "norms"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
@@ -930,7 +984,38 @@ class IndexSearcher:
         s.max_doc = doc_off
         s.avgdl = bm25.avgdl(sttf, s.max_doc)
         s.cache = bm25.norm_cache(s.avgdl)
+        s._field_stats[s._default_field] = sttf
+        for g in gens:
+            gdir = os.path.join(index_dir, g["dir"])
+            with open(os.path.join(gdir, "manifest.json")) as fh:
+                gm = json.load(fh)
+            for f, v in (gm.get("field_stats") or {}).items():
+                if f != s._default_field:
+                    s._field_stats[f] = s._field_stats.get(f, 0) + int(v)
+        s._rebuild_caches()
         return s
+
+    def _rebuild_caches(self) -> None:
+        """Per-field norm caches from per-field avgdl
+        (BM25Similarity.java:84-91,206-211)."""
+        self._caches = {}
+        for f, sttf_f in self._field_stats.items():
+            key = "" if f == self._default_field else f
+            self._caches[key] = bm25.norm_cache(
+                bm25.avgdl(int(sttf_f), self.max_doc)
+            )
+
+    def _iterm(self, field: str | None, token: str) -> str:
+        """Internal dictionary key of (field, token) — Term.java:36.
+        Unprefixed for the default field."""
+        if field is None or field == self._default_field:
+            return token
+        if field not in self._field_stats:
+            raise KeyError(
+                f"field {field!r} is not indexed (have "
+                f"{sorted(self._field_stats)})"
+            )
+        return f"{field}{FIELD_SEP}{token}"
 
     def doc_map(self) -> DataFrame:
         if self._doc_map is None:
@@ -1043,9 +1128,13 @@ class IndexSearcher:
         q = rewrite(q)
         T = lambda t: {"kind": "term", "term": t}  # noqa: E731
         if isinstance(q, TermQuery):
-            return T(q.term)
+            return T(self._iterm(q.field, q.term))
         if isinstance(q, PhraseQuery):
-            return {"kind": "phrase", "terms": list(q.phrase), "slop": q.slop}
+            return {
+                "kind": "phrase",
+                "terms": [self._iterm(q.field, t) for t in q.phrase],
+                "slop": q.slop,
+            }
         if isinstance(q, BoostQuery):
             inner = self._tree(q.query)
             b = float(q.boost) * float(inner.pop("boost", 1.0))
@@ -1118,7 +1207,7 @@ class IndexSearcher:
             tree = self._tree(q)
             return {"kind": "tree", "tree": tree, "terms": _tree_terms(tree)}
         if isinstance(q, TermQuery):
-            return {"kind": "term", "terms": [q.term]}
+            return {"kind": "term", "terms": [self._iterm(q.field, q.term)]}
         if isinstance(q, BooleanAnd):
             return {"kind": "and", "terms": list(q.must), "must": list(q.must)}
         if isinstance(q, BooleanNot):
@@ -1137,7 +1226,11 @@ class IndexSearcher:
         if isinstance(q, DisjunctionMax):
             return {"kind": "dismax", "terms": list(q.should), "tie": q.tie}
         if isinstance(q, PhraseQuery):
-            return {"kind": "phrase", "terms": list(q.phrase), "slop": q.slop}
+            return {
+                "kind": "phrase",
+                "terms": [self._iterm(q.field, t) for t in q.phrase],
+                "slop": q.slop,
+            }
         if isinstance(q, BooleanMustShould):
             return {
                 "kind": "reqopt",
@@ -1186,7 +1279,8 @@ class IndexSearcher:
         terms = sorted(set(spec["terms"]))
         matched = self._matched(terms)
 
-        cache = self.cache
+        caches = dict(self._caches)
+        default_field = self._default_field
         max_doc = self.max_doc
         use_prune = _prune_eligible(spec, k, prune)
         offsets = dict(self._doc_offsets)
@@ -1197,12 +1291,12 @@ class IndexSearcher:
                     {"doc_id": pd.Series(dtype="int64"),
                      "score": pd.Series(dtype="float32")}
                 )
-            decoded = _decode_shard(left, nr)
+            decoded = _decode_shard(left, nr, default_field)
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
             off = offsets.get(int(left["shard"].iloc[0]), 0)
             del_local = _local_deleted(nr, off)
             out = _score_spec(
-                left, decoded, spec, idfs, cache, k, use_prune, del_local
+                left, decoded, spec, idfs, caches, k, use_prune, del_local
             )
             if off:
                 out["doc_id"] = out["doc_id"] + off
@@ -1233,7 +1327,8 @@ class IndexSearcher:
         all_terms = sorted({t for s in specs.values() for t in s["terms"]})
         matched = self._matched(all_terms)
 
-        cache = self.cache
+        caches = dict(self._caches)
+        default_field = self._default_field
         max_doc = self.max_doc
         offsets = dict(self._doc_offsets)
 
@@ -1244,7 +1339,7 @@ class IndexSearcher:
                      "doc_id": pd.Series(dtype="int64"),
                      "score": pd.Series(dtype="float32")}
                 )
-            decoded = _decode_shard(left, nr)
+            decoded = _decode_shard(left, nr, default_field)
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
             off = offsets.get(int(left["shard"].iloc[0]), 0)
             del_local = _local_deleted(nr, off)
@@ -1252,7 +1347,7 @@ class IndexSearcher:
             for qid, spec in specs.items():
                 use_prune = _prune_eligible(spec, k, prune)
                 r = _score_spec(
-                    left, decoded, spec, idfs, cache, k, use_prune, del_local
+                    left, decoded, spec, idfs, caches, k, use_prune, del_local
                 )
                 if off:
                     r["doc_id"] = r["doc_id"] + off

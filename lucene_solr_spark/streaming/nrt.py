@@ -69,6 +69,7 @@ def append_batch(
             text_col=base_cfg.text_col,
             sharding=base_cfg.sharding if base_cfg.sharding != "range_int" else "hash",
             index_positions=getattr(base_cfg, "index_positions", False),
+            extra_fields=tuple(getattr(base_cfg, "extra_fields", ()) or ()),
         )
         build_index(spark, batch, gen_dir, delta_cfg, resume=False)
     # register generation in the top-level manifest (commit point)

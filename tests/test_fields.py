@@ -1,0 +1,111 @@
+"""Per-field indexing tests: Term = (field, term) — index/Term.java:36,
+FieldInfos.java. The `source` column is indexed as a second analyzed
+field with its own postings, norms, df and collection stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions import bm25
+from lucene_solr_spark.search.parser import parse_query
+from lucene_solr_spark.search.query import (
+    BooleanQuery,
+    Clause,
+    TermQuery,
+)
+from lucene_solr_spark.search.searcher import IndexSearcher
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def fielded(spark, tmp_path_factory):
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+
+    out = str(tmp_path_factory.mktemp("fielded") / "ix")
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    build_index(
+        spark, src, out,
+        IndexConfig(n_shards=2, segs_per_shard=2, id_col="doc_id",
+                    text_col="text", extra_fields=("source",),
+                    sharding="range_int"),
+    )
+    return IndexSearcher(spark, out), src
+
+
+def test_fielded_term_matches_and_scores(fielded):
+    s, src = fielded
+    hits = s.search(TermQuery("src3", field="source"), k=None).collect()
+    want = {r.doc_id for r in src.where(F.col("source") == "src3").collect()}
+    assert {r.doc_id for r in hits} == want and len(want) > 0
+    # source field: tf=1, doc_len=1 per doc, avgdl=1 -> closed-form BM25
+    df = len(want)
+    idf = bm25.idf(df, s.max_doc)
+    cache = bm25.norm_cache(np.float32(1.0))
+    from lucene_solr_spark.functions.smallfloat import encode_norm
+
+    nb = encode_norm(np.array([1], np.int64))[0]
+    expect = bm25.score_term(
+        np.array([1], np.int64), np.array([nb], np.uint8), idf, cache
+    )[0]
+    for r in hits:
+        assert np.float32(r.score) == np.float32(expect)
+
+
+def test_default_field_unaffected(fielded, spark, docs_index):
+    """Default-field scores are identical with and without the extra
+    field indexed (per-field stats isolation)."""
+    s, _ = fielded
+    s_plain = IndexSearcher(spark, docs_index[0])
+    a = [(r.doc_id, r.score) for r in s.search(TermQuery("table"), k=20).collect()]
+    b = [(r.doc_id, r.score) for r in s_plain.search(TermQuery("table"), k=20).collect()]
+    assert a == b
+
+
+def test_cross_field_conjunction(fielded):
+    s, src = fielded
+    q = BooleanQuery(
+        (
+            Clause("MUST", TermQuery("table")),
+            Clause("MUST", TermQuery("src3", field="source")),
+        )
+    )
+    got = s.search(q, k=None).collect()
+    text_hits = {r.doc_id for r in s.search(TermQuery("table"), k=None).collect()}
+    src_hits = {r.doc_id for r in src.where(F.col("source") == "src3").collect()}
+    assert {r.doc_id for r in got} == text_hits & src_hits
+    # score = f32(f64(text score) + f64(source score))
+    t_scores = dict(
+        (r.doc_id, r.score)
+        for r in s.search(TermQuery("table"), k=None).collect()
+    )
+    s_scores = dict(
+        (r.doc_id, r.score)
+        for r in s.search(TermQuery("src3", field="source"), k=None).collect()
+    )
+    for r in got:
+        want = np.float32(
+            np.float64(t_scores[r.doc_id]) + np.float64(s_scores[r.doc_id])
+        )
+        assert np.float32(r.score) == want
+
+
+def test_parser_fielded(fielded):
+    s, _ = fielded
+    q1 = parse_query("source:src3 AND table")
+    q2 = BooleanQuery(
+        (
+            Clause("MUST", TermQuery("src3", field="source")),
+            Clause("MUST", TermQuery("table")),
+        )
+    )
+    a = [(r.doc_id, r.score) for r in s.search(q1, k=30).collect()]
+    b = [(r.doc_id, r.score) for r in s.search(q2, k=30).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_unknown_field_raises(fielded):
+    s, _ = fielded
+    with pytest.raises(KeyError):
+        s.search(TermQuery("x", field="nope"), k=5).collect()
