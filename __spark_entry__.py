@@ -370,9 +370,9 @@ def _q_prefix_constant(spark, sf):
 
         for pdf in iterator:
             outs = []
-            for _, row in pdf.iterrows():
+            for row in pdf.itertuples(index=False):
                 d, _t = decode_posting_list(
-                    bytes(row["doc_enc"]), bytes(row["tf_enc"]), int(row["df"])
+                    bytes(row.doc_enc), bytes(row.tf_enc), int(row.df)
                 )
                 outs.append(pd.DataFrame({"doc_id": d}))
             yield pd.concat(outs) if outs else pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
@@ -647,6 +647,174 @@ ORDER BY CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
        * CAST(ph.freq AS REAL) / (CAST(ph.freq AS REAL) + cachet.c) AS REAL) DESC,
        ph.doc_id
 LIMIT {k}"""
+
+
+def _q_term_range(spark, sf):
+    """TermRangeQuery constant-score (search/TermRangeQuery.java):
+    dictionary BETWEEN ['sc', 'so']."""
+    from lucene_solr_spark.search.query import TermRangeQuery
+
+    s = _searcher_for(spark, sf)
+    return s.search(TermRangeQuery("sc", "so"), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_multiphrase(spark, sf):
+    """MultiPhraseQuery: ("hash"|"table") followed by "scan"
+    (search/MultiPhraseQuery.java)."""
+    from lucene_solr_spark.search.query import MultiPhraseQuery
+
+    return _hits(
+        spark, sf, MultiPhraseQuery((("hash", "table"), ("scan",))), K
+    )
+
+
+def _q_tfidf_classic(spark, sf):
+    """Classic TF-IDF disjunction — the 6.0 DEFAULT similarity
+    (DefaultSimilarity.java:45) incl. the coord factor."""
+    s = _searcher_for(spark, sf)
+    return s.search_classic(BooleanOr(("scan", "table")), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_facet_unique(spark, sf):
+    """JSON-facet `unique(source)` per lang bucket over the match set
+    (solr UniqueAgg.java:33; HLLAgg is its approximate twin —
+    approx_count_distinct covers it at scale)."""
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "lang", "source")
+    return (
+        hits.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(F.countDistinct("source").cast("long").alias("uniq_sources"))
+        .orderBy("lang")
+    )
+
+
+def _q_drill_sideways(spark, sf):
+    """DrillSideways (facet/DrillSideways.java:60): drill-down on
+    lang='en' AND source='src1'; each dimension's sideways counts
+    drop ITS OWN filter but keep the others'."""
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "lang", "source")
+    j = hits.join(docs, "doc_id")
+    lang_side = (
+        j.where(F.col("source") == "src1")
+        .groupBy(F.col("lang").alias("val"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("dim", F.lit("lang"))
+    )
+    src_side = (
+        j.where(F.col("lang") == "en")
+        .groupBy(F.col("source").alias("val"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("dim", F.lit("source"))
+    )
+    return (
+        lang_side.unionByName(src_side)
+        .select("dim", "val", "cnt")
+        .orderBy("dim", "val")
+    )
+
+
+def _q_pivot_facet(spark, sf):
+    """Pivot facet lang -> source (solr PivotFacetProcessor): nested
+    bucket counts over the match set."""
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "lang", "source")
+    return (
+        hits.join(docs, "doc_id")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("lang", "source")
+    )
+
+
+def _multiphrase_sql(alts0: tuple, t1: str, k: int) -> str:
+    alist = ",".join(f"'{t}'" for t in alts0)
+    idf_terms = list(alts0) + [t1]
+    # f32 sequential adds in declaration order
+    idf_expr = None
+    for t in idf_terms:
+        piece = (
+            f"(SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL)"
+            f" FROM dfs WHERE term = '{t}')"
+        )
+        idf_expr = piece if idf_expr is None else f"CAST({idf_expr} + {piece} AS REAL)"
+    return f"""
+WITH {_BM25_CTES},
+rawp AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term,
+         generate_subscripts(string_split_regex(trim(text), ' +'), 1) - 1 AS pos
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term, pos FROM rawp
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
+),
+ph AS (
+  SELECT a.doc_id, count(DISTINCT a.pos)::BIGINT AS freq
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ({alist}) AND b.term = '{t1}'
+  GROUP BY a.doc_id
+),
+idfs AS (SELECT {idf_expr} AS s)
+SELECT ph.doc_id,
+  CAST(((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+       * CAST(ph.freq AS REAL) / (CAST(ph.freq AS REAL) + cachet.c)
+       AS DOUBLE) AS score
+FROM ph JOIN cachet USING (doc_id)
+ORDER BY CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
+       * CAST(ph.freq AS REAL) / (CAST(ph.freq AS REAL) + cachet.c) AS REAL) DESC,
+       ph.doc_id
+LIMIT {k}"""
+
+
+def _tfidf_classic_sql(k: int) -> str:
+    """Classic TF-IDF OR('scan','table'): see functions/tfidf.py for
+    the float discipline this mirrors step-for-step."""
+    return f"""
+WITH {_BM25_CTES},
+idfv AS (
+  SELECT
+    CAST(ln(CAST((SELECT n FROM a) AS DOUBLE)
+        / (COALESCE((SELECT df FROM dfs WHERE term = 'scan'), 0) + 1.0)) + 1.0 AS REAL) AS idf_s,
+    CAST(ln(CAST((SELECT n FROM a) AS DOUBLE)
+        / (COALESCE((SELECT df FROM dfs WHERE term = 'table'), 0) + 1.0)) + 1.0 AS REAL) AS idf_t
+),
+parms AS (
+  SELECT idf_s, idf_t,
+    CAST(1.0 / sqrt(CAST(CAST(CAST(idf_s * idf_s AS REAL)
+        + CAST(idf_t * idf_t AS REAL) AS REAL) AS DOUBLE)) AS REAL) AS qn
+  FROM idfv
+),
+vals AS (
+  SELECT
+    CAST(CAST(qn * idf_s AS REAL) * idf_s AS REAL) AS v_s,
+    CAST(CAST(qn * idf_t AS REAL) * idf_t AS REAL) AS v_t
+  FROM parms
+),
+sc AS (
+  SELECT tf.doc_id,
+    CAST(CAST(CAST(sqrt(CAST(tf.tf AS DOUBLE)) AS REAL)
+      * (CASE WHEN tf.term = 'scan' THEN (SELECT v_s FROM vals)
+              ELSE (SELECT v_t FROM vals) END) AS REAL)
+      * quant.d315 AS REAL) AS s
+  FROM tf JOIN quant USING (doc_id)
+  WHERE tf.term IN ('scan', 'table')
+)
+SELECT doc_id,
+  CAST(CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL)
+    * CAST(CAST(count(*) AS REAL) / CAST(2 AS REAL) AS REAL) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
 Q_REQOPT = (("vector",), ("table", "scan"))
@@ -1091,6 +1259,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
         "wildcard_constant_topk": _q_wildcard,
+        "term_range_constant_topk": _q_term_range,
+        "bm25_multiphrase_topk": _q_multiphrase,
+        "tfidf_classic_topk": _q_tfidf_classic,
+        "facet_unique_sources": _q_facet_unique,
+        "drill_sideways_counts": _q_drill_sideways,
+        "pivot_facet_lang_source": _q_pivot_facet,
         "bm25_fielded_topk": _q_fielded,
         "bm25_nested_bool_topk": _q_nested_bool,
         "bm25_boosted_or_topk": _q_boosted_or,
@@ -1187,6 +1361,36 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_BM25_CTES} "
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
             f"WHERE term LIKE 'sc%' ORDER BY doc_id LIMIT {K}"
+        ),
+        "term_range_constant_topk": (
+            f"WITH {_BM25_CTES} "
+            "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
+            f"WHERE term >= 'sc' AND term <= 'so' ORDER BY doc_id LIMIT {K}"
+        ),
+        "bm25_multiphrase_topk": _multiphrase_sql(("hash", "table"), "scan", K),
+        "tfidf_classic_topk": _tfidf_classic_sql(K),
+        "facet_unique_sources": (
+            f"WITH {_BM25_CTES} "
+            "SELECT d.lang, count(DISTINCT d.source)::BIGINT AS uniq_sources "
+            f"FROM tf JOIN documents d USING (doc_id) WHERE tf.term = '{Q_TERM}' "
+            "GROUP BY d.lang ORDER BY d.lang"
+        ),
+        "drill_sideways_counts": (
+            f"WITH {_BM25_CTES}, "
+            "j AS (SELECT DISTINCT tf.doc_id, d.lang, d.source "
+            f"      FROM tf JOIN documents d USING (doc_id) WHERE tf.term = '{Q_TERM}') "
+            "SELECT 'lang' AS dim, lang AS val, count(*)::BIGINT AS cnt "
+            "FROM j WHERE source = 'src1' GROUP BY lang "
+            "UNION ALL "
+            "SELECT 'source' AS dim, source AS val, count(*)::BIGINT AS cnt "
+            "FROM j WHERE lang = 'en' GROUP BY source "
+            "ORDER BY dim, val"
+        ),
+        "pivot_facet_lang_source": (
+            f"WITH {_BM25_CTES} "
+            "SELECT d.lang, d.source, count(*)::BIGINT AS cnt "
+            f"FROM tf JOIN documents d USING (doc_id) WHERE tf.term = '{Q_TERM}' "
+            "GROUP BY d.lang, d.source ORDER BY d.lang, d.source"
         ),
         "bm25_fielded_topk": _fielded_sql(K),
         "bm25_nested_bool_topk": _nested_bool_sql(K),

@@ -41,9 +41,14 @@ from lucene_solr_spark.index.codec import (
 )
 
 
-def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
+def compact(
+    spark: SparkSession, index_dir: str, out_dir: str, keep=None
+) -> dict:
     """Compact base + deltas + tombstones of `index_dir` into a fresh
-    single-generation index at `out_dir`. Returns the new manifest."""
+    single-generation index at `out_dir`. Returns the new manifest.
+
+    `keep` (optional pyspark Column over doc_map rows) restricts the
+    surviving docs — the index-split primitive (see split_index)."""
     from lucene_solr_spark.search.searcher import IndexSearcher
     from lucene_solr_spark.session import ensure_on_workers
 
@@ -63,6 +68,8 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
         alive = doc_map.join(
             s.deleted_df().select("doc_id"), "doc_id", "left_anti"
         )
+    if keep is not None:
+        alive = alive.where(keep)
     alive = alive.persist()
 
     # ---- per-shard stats: the only driver-side state (N_shards rows)
@@ -228,3 +235,24 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def split_index(
+    spark: SparkSession, index_dir: str, out_dirs: list[str]
+) -> list[dict]:
+    """Split one index into len(out_dirs) disjoint indexes by hash
+    range of the uniqueKey (solr/.../update/SolrIndexSplitter.java
+    semantics: murmur-hash-range routing; here pmod(xxhash64(key))).
+    Each split is a fully independent index with its own recomputed
+    collection statistics — exactly what SolrIndexSplitter produces.
+    Deletes/deltas of the source are absorbed in the same pass."""
+    n = len(out_dirs)
+    manifests = []
+    for i, od in enumerate(out_dirs):
+        manifests.append(
+            compact(
+                spark, index_dir, od,
+                keep=F.pmod(F.xxhash64(F.col("key")), F.lit(n)) == i,
+            )
+        )
+    return manifests

@@ -170,6 +170,36 @@ class RegexpQuery(Query):
 
 
 @dataclass(frozen=True)
+class TermRangeQuery(Query):
+    """Terms within [lower, upper] bytewise (search/TermRangeQuery.java,
+    164 LoC), CONSTANT_SCORE rewrite: dictionary expansion is a
+    pushed-down BETWEEN over the term-sorted dictionary. None bounds
+    are open-ended."""
+
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with term alternatives per position
+    (search/MultiPhraseQuery.java, 538 LoC): position i matches ANY of
+    positions_[i]'s terms; freq counts matching occurrences; idf = f32
+    sum over ALL terms in declaration order (MultiPhraseWeight pulls
+    TermStatistics for every added term)."""
+
+    positions_: tuple[tuple[str, ...], ...]
+
+    def terms(self) -> list[str]:
+        return [t for alts in self.positions_ for t in alts]
+
+
+@dataclass(frozen=True)
 class FuzzyQuery(Query):
     """Terms within Levenshtein distance <= max_edits of `term`
     (search/FuzzyQuery.java:54), rewritten to a scoring OR over the

@@ -55,11 +55,13 @@ from lucene_solr_spark.search.query import (
     ConstantScoreQuery,
     DisjunctionMax,
     FuzzyQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
     TermQuery,
+    TermRangeQuery,
     WildcardQuery,
     rewrite,
 )
@@ -334,6 +336,14 @@ def _score_spec(
         docs, scores = _topk_arrays(udocs, scores, k)
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
+    if kind == "multi_phrase":
+        udocs, scores = _eval_multi_phrase(
+            spec["positions"], lt, base, norms_map,
+            np.float32(spec["idf_sum"]), caches, deleted=deleted,
+        )
+        docs, scores = _topk_arrays(udocs, scores, k)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
     if kind == "tree":
         # nested BooleanQuery / boosts / constant-score (exhaustive
         # vectorized path; liveDocs applied at collection time)
@@ -519,6 +529,71 @@ def _eval_phrase(
     return udocs, scores.astype(np.float32)
 
 
+def _eval_multi_phrase(
+    positions: list,
+    lt: "_LazyTerms",
+    base: int,
+    norms_map: dict,
+    idf_sum: np.float32,
+    caches: dict,
+    boost: float = 1.0,
+    deleted: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MultiPhraseQuery leaf (search/MultiPhraseQuery.java:538 LoC):
+    position i matches ANY of positions[i]'s terms. Same set-at-a-time
+    key algebra as the exact phrase, with a per-position UNION of the
+    alternatives' (doc, pos) keys before the cross-position
+    intersection. `idf_sum` is the GLOBAL f32 sum over the query's
+    indexed terms (MultiPhraseWeight pulls TermStatistics once, not
+    per segment) — computed driver-side so shard-local term absence
+    cannot skew the weight; tf = matching start positions."""
+    from lucene_solr_spark.index.codec import decode_position_lists
+
+    E = (np.empty(0, np.int64), np.empty(0, np.float32))
+    present_per_pos = []
+    for alts in positions:
+        ok = [t for t in alts if t in lt and lt.pos_stream(t) is not None]
+        if not ok:
+            return E
+        present_per_pos.append(ok)
+    per_pos_docs = [
+        reduce(np.union1d, [lt.full(t)[0] for t in ok])
+        for ok in present_per_pos
+    ]
+    inter = reduce(
+        lambda a, b: a[np.isin(a, b, assume_unique=True)], per_pos_docs
+    )
+    inter = _alive(inter, deleted)
+    if len(inter) == 0:
+        return E
+    M = np.int64(1) << np.int64(32)
+    off = np.int64(len(positions))
+    keysets = []
+    for i, ok in enumerate(present_per_pos):
+        ks = []
+        for t in ok:
+            d, tf = lt.full(t)
+            pos_abs = decode_position_lists(lt.pos_stream(t), tf)
+            doc_rep = np.repeat(d, tf)
+            mask = np.isin(doc_rep, inter, assume_unique=False)
+            ks.append(doc_rep[mask] * M + (pos_abs[mask] - np.int64(i) + off))
+        keys = np.unique(np.concatenate(ks))
+        if len(keys) == 0:
+            return E
+        keysets.append(keys)
+    phrase_keys = reduce(
+        lambda a, b: a[np.isin(a, b, assume_unique=True)], keysets
+    )
+    if len(phrase_keys) == 0:
+        return E
+    udocs, freqs = np.unique(phrase_keys // M, return_counts=True)
+    nrm, cch = _nc(present_per_pos[0][0], norms_map, caches)
+    scores = bm25.score_term(
+        freqs, nrm[udocs - base], idf_sum, cch, boost=boost
+    )
+    return udocs, scores.astype(np.float32)
+
+
 def _eval_tree(
     node: dict,
     lt: "_LazyTerms",
@@ -681,6 +756,40 @@ def _tree_terms(node: dict) -> list[str]:
     if k == "bool":
         return [t for _, sub in node["clauses"] for t in _tree_terms(sub)]
     raise ValueError(f"unknown tree node kind {k}")
+
+
+def _mtq_cond(q):
+    """Dictionary predicate of a multi-term query (the automaton ∩
+    term-dict seek, MultiTermQuery.java:68-94) — pushed down to the
+    term-sorted parquet scan."""
+    import re as _re
+
+    if isinstance(q, PrefixQuery):
+        return F.col("term").startswith(q.prefix)
+    if isinstance(q, RegexpQuery):
+        return F.col("term").rlike("^(?:" + q.pattern + ")$")
+    if isinstance(q, TermRangeQuery):
+        # BETWEEN over the sorted dictionary (TermRangeQuery.java)
+        cond = F.lit(True)
+        if q.lower is not None:
+            cond = cond & (
+                F.col("term") >= q.lower
+                if q.include_lower
+                else F.col("term") > q.lower
+            )
+        if q.upper is not None:
+            cond = cond & (
+                F.col("term") <= q.upper
+                if q.include_upper
+                else F.col("term") < q.upper
+            )
+        return cond
+    # WildcardQuery
+    regex = "^" + "".join(
+        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+        for ch in q.pattern
+    ) + "$"
+    return F.col("term").rlike(regex)
 
 
 def _prune_eligible(spec: dict, k: int | None, prune: bool) -> bool:
@@ -1107,16 +1216,7 @@ class IndexSearcher:
         pushed-down predicate over term_stats."""
         import re as _re
 
-        if isinstance(q, PrefixQuery):
-            cond = F.col("term").startswith(q.prefix)
-        elif isinstance(q, RegexpQuery):
-            cond = F.col("term").rlike("^(?:" + q.pattern + ")$")
-        else:  # WildcardQuery
-            regex = "^" + "".join(
-                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
-                for ch in q.pattern
-            ) + "$"
-            cond = F.col("term").rlike(regex)
+        cond = _mtq_cond(q)
         rows = self._term_stats.where(cond).select("term").collect()
         return sorted(r.term for r in rows)
 
@@ -1141,7 +1241,8 @@ class IndexSearcher:
             return {**inner, "boost": b}
         if isinstance(q, ConstantScoreQuery):
             inner_q = rewrite(q.query)
-            if isinstance(inner_q, (PrefixQuery, WildcardQuery, RegexpQuery)):
+            if isinstance(inner_q, (PrefixQuery, WildcardQuery, RegexpQuery,
+                                    TermRangeQuery)):
                 return {
                     "kind": "const",
                     "terms": self._expand_mtq(inner_q),
@@ -1152,7 +1253,8 @@ class IndexSearcher:
                 "query": self._tree(inner_q),
                 "boost": float(q.boost),
             }
-        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery)):
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery,
+                          TermRangeQuery)):
             return {"kind": "const", "terms": self._expand_mtq(q)}
         if isinstance(q, FuzzyQuery):
             return {
@@ -1231,6 +1333,28 @@ class IndexSearcher:
                 "terms": [self._iterm(q.field, t) for t in q.phrase],
                 "slop": q.slop,
             }
+        if isinstance(q, MultiPhraseQuery):
+            # global stats pull (MultiPhraseWeight over TermStatistics):
+            # idf = f32 sum over indexed terms in declaration order
+            flat = sorted({t for alts in q.positions_ for t in alts})
+            gdfs = self.term_dfs(flat)
+            positions = [
+                [t for t in alts if gdfs.get(t, 0) > 0]
+                for alts in q.positions_
+            ]
+            idf_sum = np.float32(0.0)
+            for alts in q.positions_:
+                for t in alts:
+                    if gdfs.get(t, 0) > 0:
+                        idf_sum = np.float32(
+                            idf_sum + bm25.idf(gdfs[t], self.max_doc)
+                        )
+            return {
+                "kind": "multi_phrase",
+                "positions": positions,
+                "terms": [t for p in positions for t in p],
+                "idf_sum": float(idf_sum),
+            }
         if isinstance(q, BooleanMustShould):
             return {
                 "kind": "reqopt",
@@ -1258,7 +1382,8 @@ class IndexSearcher:
         k=None returns ALL matches with scores (Solr /export handler
         analog — full sorted result-set streaming, SURVEY.md §2.8)."""
         q = rewrite(query)
-        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery)):
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery,
+                          TermRangeQuery)):
             return self._search_constant(q, k)
         if isinstance(q, FuzzyQuery):
             expanded = self._expand_fuzzy(q)
@@ -1297,6 +1422,108 @@ class IndexSearcher:
             del_local = _local_deleted(nr, off)
             out = _score_spec(
                 left, decoded, spec, idfs, caches, k, use_prune, del_local
+            )
+            if off:
+                out["doc_id"] = out["doc_id"] + off
+            return out
+
+        per_shard = (
+            matched.groupBy("shard")
+            .cogroup(self._norms_for_query(matched).groupBy("shard"))
+            .applyInPandas(score_group, "doc_id long, score float")
+        )
+        ordered = per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        return ordered if k is None else ordered.limit(k)
+
+    def search_classic(self, query: Query, k: int | None = 10) -> DataFrame:
+        """Classic TF-IDF search — the 6.0 snapshot's DEFAULT similarity
+        (IndexSearcher.java:145, DefaultSimilarity.java:45), behind the
+        pluggable-similarity seam (functions/tfidf.py). Supports
+        Term / BooleanAnd / BooleanOr over the default field; unlike
+        BM25, the coord factor multiplies boolean sums
+        (ClassicSimilarity.coord = overlap/maxOverlap)."""
+        from lucene_solr_spark.functions import tfidf
+
+        q = rewrite(query)
+        spec = self._spec(q)
+        kind = spec["kind"]
+        if kind == "term":
+            clause_terms = list(spec["terms"])
+        elif kind == "and":
+            clause_terms = list(spec["must"])
+        elif kind == "or":
+            clause_terms = list(spec["terms"])
+        else:
+            raise ValueError(
+                "classic-similarity path supports term/and/or queries"
+            )
+        dfs = self.term_dfs(sorted(set(clause_terms)))
+        idfs = [tfidf.idf(dfs.get(t, 0), self.max_doc) for t in clause_terms]
+        values = tfidf.term_values(idfs)
+        vmap = {t: v for t, v in zip(clause_terms, values)}
+        maxcoord = len(clause_terms)
+        matched = self._matched(sorted(set(clause_terms)))
+        offsets = dict(self._doc_offsets)
+        default_field = self._default_field
+
+        def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float32")}
+            )
+            if len(left) == 0 or len(nr) == 0:
+                return empty
+            base, norms_map, lt, _d, _ = _decode_shard(left, nr, default_field)
+            nrm = norms_map[""]
+            off = offsets.get(int(left["shard"].iloc[0]), 0)
+            del_local = _local_deleted(nr, off)
+            if kind == "term":
+                t = clause_terms[0]
+                if t not in lt:
+                    return empty
+                d, tf_arr = lt.full(t)
+                docs = d
+                total = tfidf.score_term(tf_arr, nrm[d - base], vmap[t])
+            elif kind == "and":
+                if any(t not in lt for t in clause_terms):
+                    return empty
+                docs = reduce(
+                    lambda a, b: a[np.isin(a, b, assume_unique=True)],
+                    [lt.full(t)[0] for t in clause_terms],
+                )
+                if len(docs) == 0:
+                    return empty
+                acc64 = np.zeros(len(docs), np.float64)
+                for t in clause_terms:
+                    d, tf_arr = lt.full(t)
+                    idx = np.searchsorted(d, docs)
+                    s = tfidf.score_term(
+                        tf_arr[idx], nrm[docs - base], vmap[t]
+                    )
+                    acc64 += s.astype(np.float64)
+                # coord(n, n) == 1 for a pure conjunction
+                total = acc64.astype(np.float32)
+            else:  # or
+                present = [t for t in clause_terms if t in lt]
+                if not present:
+                    return empty
+                docs = reduce(np.union1d, [lt.full(t)[0] for t in present])
+                acc64 = np.zeros(len(docs), np.float64)
+                nmatch = np.zeros(len(docs), np.int32)
+                for t in present:
+                    d, tf_arr = lt.full(t)
+                    s = tfidf.score_term(tf_arr, nrm[d - base], vmap[t])
+                    pos = np.searchsorted(docs, d)
+                    acc64[pos] += s.astype(np.float64)
+                    nmatch[pos] += 1
+                coords = nmatch.astype(np.float32) / np.float32(maxcoord)
+                total = (acc64.astype(np.float32) * coords).astype(np.float32)
+            if del_local is not None and len(docs):
+                m = ~np.isin(docs, del_local)
+                docs, total = docs[m], total[m]
+            docs, total = _topk_arrays(docs, total, k)
+            out = pd.DataFrame(
+                {"doc_id": docs, "score": total.astype(np.float32)}
             )
             if off:
                 out["doc_id"] = out["doc_id"] + off
@@ -1375,19 +1602,7 @@ class IndexSearcher:
         """CONSTANT_SCORE multi-term rewrite (MultiTermQuery.java:68-94):
         expand against the dictionary with a pushed-down term predicate,
         union the matching doc sets, score 1.0, order docID asc."""
-        import re as _re
-
-        if isinstance(q, PrefixQuery):
-            cond = F.col("term").startswith(q.prefix)
-        elif isinstance(q, RegexpQuery):
-            cond = F.col("term").rlike("^(?:" + q.pattern + ")$")
-        else:  # WildcardQuery
-            regex = "^" + "".join(
-                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
-                for ch in q.pattern
-            ) + "$"
-            cond = F.col("term").rlike(regex)
-        matched = self._postings.where(cond)
+        matched = self._postings.where(_mtq_cond(q))
         offsets = dict(self._doc_offsets)
 
         def dec(batches):

@@ -83,6 +83,54 @@ def test_compact_equals_fresh_build(spark, tmp_path):
         assert {k for k, _ in got[name]} == {k for k, _ in live[name]}, name
 
 
+def test_split_index(spark, tmp_path):
+    """Index split (SolrIndexSplitter analog): disjoint hash-range
+    splits whose union of keys equals the source; each split is an
+    independent index with recomputed stats."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.index.check import check_index
+    from lucene_solr_spark.index.compact import split_index
+    from lucene_solr_spark.search.query import TermQuery
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    ix = str(tmp_path / "ix")
+    build_index(spark, src, ix, IndexConfig(n_shards=2, segs_per_shard=2))
+    outs = [str(tmp_path / "s0"), str(tmp_path / "s1")]
+    ms = split_index(spark, ix, outs)
+    assert sum(m["max_doc"] for m in ms) == 500
+    keys = set()
+    all_hits = set()
+    for od in outs:
+        check_index(spark, od, sample_terms=20)
+        s = IndexSearcher(spark, od)
+        ks = {r.key for r in s.doc_map().select("key").collect()}
+        assert not (keys & ks)  # disjoint
+        keys |= ks
+        all_hits |= {
+            r.key
+            for r in s.search_with_keys(TermQuery("table"), k=None).collect()
+        }
+    assert len(keys) == 500
+    s_full = IndexSearcher(spark, ix)
+    full_hits = {
+        r.key
+        for r in s_full.search_with_keys(TermQuery("table"), k=None).collect()
+    }
+    assert all_hits == full_hits
+
+
+def test_hll_cardinality_close_to_exact(spark):
+    """HLLAgg analog: approx_count_distinct (HLL++) within 5% of the
+    exact distinct count (solr/.../facet/HLLAgg.java:36)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    row = docs.agg(
+        F.countDistinct("text").alias("exact"),
+        F.approx_count_distinct("text").alias("hll"),
+    ).first()
+    assert abs(row.hll - row.exact) <= 0.05 * row.exact
+
+
 def test_compact_preserves_positions(spark, tmp_path):
     """Phrase queries must keep working on a compacted positions index."""
     from lucene_solr_spark.index.builder import IndexConfig, build_index
