@@ -103,6 +103,25 @@ def main() -> None:
             t_search += dt
             n_q += 1
 
+        # ---- batched QPS (the intended serving shape: search_many
+        # evaluates the whole query set in ONE Spark job; per-query
+        # wall time above is dominated by fixed job overhead) ----
+        vocab = ["table", "scan", "spark", "window", "vector", "customer",
+                 "key", "order", "sort", "merge", "batch", "stream", "hash",
+                 "join", "filter", "group", "agg", "row", "column", "value"]
+        batch: dict = {}
+        for i, t in enumerate(vocab):
+            batch[f"t{i}"] = TermQuery(t)
+            batch[f"a{i}"] = BooleanAnd((t, vocab[(i + 1) % len(vocab)]))
+            batch[f"o{i}"] = BooleanOr(
+                (t, vocab[(i + 3) % len(vocab)], vocab[(i + 7) % len(vocab)])
+            )
+        searcher.search_many({"w": TermQuery("table")}, k=20).collect()
+        t0 = time.perf_counter()
+        searcher.search_many(batch, k=20).collect()
+        t_batch = time.perf_counter() - t0
+        queries["q_batch60"] = round(t_batch, 4)
+
         # ---- training-data ops (documents/embeddings tables) ----
         try:
             from lucene_solr_spark.ops import bench_ops
@@ -125,6 +144,7 @@ def main() -> None:
                         "n_docs": int(n_docs),
                         "index_docs_per_sec": round(n_docs / t_build, 2),
                         "search_qps": round(n_q / t_search, 2) if t_search else None,
+                        "batched_qps": round(len(batch) / t_batch, 2),
                         "cores": cpus,
                         "spark": spark.version,
                     },
