@@ -74,7 +74,8 @@ def _list_array(parts: list[np.ndarray], dtype) -> pa.Array:
 
 
 def make_arrow_segment_builder(
-    key_kind: str, index_positions: bool, field_name: str = "text"
+    key_kind: str, index_positions: bool, field_name: str = "text",
+    codec: str = "vbyte",
 ):
     """Returns the applyInArrow function building ONE segment's rows.
 
@@ -150,7 +151,9 @@ def make_arrow_segment_builder(
                     np.int64
                 )
             cfs = np.add.reduceat(tfs, np.cumsum(dfs) - dfs).astype(np.int64)
-            enc = encode_posting_lists(dfs, doc_local, tfs, norms[doc_local])
+            enc = encode_posting_lists(
+                dfs, doc_local, tfs, norms[doc_local], codec=codec
+            )
 
         fingerprint = hashlib.sha256(keys_b).hexdigest()[:16]
         n_post = n_terms if total else 0

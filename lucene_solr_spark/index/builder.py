@@ -109,6 +109,10 @@ class IndexConfig:
     hot_seg_df: int = 50_000
     hot_segs_per_part: int = 4
     merge_buckets: int = 32  # merge reducers per shard-set (term-hash buckets)
+    # posting-block body codec: 'vbyte' (VInt) or 'for' (bit-packed
+    # frames, ForUtil.java:36-47 analog — the PForDelta-family variant
+    # the north star names). Pluggable behind one seam (index/codec.py).
+    codec: str = "vbyte"
 
 
 SEGMENT_SCHEMA = StructType(
@@ -162,6 +166,7 @@ def _make_segment_builder(
     key_kind: str = "l",
     index_positions: bool = False,
     fields: tuple = (("text", "text"),),
+    codec: str = "vbyte",
 ):
     """Returns the applyInPandas function building ONE segment's rows.
 
@@ -225,7 +230,9 @@ def _make_segment_builder(
             term_of_run = c_s[newrun]
             dfs = np.bincount(term_of_run, minlength=len(uniques)).astype(np.int64)
             cfs = np.add.reduceat(tfs, np.cumsum(dfs) - dfs).astype(np.int64)
-            enc = encode_posting_lists(dfs, doc_local, tfs, norms[doc_local])
+            enc = encode_posting_lists(
+                dfs, doc_local, tfs, norms[doc_local], codec=codec
+            )
             pos_per_term = np.bincount(c_s, minlength=len(uniques)).astype(np.int64)
             pos_encs = encode_position_lists(p_s, tfs, pos_per_term)
         else:
@@ -244,7 +251,9 @@ def _make_segment_builder(
             doc_local = upair % n_docs
             dfs = np.bincount(term_id, minlength=len(uniques)).astype(np.int64)
             cfs = np.add.reduceat(tfs, np.cumsum(dfs) - dfs).astype(np.int64)
-            enc = encode_posting_lists(dfs, doc_local, tfs, norms[doc_local])
+            enc = encode_posting_lists(
+                dfs, doc_local, tfs, norms[doc_local], codec=codec
+            )
             pos_encs = None
         return doc_lens, norms, (uniques, dfs, cfs, enc, pos_encs)
 
@@ -343,13 +352,18 @@ def _encode_varint(v: int) -> bytes:
     return arr.tobytes()
 
 
-def _make_merger(seg_bases: dict[int, int], segs_per_shard: int):
+def _make_merger(
+    seg_bases: dict[int, int], segs_per_shard: int, codec: str = "vbyte"
+):
     """Merge segment posting runs -> shard posting rows (ordered concat).
 
     Rows of one (shard, bucket) group, many terms at once. For each
-    (term, part): rebase each segment run to global docIDs (first varint
-    of the run becomes `global_doc0 - prev_run_last`), then byte-concat.
-    """
+    (term, part): rebase each segment run to global docIDs (the run's
+    first delta becomes `global_doc0 - prev_run_last`), then byte-
+    concat. vbyte: only the head varint is rewritten; for: the run's
+    FIRST block is decoded/re-encoded (its bit width may change), the
+    rest concatenates untouched."""
+    from lucene_solr_spark.index.codec import for_decode_block, for_encode_block
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -392,12 +406,31 @@ def _make_merger(seg_bases: dict[int, int], segs_per_shard: int):
             for r in range(i, j):
                 base = seg_bases[int(gs[r])]
                 enc = bytes(doc_encs[r])
-                local0, nb_old = _read_first_varint(enc)
-                global0 = local0 + base
-                delta0 = global0 if prev_last_global is None else global0 - prev_last_global
-                head = _encode_varint(delta0)
-                shift = len(head) - nb_old
-                doc_parts.append(head + enc[nb_old:])
+                if codec == "for":
+                    bdo0 = np.asarray(b_doff[r], np.int64)
+                    b0_end = int(bdo0[1]) if len(bdo0) > 1 else len(enc)
+                    vals = for_decode_block(enc[:b0_end]).astype(np.int64)
+                    global0 = int(vals[0]) + base
+                    delta0 = (
+                        global0
+                        if prev_last_global is None
+                        else global0 - prev_last_global
+                    )
+                    vals[0] = delta0
+                    head = for_encode_block(vals.astype(np.uint64))
+                    shift = len(head) - b0_end
+                    doc_parts.append(head + enc[b0_end:])
+                else:
+                    local0, nb_old = _read_first_varint(enc)
+                    global0 = local0 + base
+                    delta0 = (
+                        global0
+                        if prev_last_global is None
+                        else global0 - prev_last_global
+                    )
+                    head = _encode_varint(delta0)
+                    shift = len(head) - nb_old
+                    doc_parts.append(head + enc[nb_old:])
                 tf_parts.append(bytes(tf_encs[r]))
                 if pos_encs is not None and pos_encs[r] is not None:
                     # positions are doc-local deltas: plain concat, no rebase
@@ -521,7 +554,8 @@ def build_index(
         todo_tok = todo.withColumn("toks", tok_col(F.col("text"))).drop("text")
         seg_rows = todo_tok.groupBy("g").applyInArrow(
             make_arrow_segment_builder(
-                key_kind, cfg.index_positions, field_name=cfg.text_col
+                key_kind, cfg.index_positions, field_name=cfg.text_col,
+                codec=cfg.codec,
             ),
             SEGMENT_SCHEMA,
         )
@@ -530,7 +564,7 @@ def build_index(
         seg_rows = todo.groupBy("g").applyInPandas(
             _make_segment_builder(
                 cfg.analyzer, cfg.segs_per_shard, key_kind,
-                cfg.index_positions, fields,
+                cfg.index_positions, fields, cfg.codec,
             ),
             SEGMENT_SCHEMA,
         )
@@ -655,7 +689,7 @@ def build_index(
     ).withColumn("shard", (F.col("g") / cfg.segs_per_shard).cast("int"))
 
     merged = bucketed.groupBy("shard", "bucket").applyInPandas(
-        _make_merger(bases, cfg.segs_per_shard), POSTINGS_SCHEMA
+        _make_merger(bases, cfg.segs_per_shard, cfg.codec), POSTINGS_SCHEMA
     )
     # Range-partition by (shard, term): write parallelism is decoupled
     # from shard count (a shard's terms span several contiguous-range

@@ -31,6 +31,7 @@ def check_index(spark: SparkSession, index_dir: str, sample_terms: int | None = 
 
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
+    codec = manifest.get("config", {}).get("codec", "vbyte")
     post = spark.read.parquet(os.path.join(index_dir, "postings")).toPandas()
     doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map")).toPandas()
 
@@ -47,7 +48,8 @@ def check_index(spark: SparkSession, index_dir: str, sample_terms: int | None = 
         post = post.sample(sample_terms, random_state=0)
     for _, row in post.iterrows():
         docs, tfs = decode_posting_list(
-            bytes(row["doc_enc"]), bytes(row["tf_enc"]), int(row["df"])
+            bytes(row["doc_enc"]), bytes(row["tf_enc"]), int(row["df"]),
+            codec=codec,
         )
         term = row["term"]
         assert (np.diff(docs) > 0).all(), f"docs not strictly increasing: {term}"
@@ -68,11 +70,12 @@ def check_index(spark: SparkSession, index_dir: str, sample_terms: int | None = 
             sel = blk_of == b
             assert docs[sel][-1] == bl[b]
             assert tfs[sel].max() == bmt[b], f"block_max_tf wrong: {term}"
-        nm = doc_map.set_index("doc_id")["norm"]
-        norms_of = nm.reindex(docs).to_numpy()
-        for b in range(len(bl)):
-            sel = blk_of == b
-            assert norms_of[sel].max() == bmn[b], f"block_max_norm wrong: {term}"
+        if "\x1d" not in term:  # extra-field norms don't ride doc_map
+            nm = doc_map.set_index("doc_id")["norm"]
+            norms_of = nm.reindex(docs).to_numpy()
+            for b in range(len(bl)):
+                sel = blk_of == b
+                assert norms_of[sel].max() == bmn[b], f"block_max_norm wrong: {term}"
         assert set(docs.tolist()) <= valid_docs
         n_postings += len(docs)
         terms_seen += 1

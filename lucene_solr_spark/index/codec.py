@@ -72,21 +72,143 @@ def vbyte_decode(buf: np.ndarray | bytes, n_values: int | None = None) -> np.nda
     return vals
 
 
+# ----------------------------------------------------------------------
+# FOR (Frame-of-Reference) bit-packed blocks — the PForDelta-family
+# codec variant (codecs/lucene50/ForUtil.java:36-47: per-block bit
+# width = bits of the block's max value). Self-describing block format:
+#   [width: 1 byte][count-1: 1 byte][big-endian packed bits, byte-padded]
+# Unlike Lucene's fixed 128-int frames, blocks may be irregular (merge
+# concatenates segment runs), so the count rides in the header.
+# ----------------------------------------------------------------------
+
+
+def _bit_widths(mx: np.ndarray) -> np.ndarray:
+    """bit_length per value (>=1), exact for values < 2^62."""
+    mx = np.asarray(mx, np.uint64)
+    w = np.ones(len(mx), np.int64)
+    nz = mx > 0
+    if nz.any():
+        w[nz] = np.floor(np.log2(mx[nz].astype(np.float64))).astype(np.int64) + 1
+        # float-rounding correction at power-of-two edges
+        over = nz & (mx >> np.minimum(w, 63).astype(np.uint64) > 0)
+        w[over] += 1
+        under = nz & (mx >> np.maximum(w - 1, 0).astype(np.uint64) == 0)
+        w[under] -= 1
+    return np.maximum(w, 1)
+
+
+def for_encode_block(values: np.ndarray) -> bytes:
+    """Encode one block (1..128 uint64 values)."""
+    v = np.asarray(values, np.uint64)
+    n = len(v)
+    assert 1 <= n <= 256
+    w = int(_bit_widths(np.array([int(v.max())], np.uint64))[0])
+    shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    packed = np.packbits(bits.reshape(-1))
+    return bytes([w, n - 1]) + packed.tobytes()
+
+
+def for_decode_block(buf: bytes) -> np.ndarray:
+    """Decode one self-describing FOR block -> uint64 values."""
+    w = buf[0]
+    n = buf[1] + 1
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8, offset=2))[: n * w]
+    pw = np.uint64(1) << np.arange(w - 1, -1, -1, dtype=np.uint64)
+    return (bits.reshape(n, w).astype(np.uint64) * pw).sum(axis=1)
+
+
+def for_block_len(buf: bytes, off: int = 0) -> int:
+    """Byte length of the block starting at `off` (header walk)."""
+    w = buf[off]
+    n = buf[off + 1] + 1
+    return 2 + (n * w + 7) // 8
+
+
+def for_encode_blocks(
+    values: np.ndarray, block_starts: np.ndarray, n_total: int
+) -> tuple[bytes, np.ndarray]:
+    """Encode MANY blocks in one vectorized pass (grouped by width).
+
+    `block_starts` are indices into `values` (ascending, first == 0);
+    returns (stream, byte offset per block). No per-posting Python."""
+    v = np.asarray(values, np.uint64)
+    starts = np.asarray(block_starts, np.int64)
+    nblk = len(starts)
+    ends = np.empty(nblk, np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = n_total
+    counts = ends - starts
+    assert counts.max(initial=0) <= 256, "FOR block count exceeds header"
+    mx = np.maximum.reduceat(v, starts) if len(v) else np.zeros(0, np.uint64)
+    widths = _bit_widths(mx)
+    body_bytes = (counts * widths + 7) // 8
+    blk_bytes = 2 + body_bytes
+    offs = np.cumsum(blk_bytes) - blk_bytes
+    out = np.zeros(int(blk_bytes.sum()), np.uint8)
+    out[offs] = widths
+    out[offs + 1] = (counts - 1).astype(np.uint8)
+    for w in np.unique(widths):
+        sel = np.flatnonzero(widths == w)
+        cnts = counts[sel]
+        total = int(cnts.sum())
+        if total == 0:
+            continue
+        # gather this width-group's values
+        gstarts = np.repeat(starts[sel], cnts)
+        gj = np.arange(total) - np.repeat(np.cumsum(cnts) - cnts, cnts)
+        vals = v[gstarts + gj]
+        shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+        bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        # per-block byte-padded bit regions
+        padbits = body_bytes[sel] * 8
+        bit_off = np.cumsum(padbits) - padbits
+        val_bit0 = bit_off[np.repeat(np.arange(len(sel)), cnts)] + gj * w
+        dst = (val_bit0[:, None] + np.arange(w)).reshape(-1)
+        gbits = np.zeros(int(padbits.sum()), np.uint8)
+        gbits[dst] = bits.reshape(-1)
+        gpacked = np.packbits(gbits)
+        # scatter packed bytes into the output at each block's body
+        body_off = np.cumsum(body_bytes[sel]) - body_bytes[sel]
+        bdst = (
+            np.repeat(offs[sel] + 2, body_bytes[sel])
+            + np.arange(int(body_bytes[sel].sum()))
+            - np.repeat(body_off, body_bytes[sel])
+        )
+        out[bdst] = gpacked
+    return out.tobytes(), offs
+
+
+def for_decode_stream(buf: bytes, n_values: int) -> np.ndarray:
+    """Decode a concatenation of FOR blocks -> uint64 values."""
+    vals = np.empty(n_values, np.uint64)
+    off = 0
+    w_ = 0
+    while w_ < n_values:
+        block = for_decode_block(buf[off:])
+        vals[w_ : w_ + len(block)] = block
+        w_ += len(block)
+        off += for_block_len(buf, off)
+    return vals
+
+
 def encode_posting_lists(
     term_lengths: np.ndarray,
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     norm_bytes: np.ndarray,
+    codec: str = "vbyte",
 ) -> dict[str, list]:
     """Encode postings for MANY terms in one vectorized pass.
 
     Inputs are parallel arrays sorted by (term, doc_id); `term_lengths[i]`
     is the df of term i (sum == len(doc_ids)). `norm_bytes[j]` is the norm
-    byte of doc_ids[j]'s document.
+    byte of doc_ids[j]'s document. `codec` picks the block body format:
+    'vbyte' (VInt-style) or 'for' (bit-packed frames, ForUtil analog).
 
     Returns dict of per-term lists (aligned with term_lengths):
-      doc_enc: bytes        VByte of doc deltas (first absolute)
-      tf_enc: bytes         VByte of tfs
+      doc_enc: bytes        doc-delta blocks (first delta absolute)
+      tf_enc: bytes         tf blocks
       block_last: list[int64 array]   last docID per 128-block (skip entry)
       block_doc_off / block_tf_off: list[int32 array]  byte offset of each
           block within doc_enc / tf_enc
@@ -103,11 +225,6 @@ def encode_posting_lists(
         deltas[0] = doc_ids[0]
         deltas[1:] = doc_ids[1:] - doc_ids[:-1]
         deltas[term_starts] = doc_ids[term_starts]
-
-    doc_bytes, doc_nb = vbyte_encode(deltas.astype(np.uint64))
-    tf_bytes, tf_nb = vbyte_encode(np.asarray(tfs, dtype=np.uint64))
-    doc_byte_start = np.cumsum(doc_nb) - doc_nb  # byte offset of posting j
-    tf_byte_start = np.cumsum(tf_nb) - tf_nb
 
     # block starts: every 128th posting within each term
     local_idx = np.arange(n) - np.repeat(term_starts, term_lengths)
@@ -130,22 +247,50 @@ def encode_posting_lists(
     # number of blocks per term, for splitting the block arrays
     blocks_per_term = ((term_lengths + BLOCK_SIZE - 1) // BLOCK_SIZE).astype(np.int64)
     blk_split = np.cumsum(blocks_per_term)[:-1]
-    term_split = np.cumsum(term_lengths)[:-1]
 
-    # per-term byte ranges
-    t_doc_b0 = doc_byte_start[term_starts]
-    t_tf_b0 = tf_byte_start[term_starts]
-    doc_enc_all = doc_bytes.tobytes()
-    tf_enc_all = tf_bytes.tobytes()
-    t_doc_b1 = np.empty(len(term_lengths), np.int64)
-    t_doc_b1[:-1] = t_doc_b0[1:]
-    t_doc_b1[-1] = len(doc_enc_all)
-    t_tf_b1 = np.empty(len(term_lengths), np.int64)
-    t_tf_b1[:-1] = t_tf_b0[1:]
-    t_tf_b1[-1] = len(tf_enc_all)
-
-    blk_doc_off = (doc_byte_start[block_starts] - np.repeat(t_doc_b0, blocks_per_term)).astype(np.int32)
-    blk_tf_off = (tf_byte_start[block_starts] - np.repeat(t_tf_b0, blocks_per_term)).astype(np.int32)
+    if codec == "for":
+        doc_enc_all, doc_offs = for_encode_blocks(
+            deltas.astype(np.uint64), block_starts, n
+        )
+        tf_enc_all, tf_offs = for_encode_blocks(
+            np.asarray(tfs, np.uint64), block_starts, n
+        )
+        blk_ptr = np.cumsum(blocks_per_term) - blocks_per_term
+        t_doc_b0 = doc_offs[blk_ptr]
+        t_tf_b0 = tf_offs[blk_ptr]
+        t_doc_b1 = np.empty(len(term_lengths), np.int64)
+        t_doc_b1[:-1] = t_doc_b0[1:]
+        t_doc_b1[-1] = len(doc_enc_all)
+        t_tf_b1 = np.empty(len(term_lengths), np.int64)
+        t_tf_b1[:-1] = t_tf_b0[1:]
+        t_tf_b1[-1] = len(tf_enc_all)
+        blk_doc_off = (
+            doc_offs - np.repeat(t_doc_b0, blocks_per_term)
+        ).astype(np.int32)
+        blk_tf_off = (
+            tf_offs - np.repeat(t_tf_b0, blocks_per_term)
+        ).astype(np.int32)
+    else:
+        doc_bytes, doc_nb = vbyte_encode(deltas.astype(np.uint64))
+        tf_bytes, tf_nb = vbyte_encode(np.asarray(tfs, dtype=np.uint64))
+        doc_byte_start = np.cumsum(doc_nb) - doc_nb
+        tf_byte_start = np.cumsum(tf_nb) - tf_nb
+        t_doc_b0 = doc_byte_start[term_starts]
+        t_tf_b0 = tf_byte_start[term_starts]
+        doc_enc_all = doc_bytes.tobytes()
+        tf_enc_all = tf_bytes.tobytes()
+        t_doc_b1 = np.empty(len(term_lengths), np.int64)
+        t_doc_b1[:-1] = t_doc_b0[1:]
+        t_doc_b1[-1] = len(doc_enc_all)
+        t_tf_b1 = np.empty(len(term_lengths), np.int64)
+        t_tf_b1[:-1] = t_tf_b0[1:]
+        t_tf_b1[-1] = len(tf_enc_all)
+        blk_doc_off = (
+            doc_byte_start[block_starts] - np.repeat(t_doc_b0, blocks_per_term)
+        ).astype(np.int32)
+        blk_tf_off = (
+            tf_byte_start[block_starts] - np.repeat(t_tf_b0, blocks_per_term)
+        ).astype(np.int32)
 
     return {
         "doc_enc": [doc_enc_all[a:b] for a, b in zip(t_doc_b0, t_doc_b1)],
@@ -158,12 +303,17 @@ def encode_posting_lists(
     }
 
 
-def decode_posting_list(doc_enc: bytes, tf_enc: bytes, df: int) -> tuple[np.ndarray, np.ndarray]:
+def decode_posting_list(
+    doc_enc: bytes, tf_enc: bytes, df: int, codec: str = "vbyte"
+) -> tuple[np.ndarray, np.ndarray]:
     """Full decode of one term's postings -> (doc_ids int64, tfs int64)."""
-    deltas = vbyte_decode(doc_enc, df).astype(np.int64)
-    docs = np.cumsum(deltas)
-    tfs = vbyte_decode(tf_enc, df).astype(np.int64)
-    return docs, tfs
+    if codec == "for":
+        deltas = for_decode_stream(doc_enc, df).astype(np.int64)
+        tfs = for_decode_stream(tf_enc, df).astype(np.int64)
+    else:
+        deltas = vbyte_decode(doc_enc, df).astype(np.int64)
+        tfs = vbyte_decode(tf_enc, df).astype(np.int64)
+    return np.cumsum(deltas), tfs
 
 
 def decode_blocks(
@@ -174,6 +324,7 @@ def decode_blocks(
     block_doc_off: np.ndarray,
     block_tf_off: np.ndarray,
     df: int,
+    codec: str = "vbyte",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode only the selected blocks (skip-list analog).
 
@@ -188,13 +339,16 @@ def decode_blocks(
     tf_end[:-1] = block_tf_off[1:]
     tf_end[-1] = len(tf_enc)
 
+    dec = for_decode_block if codec == "for" else vbyte_decode
     docs_out, tfs_out = [], []
     for b in block_ids:
-        deltas = vbyte_decode(doc_enc[block_doc_off[b] : doc_end[b]]).astype(np.int64)
+        deltas = dec(doc_enc[block_doc_off[b] : doc_end[b]]).astype(np.int64)
         base = 0 if b == 0 else int(block_last[b - 1])
         deltas[0] += base
         docs_out.append(np.cumsum(deltas))
-        tfs_out.append(vbyte_decode(tf_enc[block_tf_off[b] : tf_end[b]]).astype(np.int64))
+        tfs_out.append(
+            dec(tf_enc[block_tf_off[b] : tf_end[b]]).astype(np.int64)
+        )
     if not docs_out:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(docs_out), np.concatenate(tfs_out)

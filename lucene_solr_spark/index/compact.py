@@ -60,6 +60,7 @@ def compact(
             "field norms do not ride the doc_map; rebuild instead)"
         )
     default_field = s._default_field
+    codec = s.manifest["config"].get("codec", "vbyte")
     doc_map = s.doc_map()
     doc_offsets = dict(s._doc_offsets)  # shard -> generation docID offset
 
@@ -152,7 +153,8 @@ def compact(
         gen_off = doc_offsets.get(old, 0)
         for row in left.sort_values(["term", "part"]).itertuples(index=False):
             d, t = decode_posting_list(
-                bytes(row.doc_enc), bytes(row.tf_enc), int(row.df)
+                bytes(row.doc_enc), bytes(row.tf_enc), int(row.df),
+                codec=codec,
             )
             # decoded ids are generation-local; lift to global first
             d_glob = d + gen_off
@@ -169,6 +171,7 @@ def compact(
                 new_d,
                 new_t,
                 alive_norm[pos_c[keep]],
+                codec=codec,
             )
             out["shard"].append(ns)
             out["term"].append(row.term)

@@ -96,7 +96,8 @@ class _LazyTerms:
     (`decode_for`, the `advance()`/skip-read analog,
     Lucene50PostingsReader.java:395-435)."""
 
-    def __init__(self, pdf: pd.DataFrame):
+    def __init__(self, pdf: pd.DataFrame, codec: str = "vbyte"):
+        self.codec = codec
         self.has_pos = "pos_enc" in pdf.columns
         self.rows: dict[str, list] = {}
         self.dfs: dict[str, int] = {}
@@ -105,6 +106,7 @@ class _LazyTerms:
             self.dfs[term] = int(grp["df_total"].iloc[0])
         self._full: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._blk: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+        self._ldf: dict[str, int] = {}
         # decode telemetry (lets tests prove the skip path really ran:
         # a pruned execution decodes blocks, not whole lists)
         self.n_full_decodes = 0
@@ -113,13 +115,20 @@ class _LazyTerms:
     def __contains__(self, term: str) -> bool:
         return term in self.rows
 
+    def local_df(self, term: str) -> int:
+        """Shard-local postings count (decode-cost estimate)."""
+        if term not in self._ldf:
+            self._ldf[term] = sum(int(r.df) for r in self.rows[term])
+        return self._ldf[term]
+
     def full(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         if term not in self._full:
             self.n_full_decodes += 1
             ds, ts = [], []
             for row in self.rows[term]:
                 d, t = decode_posting_list(
-                    bytes(row.doc_enc), bytes(row.tf_enc), int(row.df)
+                    bytes(row.doc_enc), bytes(row.tf_enc), int(row.df),
+                    codec=self.codec,
                 )
                 ds.append(d)
                 ts.append(t)
@@ -173,6 +182,7 @@ class _LazyTerms:
                         bdo,
                         bto,
                         int(row.df),
+                        codec=self.codec,
                     )
                     self._blk[(term, ri, b)] = (db, tb)
             for b in bids.tolist():
@@ -203,6 +213,7 @@ def _decode_shard(
     pdf: pd.DataFrame,
     norms_pdf: pd.DataFrame | None = None,
     default_field: str | None = None,
+    codec: str = "vbyte",
 ):
     """Build lazy shard accessors.
 
@@ -224,7 +235,7 @@ def _decode_shard(
                 norms_map[""] = arr
     else:
         norms_map[""] = np.frombuffer(src["norms"].iloc[0], np.uint8)
-    lt = _LazyTerms(pdf)
+    lt = _LazyTerms(pdf, codec=codec)
     return base, norms_map, lt, lt.dfs, lt
 
 
@@ -256,15 +267,30 @@ def _score_spec(
     k: int,
     prune: bool,
     deleted: np.ndarray | None = None,
+    prune_min: int = 0,
 ) -> pd.DataFrame:
     """Score one decoded shard against one query spec -> top-k rows.
 
     `caches` maps field key ('' = default field) -> the 256-float norm
     cache of that field (per-field avgdl, BM25Similarity.java:206-211);
-    a bare array is accepted as the single-field shorthand."""
+    a bare array is accepted as the single-field shorthand.
+
+    `prune_min`: the block-skip fast paths only pay off when the
+    shard-local decode work is large — per-block skip reads carry
+    fixed per-block overhead that exceeds one vectorized exhaustive
+    decode on short lists (the BooleanWeight scorer-vs-bulkScorer
+    cost decision, BooleanWeight.java:232-256). Below `prune_min`
+    total shard-local postings the exhaustive kernels run instead;
+    0 forces pruning (used by the parity tests)."""
     base, norms_map, lt, _dfs, _ = decoded
     if not isinstance(caches, dict):
         caches = {"": caches}
+    if prune and prune_min:
+        cost = sum(
+            lt.local_df(t) for t in set(spec.get("terms", ())) if t in lt
+        )
+        if cost < prune_min:
+            prune = False
 
     def term_scores(term: str) -> tuple[np.ndarray, np.ndarray]:
         d, t = lt.full(term)
@@ -289,7 +315,8 @@ def _score_spec(
         if prune and k is not None:
             nrm, cch = _nc(term, norms_map, caches)
             docs, scores = _score_term_pruned(
-                pdf, term, base, nrm, idfs, cch, k, deleted
+                pdf, term, base, nrm, idfs, cch, k, deleted,
+                codec=lt.codec,
             )
         else:
             docs, scores = term_scores(term)
@@ -935,7 +962,8 @@ def _score_or_wand(lt: _LazyTerms, present, base, norms_map, idfs, caches,
 
 
 def _score_term_pruned(pdf, term, base, norms, idfs, cache, k,
-                       deleted: np.ndarray | None = None):
+                       deleted: np.ndarray | None = None,
+                       codec: str = "vbyte"):
     """Block-max pruning for a single-term query (output-identical).
 
     Upper bound per block: weightValue * max_tf / (max_tf + cache[max_norm])
@@ -984,6 +1012,7 @@ def _score_term_pruned(pdf, term, base, norms, idfs, cache, k,
                 np.asarray(row.block_doc_off, np.int64),
                 np.asarray(row.block_tf_off, np.int64),
                 int(row.df),
+                codec=codec,
             )
             sc = bm25.score_term(t, norms[d - base], idfs[term], cache)
             if deleted is not None and len(deleted):
@@ -1006,6 +1035,11 @@ def _score_term_pruned(pdf, term, base, norms, idfs, cache, k,
     return _topk_arrays(docs, scores, k)
 
 
+# below this many shard-local postings the exhaustive vectorized kernels
+# beat the block-skip paths (per-block overhead); see _score_spec.
+PRUNE_MIN_POSTINGS = 16384
+
+
 class IndexSearcher:
     """Searcher over an index directory produced by build_index."""
 
@@ -1022,6 +1056,7 @@ class IndexSearcher:
         self.cache = bm25.norm_cache(self.avgdl)
         # per-field stats -> per-field norm caches ('' = default field)
         self._default_field = self.manifest["config"].get("text_col", "text")
+        self._codec = self.manifest["config"].get("codec", "vbyte")
         self._field_stats = dict(
             self.manifest.get("field_stats")
             or {self._default_field: self.manifest["sum_total_term_freq"]}
@@ -1037,6 +1072,8 @@ class IndexSearcher:
         self._doc_offsets: dict[int, int] = {}
         self._gens: list[tuple[str, int, int]] = []
         self._deleted: np.ndarray | None = None  # lazy tombstone resolve
+        # cost floor for the block-skip fast paths (0 forces pruning)
+        self.prune_min = PRUNE_MIN_POSTINGS
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexSearcher":
@@ -1406,8 +1443,10 @@ class IndexSearcher:
 
         caches = dict(self._caches)
         default_field = self._default_field
+        codec = self._codec
         max_doc = self.max_doc
         use_prune = _prune_eligible(spec, k, prune)
+        prune_min = self.prune_min
         offsets = dict(self._doc_offsets)
 
         def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
@@ -1416,12 +1455,13 @@ class IndexSearcher:
                     {"doc_id": pd.Series(dtype="int64"),
                      "score": pd.Series(dtype="float32")}
                 )
-            decoded = _decode_shard(left, nr, default_field)
+            decoded = _decode_shard(left, nr, default_field, codec)
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
             off = offsets.get(int(left["shard"].iloc[0]), 0)
             del_local = _local_deleted(nr, off)
             out = _score_spec(
-                left, decoded, spec, idfs, caches, k, use_prune, del_local
+                left, decoded, spec, idfs, caches, k, use_prune, del_local,
+                prune_min,
             )
             if off:
                 out["doc_id"] = out["doc_id"] + off
@@ -1465,6 +1505,7 @@ class IndexSearcher:
         matched = self._matched(sorted(set(clause_terms)))
         offsets = dict(self._doc_offsets)
         default_field = self._default_field
+        codec = self._codec
 
         def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame(
@@ -1473,7 +1514,9 @@ class IndexSearcher:
             )
             if len(left) == 0 or len(nr) == 0:
                 return empty
-            base, norms_map, lt, _d, _ = _decode_shard(left, nr, default_field)
+            base, norms_map, lt, _d, _ = _decode_shard(
+                left, nr, default_field, codec
+            )
             nrm = norms_map[""]
             off = offsets.get(int(left["shard"].iloc[0]), 0)
             del_local = _local_deleted(nr, off)
@@ -1556,7 +1599,9 @@ class IndexSearcher:
 
         caches = dict(self._caches)
         default_field = self._default_field
+        codec = self._codec
         max_doc = self.max_doc
+        prune_min = self.prune_min
         offsets = dict(self._doc_offsets)
 
         def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
@@ -1566,7 +1611,7 @@ class IndexSearcher:
                      "doc_id": pd.Series(dtype="int64"),
                      "score": pd.Series(dtype="float32")}
                 )
-            decoded = _decode_shard(left, nr, default_field)
+            decoded = _decode_shard(left, nr, default_field, codec)
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
             off = offsets.get(int(left["shard"].iloc[0]), 0)
             del_local = _local_deleted(nr, off)
@@ -1574,7 +1619,8 @@ class IndexSearcher:
             for qid, spec in specs.items():
                 use_prune = _prune_eligible(spec, k, prune)
                 r = _score_spec(
-                    left, decoded, spec, idfs, caches, k, use_prune, del_local
+                    left, decoded, spec, idfs, caches, k, use_prune, del_local,
+                    prune_min,
                 )
                 if off:
                     r["doc_id"] = r["doc_id"] + off
@@ -1604,13 +1650,15 @@ class IndexSearcher:
         union the matching doc sets, score 1.0, order docID asc."""
         matched = self._postings.where(_mtq_cond(q))
         offsets = dict(self._doc_offsets)
+        codec = self._codec
 
         def dec(batches):
             for pdf in batches:
                 outs = []
                 for row in pdf.itertuples(index=False):
                     d, _t = decode_posting_list(
-                        bytes(row.doc_enc), bytes(row.tf_enc), int(row.df)
+                        bytes(row.doc_enc), bytes(row.tf_enc), int(row.df),
+                        codec=codec,
                     )
                     outs.append(d + offsets.get(int(row.shard), 0))
                 if outs:

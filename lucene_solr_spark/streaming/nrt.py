@@ -70,6 +70,7 @@ def append_batch(
             sharding=base_cfg.sharding if base_cfg.sharding != "range_int" else "hash",
             index_positions=getattr(base_cfg, "index_positions", False),
             extra_fields=tuple(getattr(base_cfg, "extra_fields", ()) or ()),
+            codec=getattr(base_cfg, "codec", "vbyte"),
         )
         build_index(spark, batch, gen_dir, delta_cfg, resume=False)
     # register generation in the top-level manifest (commit point)

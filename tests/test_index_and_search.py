@@ -205,11 +205,19 @@ def test_pruned_paths_identical_to_exhaustive(searcher):
         BooleanOr(("vector", "zzzmissing")),
         BooleanMustShould(("vector",), ("table", "scan")),
     ]
-    for q in queries:
-        for k in (5, 20, 100):
-            fast = [(r.doc_id, r.score) for r in searcher.search(q, k=k, prune=True).collect()]
-            slow = [(r.doc_id, r.score) for r in searcher.search(q, k=k, prune=False).collect()]
-            assert fast == slow, (q, k)
+    # force the block-skip paths regardless of shard size (the cost
+    # gate would otherwise route tiny test shards to the exhaustive
+    # kernels, making this comparison vacuous)
+    saved = searcher.prune_min
+    searcher.prune_min = 0
+    try:
+        for q in queries:
+            for k in (5, 20, 100):
+                fast = [(r.doc_id, r.score) for r in searcher.search(q, k=k, prune=True).collect()]
+                slow = [(r.doc_id, r.score) for r in searcher.search(q, k=k, prune=False).collect()]
+                assert fast == slow, (q, k)
+    finally:
+        searcher.prune_min = saved
 
 
 def test_prune_gate_covers_all_boolean_kinds():
