@@ -1403,14 +1403,19 @@ class IndexSearcher:
 
     def _matched(self, terms: list[str]) -> DataFrame:
         """Postings rows for the query terms, with the GLOBAL df attached
-        as `df_total` via a window sum — so the whole search is ONE Spark
-        job (no separate stats-lookup job; the BlockTree term seek analog
-        stays a pushed-down `term IN (...)` parquet filter)."""
-        from pyspark.sql import Window
+        as `df_total` — the whole search stays ONE Spark job (no separate
+        stats-lookup job; the BlockTree term seek analog stays a
+        pushed-down `term IN (...)` parquet filter).
 
+        df_total rides a BROADCAST join of a tiny (term, Σdf) aggregate
+        rather than a window: a window would shuffle the heavy posting
+        rows on `term` and then AGAIN on `shard` for the cogroup; the
+        broadcast keeps the heavy rows to a single shard-keyed exchange
+        (plan-audited — the aggregate re-reads only the pushed-down,
+        column-pruned (term, df) columns)."""
         matched = self._postings.where(F.col("term").isin(terms))
-        w = Window.partitionBy("term")
-        return matched.withColumn("df_total", F.sum("df").over(w))
+        totals = matched.groupBy("term").agg(F.sum("df").alias("df_total"))
+        return matched.join(F.broadcast(totals), "term")
 
     def search(self, query: Query, k: int | None = 10, prune: bool = True) -> DataFrame:
         """Top-k as a DataFrame (doc_id long, score float), globally ordered
