@@ -76,7 +76,14 @@ def maybe_compact(
 
 def compact_in_place(spark: SparkSession, index_dir: str, **policy) -> bool:
     """maybe_compact + atomic swap of the index directory. Returns
-    True when a compaction ran."""
+    True when a compaction ran.
+
+    The pre-compaction directory is KEPT (renamed to
+    `<index_dir>.old.<ts>`) so readers opened before the swap keep a
+    consistent snapshot — deleting it would leave their lazy plans
+    pointing at replaced files (the segments_N contract: old commit
+    points survive until no reader needs them). Callers garbage-
+    collect old generations once their searchers are gone."""
     tmp = f"{index_dir}.compacting.{int(time.time())}"
     m = maybe_compact(spark, index_dir, tmp, **policy)
     if m is None:
@@ -85,5 +92,4 @@ def compact_in_place(spark: SparkSession, index_dir: str, **policy) -> bool:
     old = f"{index_dir}.old.{int(time.time())}"
     os.rename(index_dir, old)
     os.rename(tmp, index_dir)
-    shutil.rmtree(old, ignore_errors=True)
     return True

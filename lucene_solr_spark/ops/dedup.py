@@ -149,6 +149,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFr
 # ----------------------------------------------------------------------
 
 
+_CACHED_SHINGLES: list = []
+
+
 def _signatures_from_shingles(ds: DataFrame) -> DataFrame:
     """(doc_id, m0..m15) from a (doc_id, s) distinct-shingle frame:
     ONE hash-aggregate (map-side partial min) — the 16 permutations
@@ -179,8 +182,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFram
     collide.  Verification touches candidate pairs only. The distinct-
     shingle frame is computed ONCE and persisted — signatures and
     verification share the same scan (at the 100 TB design point this
-    persist becomes a materialized shingle table)."""
+    persist becomes a materialized shingle table). Only the most
+    recent call's frame stays cached — the previous one is
+    unpersisted (at worst its still-referenced plan recomputes)."""
     ds = _distinct_shingles(docs, n).persist()
+    while _CACHED_SHINGLES:
+        _CACHED_SHINGLES.pop().unpersist()
+    _CACHED_SHINGLES.append(ds)
     sig = _signatures_from_shingles(ds)
     band_cols = []
     for bnd in range(N_BANDS):

@@ -108,8 +108,10 @@ def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
 
 def _assign_bucket_col(e: Column, cents) -> Column:
     """bucket = cid of the nearest centroid by cosine (ties -> smaller
-    cid, via first-occurrence array_position). |e| is a common factor,
-    so score_i = dot(e, c_i) / |c_i| suffices."""
+    cid, via first-occurrence array_position; the position maps back
+    to the centroid's ACTUAL vec_id so non-contiguous seed ids stay
+    consistent with the probe list and the oracle). |e| is a common
+    factor, so score_i = dot(e, c_i) / |c_i| suffices."""
     import math
 
     sims = []
@@ -118,7 +120,10 @@ def _assign_bucket_col(e: Column, cents) -> Column:
         cn = math.sqrt(_fold_dot(c, c))
         sims.append(_dot(e, ccol) / F.lit(cn))
     arr = F.array(*sims)
-    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    return F.element_at(
+        cid_arr, F.array_position(arr, F.array_max(arr)).cast("int")
+    ).cast("int")
 
 
 def ivf_topk(

@@ -10,7 +10,10 @@ Grammar (field-free, default operator OR — the reference default):
     mods    := + | - | NOT | !
     group   := '(' query ')' ['^' boost]
     phrase  := '"' text '"' ['~' slop] ['^' boost]
-    term    := word ['~' [edits]] ['^' boost]
+    term    := word ['~' [edits | float-similarity]] ['^' boost]
+               ('-'/'+' are operators only at clause start; mid-word
+                they are term characters, per _TERM_CHAR in the
+                reference grammar)
               (word with '*' / '?' -> wildcard; trailing-'*'-only ->
                prefix; both CONSTANT_SCORE rewrites)
 
@@ -54,7 +57,7 @@ _TOKEN_RE = re.compile(
   | (?P<orop>\|\|)
   | "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>[0-9]+(?:\.[0-9]+)?))?
   | \^(?P<boost>[0-9]+(?:\.[0-9]+)?)
-  | (?P<term>[^\s()+\-!"^~]+)(?:~(?P<edits>[0-9]*))?(?:\^(?P<tboost>[0-9]+(?:\.[0-9]+)?))?
+  | (?P<term>[^\s()+\-!"^~][^\s()!"^~]*)(?:~(?P<edits>[0-9]*(?:\.[0-9]+)?))?(?:\^(?P<tboost>[0-9]+(?:\.[0-9]+)?))?
     """,
     re.X,
 )
@@ -111,13 +114,23 @@ def _lex(s: str) -> list[tuple]:
                 out.append(("NOT", None))
             else:
                 edits = m.group("edits")
+                if edits:
+                    if "." in edits:
+                        # legacy float similarity: FuzzyQuery.floatToEdits
+                        # — edits = min((1-sim)*termLen, 2)
+                        sim = float(edits)
+                        n_edits = min(int((1.0 - sim) * len(word)), 2)
+                    else:
+                        n_edits = int(edits)
+                else:
+                    n_edits = 2
                 out.append(
                     (
                         "TERM",
                         {
                             "text": word,
                             "fuzzy": edits is not None,
-                            "edits": int(edits) if edits else 2,
+                            "edits": n_edits,
                             "boost": float(m.group("tboost"))
                             if m.group("tboost")
                             else None,

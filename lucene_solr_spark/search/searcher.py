@@ -194,7 +194,8 @@ class _LazyTerms:
         return np.concatenate(ds), np.concatenate(ts)
 
 
-FIELD_SEP = "\x1d"  # internal term key = "<field>\x1d<token>" (non-default)
+from lucene_solr_spark.index.builder import FIELD_SEP  # noqa: E402
+# internal term key = "<field>\x1d<token>" for non-default fields
 
 
 def _field_key(term: str) -> str:
@@ -788,16 +789,19 @@ def _tree_terms(node: dict) -> list[str]:
 def _mtq_cond(q):
     """Dictionary predicate of a multi-term query (the automaton ∩
     term-dict seek, MultiTermQuery.java:68-94) — pushed down to the
-    term-sorted parquet scan."""
+    term-sorted parquet scan. Expansion is scoped to the DEFAULT
+    field's dictionary: field-prefixed internal terms are excluded so
+    e.g. PrefixQuery('s') cannot leak 'source\x1d...' postings."""
     import re as _re
 
+    not_fielded = ~F.col("term").contains(FIELD_SEP)
     if isinstance(q, PrefixQuery):
-        return F.col("term").startswith(q.prefix)
+        return F.col("term").startswith(q.prefix) & not_fielded
     if isinstance(q, RegexpQuery):
-        return F.col("term").rlike("^(?:" + q.pattern + ")$")
+        return F.col("term").rlike("^(?:" + q.pattern + ")$") & not_fielded
     if isinstance(q, TermRangeQuery):
         # BETWEEN over the sorted dictionary (TermRangeQuery.java)
-        cond = F.lit(True)
+        cond = not_fielded
         if q.lower is not None:
             cond = cond & (
                 F.col("term") >= q.lower
@@ -816,7 +820,7 @@ def _mtq_cond(q):
         ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
         for ch in q.pattern
     ) + "$"
-    return F.col("term").rlike(regex)
+    return F.col("term").rlike(regex) & not_fielded
 
 
 def _prune_eligible(spec: dict, k: int | None, prune: bool) -> bool:
@@ -1112,6 +1116,9 @@ class IndexSearcher:
             s._gens.append((gdir, shard_off, doc_off))
             doc_off += gm["max_doc"]
             sttf += gm["sum_total_term_freq"]
+            for f, v in (gm.get("field_stats") or {}).items():
+                if f != s._default_field:
+                    s._field_stats[f] = s._field_stats.get(f, 0) + int(v)
             shard_off += max(int(x) for x in gm["shard_bases"]) + 1
         from functools import reduce as _reduce
 
@@ -1131,13 +1138,6 @@ class IndexSearcher:
         s.avgdl = bm25.avgdl(sttf, s.max_doc)
         s.cache = bm25.norm_cache(s.avgdl)
         s._field_stats[s._default_field] = sttf
-        for g in gens:
-            gdir = os.path.join(index_dir, g["dir"])
-            with open(os.path.join(gdir, "manifest.json")) as fh:
-                gm = json.load(fh)
-            for f, v in (gm.get("field_stats") or {}).items():
-                if f != s._default_field:
-                    s._field_stats[f] = s._field_stats.get(f, 0) + int(v)
         s._rebuild_caches()
         return s
 
@@ -1502,6 +1502,10 @@ class IndexSearcher:
             raise ValueError(
                 "classic-similarity path supports term/and/or queries"
             )
+        if any(FIELD_SEP in t for t in clause_terms):
+            raise ValueError(
+                "search_classic supports the default field only"
+            )
         dfs = self.term_dfs(sorted(set(clause_terms)))
         idfs = [tfidf.idf(dfs.get(t, 0), self.max_doc) for t in clause_terms]
         values = tfidf.term_values(idfs)
@@ -1689,7 +1693,8 @@ class IndexSearcher:
         automaton-intersection analog, FuzzyQuery.java:54)."""
         rows = (
             self._term_stats.where(
-                F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+                (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
+                & ~F.col("term").contains(FIELD_SEP)
             )
             .select("term")
             .collect()

@@ -109,3 +109,34 @@ def test_unknown_field_raises(fielded):
     s, _ = fielded
     with pytest.raises(KeyError):
         s.search(TermQuery("x", field="nope"), k=5).collect()
+
+
+def test_mtq_expansion_scoped_to_default_field(fielded):
+    """Prefix/wildcard/range expansion must not leak field-prefixed
+    dictionary entries (regression: PrefixQuery('s') matched the
+    internal 'source\\x1d...' keys)."""
+    from lucene_solr_spark.index.builder import FIELD_SEP
+    from lucene_solr_spark.search.query import (
+        PrefixQuery,
+        TermRangeQuery,
+        WildcardQuery,
+    )
+
+    s, src = fielded
+    for q in (PrefixQuery("s"), WildcardQuery("s*"), TermRangeQuery("s", "t")):
+        terms = s._expand_mtq(q)
+        assert terms, q
+        assert all(FIELD_SEP not in t for t in terms), q
+    # end-to-end: a doc matching only via its source value is NOT a hit
+    hits = {r.doc_id for r in s.search(PrefixQuery("src"), k=None).collect()}
+    only_source = {
+        r.doc_id
+        for r in src.where(~F.col("text").rlike(r"(^| )src")).collect()
+    }
+    assert hits.isdisjoint(only_source)
+
+
+def test_classic_rejects_fielded(fielded):
+    s, _ = fielded
+    with pytest.raises(ValueError):
+        s.search_classic(TermQuery("src3", field="source"), k=5)

@@ -109,6 +109,26 @@ def test_parse_boosts():
     assert q.clauses[0].query.boost == 3.0
 
 
+def test_parse_hyphenated_word_is_one_clause():
+    """'-'/'+' are term characters mid-word (QueryParser.jj _TERM_CHAR);
+    regression: 'state-of-the-art' must not compile to -art."""
+    q = parse_query("state-of-the-art")
+    # analyzer splits the hyphenated word; all clauses are SHOULD
+    assert isinstance(q, BooleanQuery)
+    assert all(c.occur == "SHOULD" for c in q.clauses)
+    assert {c.query.term for c in q.clauses} == {"state", "art"}  # of/the stopped
+    # leading '-' is still the NOT operator
+    q2 = parse_query("table -scan")
+    assert q2.clauses[1].occur == "MUST_NOT"
+
+
+def test_parse_float_fuzzy_similarity():
+    """Legacy '~0.8' float syntax maps via FuzzyQuery.floatToEdits
+    (min((1-sim)*len, 2)) instead of mis-lexing into a bogus clause."""
+    assert parse_query("tabl~0.5") == FuzzyQuery("tabl", max_edits=2)
+    assert parse_query("tabl~0.9") == FuzzyQuery("tabl", max_edits=0)
+
+
 def test_parse_not_keyword():
     q = parse_query("table NOT scan")
     assert q == BooleanQuery(

@@ -109,6 +109,40 @@ def test_cosine_topk_matches_numpy_bruteforce(emb):
     assert got == expect
 
 
+def test_ivf_bucket_ids_are_centroid_vec_ids(spark):
+    """Regression: bucket values must be centroid vec_ids (not list
+    positions) so non-contiguous seed ids probe the right cells."""
+    import numpy as np
+
+    from lucene_solr_spark.ops.similarity import (
+        _assign_bucket_col,
+        _centroids,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)], 0)
+        for i in range(40) if i != 1  # vec_id 1 missing -> cids {0,2..16}
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cents = _centroids(emb)
+    cids = {cid for cid, _ in cents}
+    assert 1 not in cids and len(cents) == 15
+    buckets = {
+        r.b
+        for r in emb.select(
+            _assign_bucket_col(F.col("embedding"), cents).alias("b")
+        ).collect()
+    }
+    assert buckets <= cids
+    got = ivf_topk(emb, 0, 5, n_probe=4).collect()
+    assert len(got) == 5
+
+
 def test_ivf_topk_recall(emb):
     """4-probe centroid IVF over 16 cells: recall@10 >= 0.9 vs the
     exact scan (the judge's round-1 acceptance bar)."""
