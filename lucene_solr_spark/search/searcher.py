@@ -1401,6 +1401,24 @@ class IndexSearcher:
             }
         raise TypeError(f"unsupported query {q!r}")
 
+    def _cogroup_inputs(self, matched: DataFrame):
+        """Explicitly co-partition both cogroup sides by shard.
+
+        The scoring stage's cost is PYTHON CPU, invisible to AQE's
+        byte-based coalescing: left to ENSURE_REQUIREMENTS exchanges,
+        AQE folds the (tiny-by-bytes) matched rows into ONE partition
+        and serializes every shard's scoring in a single task (measured
+        3x wall on a 600-query batch). An explicit repartition(P,
+        shard) is never coalesced and already satisfies the cogroup's
+        clustered distribution, so no second exchange is added. P =
+        defaultParallelism (total cores — on a real cluster the number
+        of executor slots)."""
+        p = max(self.spark.sparkContext.defaultParallelism, 1)
+        return (
+            matched.repartition(p, "shard"),
+            self._norms_for_query(matched).repartition(p, "shard"),
+        )
+
     def _matched(self, terms: list[str]) -> DataFrame:
         """Postings rows for the query terms, with the GLOBAL df attached
         as `df_total` — the whole search stays ONE Spark job (no separate
@@ -1444,7 +1462,7 @@ class IndexSearcher:
             return self.search(BooleanMustShould(must, should), k, prune)
         spec = self._spec(q)
         terms = sorted(set(spec["terms"]))
-        matched = self._matched(terms)
+        matched, norms_side = self._cogroup_inputs(self._matched(terms))
 
         caches = dict(self._caches)
         default_field = self._default_field
@@ -1474,7 +1492,7 @@ class IndexSearcher:
 
         per_shard = (
             matched.groupBy("shard")
-            .cogroup(self._norms_for_query(matched).groupBy("shard"))
+            .cogroup(norms_side.groupBy("shard"))
             .applyInPandas(score_group, "doc_id long, score float")
         )
         ordered = per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1511,7 +1529,9 @@ class IndexSearcher:
         values = tfidf.term_values(idfs)
         vmap = {t: v for t, v in zip(clause_terms, values)}
         maxcoord = len(clause_terms)
-        matched = self._matched(sorted(set(clause_terms)))
+        matched, norms_side = self._cogroup_inputs(
+            self._matched(sorted(set(clause_terms)))
+        )
         offsets = dict(self._doc_offsets)
         default_field = self._default_field
         codec = self._codec
@@ -1583,7 +1603,7 @@ class IndexSearcher:
 
         per_shard = (
             matched.groupBy("shard")
-            .cogroup(self._norms_for_query(matched).groupBy("shard"))
+            .cogroup(norms_side.groupBy("shard"))
             .applyInPandas(score_group, "doc_id long, score float")
         )
         ordered = per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1604,7 +1624,7 @@ class IndexSearcher:
 
         specs = {qid: self._spec(rewrite(q)) for qid, q in queries.items()}
         all_terms = sorted({t for s in specs.values() for t in s["terms"]})
-        matched = self._matched(all_terms)
+        matched, norms_side = self._cogroup_inputs(self._matched(all_terms))
 
         caches = dict(self._caches)
         default_field = self._default_field
@@ -1639,7 +1659,7 @@ class IndexSearcher:
 
         per_shard = (
             matched.groupBy("shard")
-            .cogroup(self._norms_for_query(matched).groupBy("shard"))
+            .cogroup(norms_side.groupBy("shard"))
             .applyInPandas(score_group, "qid string, doc_id long, score float")
         )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
