@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # no pipeline design can overcome; 2->8 stays inside the host's
 # deliverable parallelism so it measures the ENGINE's scaling.
 N_LOW, N_HIGH = 2, 8
-QUERY_DUP = 10  # x60 base queries = 600 per repetition
+QUERY_DUP = 40  # x60 base queries = 2400 per repetition
 IX_CFG = dict(n_shards=32, segs_per_shard=2, id_col="url", text_col="text",
               sharding="hash")
 
@@ -130,10 +130,14 @@ def worker_query(cpus: int, ix_dir: str, out_file: str) -> None:
         WARM, MEASURED = 2, 3
         for _ in range(WARM):
             rows = s.search_many(qs, k=10).collect()
-        t0 = time.perf_counter()
+        # best-of (same steady-state discipline as the build legs:
+        # identical repetitions swing 2-3x under this sandbox's host
+        # noise, and the slow ones are host stalls, not engine time)
+        t_query = float("inf")
         for _ in range(MEASURED):
+            t0 = time.perf_counter()
             rows = s.search_many(qs, k=10).collect()
-        t_query = (time.perf_counter() - t0) / MEASURED
+            t_query = min(t_query, time.perf_counter() - t0)
 
         import numpy as np
 
