@@ -620,15 +620,15 @@ def build_index(
     # ---- doc_map: explode segment meta rows (vectorized) ----
     def explode_meta(iterator):
         for pdf in iterator:
-            for _, row in pdf.iterrows():
-                g = int(row["g"])
+            for row in pdf.itertuples(index=False):
+                g = int(row.g)
                 if key_kind == "s":
-                    raw = bytes(row["keys_enc"])
+                    raw = bytes(row.keys_enc)
                     keys = raw.decode("utf-8").split("\n") if raw else []
                 else:
-                    keys = np.frombuffer(row["keys_enc"], "<i8")
-                dls = np.frombuffer(row["doc_lens_enc"], "<i4")
-                nrm = np.frombuffer(row["norms_enc"], np.uint8)
+                    keys = np.frombuffer(row.keys_enc, "<i8")
+                dls = np.frombuffer(row.doc_lens_enc, "<i4")
+                nrm = np.frombuffer(row.norms_enc, np.uint8)
                 base = bases_b.value[g]
                 yield pd.DataFrame(
                     {

@@ -980,9 +980,9 @@ def _score_term_pruned(pdf, term, base, norms, idfs, cache, k,
     )
     # gather per-block metadata across parts
     blk = []
-    for _, row in rows.iterrows():
-        mt = np.asarray(row["block_max_tf"], np.float32)
-        mn = np.asarray(row["block_max_norm"], np.int64)
+    for row in rows.itertuples(index=False):
+        mt = np.asarray(row.block_max_tf, np.float32)
+        mn = np.asarray(row.block_max_norm, np.int64)
         ub = (weight_value * mt) / (mt + cache[mn])
         blk.append(ub)
     all_ub = np.concatenate(blk)
