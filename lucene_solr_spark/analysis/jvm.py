@@ -53,17 +53,26 @@ def standard_tokens_pos_col(text: Column) -> Column:
     )
 
 
+def _lstrip_ws(text: Column) -> Column:
+    """Strip ALL leading whitespace (F.trim strips only spaces, so a
+    leading tab/newline would survive and yield an empty first split
+    element, shifting every token position by one vs the pandas
+    engine)."""
+    return F.regexp_replace(text, "^\\s+", "")
+
+
 def whitespace_tokens_col(text: Column) -> Column:
     """WhitespaceAnalyzer analog (no case folding, no stopwords).
 
-    Trimmed first: a leading-whitespace split would otherwise yield an
-    empty first element, shifting every position by one relative to the
-    pandas engine (which drops empties before enumerating)."""
-    return F.filter(F.split(F.trim(text), "\\s+"), lambda t: t != F.lit(""))
+    Leading whitespace stripped first: a leading-whitespace split would
+    otherwise yield an empty first element, shifting every position by
+    one relative to the pandas engine (which drops empties before
+    enumerating)."""
+    return F.filter(F.split(_lstrip_ws(text), "\\s+"), lambda t: t != F.lit(""))
 
 
 def whitespace_tokens_pos_col(text: Column) -> Column:
-    toks = F.split(F.trim(text), "\\s+")
+    toks = F.split(_lstrip_ws(text), "\\s+")
     pairs = F.transform(
         toks, lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos"))
     )

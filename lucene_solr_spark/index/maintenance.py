@@ -14,9 +14,13 @@ so the policy reduces to two triggers:
   waste scan work and skew df stats (reclaimDeletesWeight analog).
 
 `maybe_compact` evaluates the triggers and runs the compaction;
-`compact_in_place` swaps the result in atomically (directory rename —
-the segments_N commit-point analog: readers opened before the swap
-keep their snapshot; new opens see the compacted index).
+`compact_in_place` swaps the result in via directory rename. NOTE:
+unlike Lucene's segments_N indirection, the swap is path-based, so
+searchers opened BEFORE the swap must be discarded — their lazy Spark
+plans hold file paths under `index_dir`, which resolve to the NEW
+files (or fail) after the rename. The pre-swap directory is kept as
+`<index_dir>.old.<ts>` for manual rollback only, not as a live
+snapshot for open readers.
 """
 
 from __future__ import annotations
@@ -75,15 +79,15 @@ def maybe_compact(
 
 
 def compact_in_place(spark: SparkSession, index_dir: str, **policy) -> bool:
-    """maybe_compact + atomic swap of the index directory. Returns
+    """maybe_compact + path swap of the index directory. Returns
     True when a compaction ran.
 
-    The pre-compaction directory is KEPT (renamed to
-    `<index_dir>.old.<ts>`) so readers opened before the swap keep a
-    consistent snapshot — deleting it would leave their lazy plans
-    pointing at replaced files (the segments_N contract: old commit
-    points survive until no reader needs them). Callers garbage-
-    collect old generations once their searchers are gone."""
+    CONTRACT: discard every IndexSearcher opened on `index_dir` before
+    calling this. The swap is a directory rename, not a manifest
+    indirection — pre-swap searchers' lazy plans reference file paths
+    under `index_dir` and would read the replaced files (or hit
+    FileNotFound) after the swap. The pre-compaction directory is kept
+    as `<index_dir>.old.<ts>` for manual rollback / debugging only."""
     tmp = f"{index_dir}.compacting.{int(time.time())}"
     m = maybe_compact(spark, index_dir, tmp, **policy)
     if m is None:

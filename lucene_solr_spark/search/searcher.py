@@ -227,9 +227,16 @@ def _decode_shard(
     base = int(src["base"].iloc[0])
     norms_map: dict[str, np.ndarray] = {}
     if "field" in src.columns:
-        n_fields = src["field"].nunique()
-        for row in src.itertuples(index=False):
-            f = row.field
+        # A null field means a pre-multi-field norms row unioned via
+        # allowMissingColumns (mixed-generation index: base built before
+        # the per-field schema, NRT delta after) — treat it as the
+        # DEFAULT field so base-shard scoring keeps working.
+        fields = [
+            (row.field if row.field is not None else default_field)
+            for row in src.itertuples(index=False)
+        ]
+        n_fields = len(set(fields))
+        for f, row in zip(fields, src.itertuples(index=False)):
             arr = np.frombuffer(row.norms, np.uint8)
             norms_map[f] = arr
             if f == default_field or n_fields == 1:
@@ -471,7 +478,10 @@ def _eval_phrase(
 
     slop > 0: ordered within-slop windows — tuples (p_0 < ... <
     p_{n-1}), p_i from term i, with p_{n-1} - p_0 - (n-1) <= slop;
-    freq = tuple count. Documented deviation: the reference's
+    freq = count of DISTINCT (p_0, p_{n-1}) windows admitting such a
+    chain (for 2-term phrases that IS the tuple count; for longer
+    phrases the per-step state dedup bounds memory at O(matches)
+    instead of slop^n). Documented deviation: the reference's
     SloppyPhraseScorer (SloppyPhraseScorer.java, 601 LoC) allows
     transpositions and weights each match by 1/(1+matchLength); this
     engine scores the SpanNearQuery(ordered)-style match set with
@@ -541,6 +551,23 @@ def _eval_phrase(
             cur_doc = np.repeat(cur_doc, cnt)
             cur_p0 = np.repeat(cur_p0, cnt)
             cur_plast = new_keys % M
+            # Dedupe the (doc, p0, plast) state set: repeated mid-term
+            # occurrences would otherwise multiply tuples (slop^n state
+            # growth on pathological docs). Mid positions are not part
+            # of the state, so freq counts DISTINCT ordered
+            # (first, last) windows — exact for 2-term phrases, and the
+            # documented deviation for longer ones (see docstring).
+            if len(cur_doc) > 1:
+                k1 = cur_doc * M + cur_p0
+                order = np.lexsort((cur_plast, k1))
+                k1s, pls = k1[order], cur_plast[order]
+                keep = np.empty(len(k1s), bool)
+                keep[0] = True
+                keep[1:] = (k1s[1:] != k1s[:-1]) | (pls[1:] != pls[:-1])
+                sel = order[keep]
+                cur_doc, cur_p0, cur_plast = (
+                    cur_doc[sel], cur_p0[sel], cur_plast[sel]
+                )
         if len(cur_doc) == 0:
             return E
         udocs, freqs = np.unique(cur_doc, return_counts=True)

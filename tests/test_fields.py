@@ -140,3 +140,40 @@ def test_classic_rejects_fielded(fielded):
     s, _ = fielded
     with pytest.raises(ValueError):
         s.search_classic(TermQuery("src3", field="source"), k=5)
+
+
+def test_decode_shard_null_field_is_default(tmp_path):
+    """Mixed-generation format: a base index built before the per-field
+    norms schema unions with allowMissingColumns, so its norms rows
+    arrive with field=None. _decode_shard must treat null as the
+    DEFAULT field (norms_map[''] populated) instead of raising
+    KeyError at scoring time."""
+    import pandas as pd
+
+    from lucene_solr_spark.search import searcher as S
+
+    norms = pd.DataFrame(
+        {
+            "shard": [0, 0],
+            "base": [0, 0],
+            "field": [None, "source"],  # None = pre-format-bump base row
+            "norms": [bytes([120, 121, 122]), bytes([124, 124, 124])],
+        }
+    )
+    postings = pd.DataFrame(
+        {
+            "term": pd.Series([], dtype="object"),
+            "part": pd.Series([], dtype="int64"),
+            "df": pd.Series([], dtype="int64"),
+            "df_total": pd.Series([], dtype="int64"),
+            "doc_enc": pd.Series([], dtype="object"),
+            "tf_enc": pd.Series([], dtype="object"),
+        }
+    )
+    base, norms_map, _lt, _dfs, _ = S._decode_shard(
+        postings, norms, default_field="text"
+    )
+    assert base == 0
+    assert list(norms_map[""]) == [120, 121, 122]
+    assert list(norms_map["text"]) == [120, 121, 122]
+    assert list(norms_map["source"]) == [124, 124, 124]
