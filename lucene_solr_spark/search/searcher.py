@@ -382,10 +382,39 @@ def _score_spec(
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     if kind == "tree":
-        # nested BooleanQuery / boosts / constant-score (exhaustive
-        # vectorized path; liveDocs applied at collection time)
+        node = spec["tree"]
+        if prune and k is not None:
+            # top-level shape routing (BooleanWeight.java:232-359):
+            # bare term leaf -> block-max term; pure-SHOULD-of-terms
+            # -> block-max WAND — boost folds into the leaf weight
+            # bitwise-exactly (weight = f32(idf)*f32(boost))
+            if node["kind"] == "term" and node["term"] in lt:
+                t = node["term"]
+                bst = np.float32(
+                    np.float32(1.0) * np.float32(node.get("boost", 1.0))
+                )
+                nrm, cch = _nc(t, norms_map, caches)
+                fid = {t: np.float32(np.float32(idfs[t]) * bst)}
+                docs, scores = _score_term_pruned(
+                    pdf, t, base, nrm, fid, cch, k, deleted, codec=lt.codec,
+                )
+                return pd.DataFrame(
+                    {"doc_id": docs, "score": scores.astype(np.float32)}
+                )
+            wor = _tree_as_weighted_or(node, idfs)
+            if wor is not None:
+                terms_w, folded = wor
+                pres = [t for t in terms_w if t in lt and t in folded]
+                if len(pres) > 1:
+                    docs, scores = _score_or_wand(
+                        lt, pres, base, norms_map, folded, caches, k, deleted
+                    )
+                    return pd.DataFrame({"doc_id": docs, "score": scores})
+        # nested BooleanQuery / boosts / constant-score; prune=True
+        # threads candidate sets down required-clause chains so term
+        # leaves block-skip (liveDocs applied at collection time)
         docs, scores = _eval_tree(
-            spec["tree"], lt, base, norms_map, idfs, caches
+            node, lt, base, norms_map, idfs, caches, prune=prune
         )
         if deleted is not None and len(deleted) and len(docs):
             m = ~np.isin(docs, deleted)
@@ -651,6 +680,67 @@ def _eval_multi_phrase(
     return udocs, scores.astype(np.float32)
 
 
+def _tree_cost(node: dict, lt: "_LazyTerms") -> int:
+    """Shard-local decode-cost / result-size estimate of a tree node
+    (the Scorer.cost() analog, ConjunctionDISI.java:84-91): terms cost
+    their local postings count; a conjunction costs its cheapest
+    required clause (its result cannot be larger); disjunctions cost
+    the sum; field_exists matches ~every doc so it never leads."""
+    k = node["kind"]
+    if k == "term":
+        t = node["term"]
+        return lt.local_df(t) if t in lt else 0
+    if k == "phrase":
+        if any(t not in lt for t in node["terms"]):
+            return 0
+        return min(lt.local_df(t) for t in node["terms"])
+    if k == "const":
+        return sum(lt.local_df(t) for t in node["terms"] if t in lt)
+    if k == "constwrap":
+        return _tree_cost(node["query"], lt)
+    if k == "field_exists":
+        return 1 << 30
+    if k == "dismax":
+        return sum(_tree_cost(s, lt) for s in node["clauses"])
+    req = [
+        _tree_cost(s, lt)
+        for occ, s in node["clauses"]
+        if occ in ("MUST", "FILTER")
+    ]
+    if req:
+        return min(req)
+    return sum(
+        _tree_cost(s, lt) for occ, s in node["clauses"] if occ == "SHOULD"
+    )
+
+
+def _tree_as_weighted_or(node: dict, idfs: dict):
+    """If `node` is a single-level pure-SHOULD bool of term leaves
+    (msm<=1, distinct terms), return (terms_in_clause_order,
+    folded_idfs): folded = f32(f32(idf) * f32(total_boost)) — exactly
+    the leaf weight score_term computes (f32 idf*boost product), so
+    block-max WAND over the folded weights is bitwise-identical to the
+    exhaustive tree walk. Nested bools must NOT flatten (the inner
+    node's f64->f32 sum cast would be lost). The BooleanWeight
+    'opt-only -> DisjunctionSumScorer with per-clause boost' rewrite
+    (BooleanWeight.java:300-359)."""
+    if node["kind"] != "bool" or int(node.get("msm", 0)) > 1:
+        return None
+    b0 = np.float32(np.float32(1.0) * np.float32(node.get("boost", 1.0)))
+    terms, folded = [], {}
+    for occ, sub in node["clauses"]:
+        if occ != "SHOULD" or sub["kind"] != "term":
+            return None
+        t = sub["term"]
+        if t in folded:  # duplicate clause terms: keep exhaustive path
+            return None
+        lb = np.float32(b0 * np.float32(sub.get("boost", 1.0)))
+        if t in idfs:
+            folded[t] = np.float32(np.float32(idfs[t]) * lb)
+        terms.append(t)
+    return (terms, folded) if len(terms) > 1 else None
+
+
 def _eval_tree(
     node: dict,
     lt: "_LazyTerms",
@@ -659,29 +749,51 @@ def _eval_tree(
     idfs: dict,
     caches: dict,
     pboost: float = 1.0,
+    prune: bool = False,
+    cand: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Recursive nested-query evaluation -> (sorted docs, f32 scores).
 
     Node kinds: term, phrase, const (pre-expanded multi-term rewrite),
-    constwrap (generic ConstantScoreQuery), dismax, bool. Boosts
-    multiply down the tree and fold into leaf weights —
+    constwrap (generic ConstantScoreQuery), field_exists, dismax, bool.
+    Boosts multiply down the tree and fold into leaf weights —
     weight = idf * boost * topLevelBoost (BM25Similarity.java:288-293,
     BooleanWeight normalize cascade). Composition semantics per
-    BooleanWeight.java:260-359 (see query.BooleanQuery docstring)."""
+    BooleanWeight.java:260-359 (see query.BooleanQuery docstring).
+
+    Candidate-driven pruning (prune=True — the ConjunctionDISI
+    leapfrog generalized to arbitrary nesting, BooleanWeight.java:
+    260-359 + advance()): a bool node with required clauses evaluates
+    them cheapest-first (_tree_cost) and threads the shrinking
+    intersection down as `cand`; term leaves under a cand decode ONLY
+    the 128-blocks overlapping it (lt.decode_for — the skip-read).
+    Contract: given `cand`, a node returns complete exact scores for
+    every matching doc in cand; docs OUTSIDE cand may appear (whole
+    decoded blocks spill) and may carry partial disjunction scores,
+    but every ancestor gathers child scores only at docs within the
+    cand it passed down, so spill never reaches the output (top-level
+    cand is None => exact full results). Score ACCUMULATION stays in
+    clause order regardless of evaluation order, so pruned output is
+    bitwise identical to exhaustive (tested)."""
     E = (np.empty(0, np.int64), np.empty(0, np.float32))
     boost = np.float32(np.float32(pboost) * np.float32(node.get("boost", 1.0)))
     kind = node["kind"]
+    use_cand = prune and cand is not None
 
     if kind == "term":
         t = node["term"]
         if t not in lt:
             return E
-        d, tf = lt.full(t)
+        d, tf = lt.decode_for(t, cand) if use_cand else lt.full(t)
+        if len(d) == 0:
+            return E
         nrm, cch = _nc(t, norms_map, caches)
         s = bm25.score_term(tf, nrm[d - base], idfs[t], cch, boost=boost)
         return d, s.astype(np.float32)
 
     if kind == "phrase":
+        # positions path decodes fully (two-phase verification needs
+        # the whole occurrence stream); rare in MUST position
         return _eval_phrase(
             node["terms"], lt, base, norms_map, idfs, caches, boost=boost,
             slop=int(node.get("slop", 0)),
@@ -691,14 +803,23 @@ def _eval_tree(
         # CONSTANT_SCORE multi-term rewrite, pre-expanded against the
         # dictionary (MultiTermQuery.java:68-94): every matching doc
         # scores the boost
-        ds = [lt.full(t)[0] for t in node["terms"] if t in lt]
+        ds = []
+        for t in node["terms"]:
+            if t not in lt:
+                continue
+            d = lt.decode_for(t, cand)[0] if use_cand else lt.full(t)[0]
+            if len(d):
+                ds.append(d)
         if not ds:
             return E
         u = reduce(np.union1d, ds)
         return u, np.full(len(u), boost, np.float32)
 
     if kind == "constwrap":
-        d, _ = _eval_tree(node["query"], lt, base, norms_map, idfs, caches, 1.0)
+        d, _ = _eval_tree(
+            node["query"], lt, base, norms_map, idfs, caches, 1.0,
+            prune=prune, cand=cand,
+        )
         return d, np.full(len(d), boost, np.float32)
 
     if kind == "field_exists":
@@ -708,11 +829,14 @@ def _eval_tree(
         if nrm is None:
             return E
         d = np.int64(base) + np.flatnonzero(nrm).astype(np.int64)
+        if use_cand:
+            d = d[np.isin(d, cand, assume_unique=True)]
         return d, np.full(len(d), boost, np.float32)
 
     if kind == "dismax":
         subs = [
-            _eval_tree(sub, lt, base, norms_map, idfs, caches, boost)
+            _eval_tree(sub, lt, base, norms_map, idfs, caches, boost,
+                       prune=prune, cand=cand)
             for sub in node["clauses"]
         ]
         subs = [(d, s) for d, s in subs if len(d)]
@@ -729,45 +853,69 @@ def _eval_tree(
         return union, (mx + (acc32 - mx) * tie).astype(np.float32)
 
     if kind == "bool":
-        musts: list[tuple[np.ndarray, np.ndarray]] = []
-        filters: list[np.ndarray] = []
-        shoulds: list[tuple[np.ndarray, np.ndarray]] = []
-        nots: list[np.ndarray] = []
-        for occ, sub in node["clauses"]:
-            r = _eval_tree(sub, lt, base, norms_map, idfs, caches, boost)
-            if occ == "MUST":
-                musts.append(r)
-            elif occ == "FILTER":
-                filters.append(r[0])
-            elif occ == "SHOULD":
-                shoulds.append(r)
-            else:  # MUST_NOT
-                nots.append(r[0])
+        clauses = list(node["clauses"])
         msm = int(node.get("msm", 0))
+        req = [
+            (i, occ, sub)
+            for i, (occ, sub) in enumerate(clauses)
+            if occ in ("MUST", "FILTER")
+        ]
 
-        if musts or filters:
-            docs = musts[0][0] if musts else filters[0]
-            rest = [d for d, _ in musts[1:]] + (
-                filters if musts else filters[1:]
+        if req:
+            # evaluation order: cheapest required clause leads
+            # (ConjunctionDISI cost sort); accumulation below stays in
+            # clause order for bitwise parity with the exhaustive path
+            order = (
+                sorted(req, key=lambda x: (_tree_cost(x[2], lt), x[0]))
+                if prune
+                else req
             )
-            for d in rest:
-                docs = docs[np.isin(docs, d, assume_unique=True)]
-            for d in nots:
-                if len(d) and len(docs):
-                    docs = docs[~np.isin(docs, d, assume_unique=True)]
+            results: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            docs: np.ndarray | None = None
+            for i, _occ, sub in order:
+                sub_cand = (docs if docs is not None else cand) if prune else None
+                r = _eval_tree(sub, lt, base, norms_map, idfs, caches,
+                               boost, prune=prune, cand=sub_cand)
+                results[i] = r
+                if docs is None:
+                    docs = (
+                        r[0]
+                        if not use_cand
+                        else cand[np.isin(cand, r[0], assume_unique=True)]
+                    )
+                else:
+                    docs = docs[np.isin(docs, r[0], assume_unique=True)]
+                if len(docs) == 0:
+                    return E
+            for occ, sub in clauses:
+                if occ != "MUST_NOT" or len(docs) == 0:
+                    continue
+                nd, _ = _eval_tree(sub, lt, base, norms_map, idfs, caches,
+                                   boost, prune=prune,
+                                   cand=docs if prune else None)
+                if len(nd):
+                    docs = docs[~np.isin(docs, nd, assume_unique=True)]
             if len(docs) == 0:
                 return E
             # required score: f32 of the double sum in clause order
             # (ConjunctionScorer.score())
             req64 = np.zeros(len(docs), np.float64)
-            for d, s in musts:
+            for i, occ, _sub in req:
+                if occ != "MUST":
+                    continue  # FILTER never scores
+                d, s = results[i]
                 pos = np.searchsorted(d, docs)
                 req64 += s[pos].astype(np.float64)
-            req = req64.astype(np.float32)
+            req_s = req64.astype(np.float32)
             # optional contributions (ReqOptSumScorer / msm-required)
             opt64 = np.zeros(len(docs), np.float64)
             nmatch = np.zeros(len(docs), np.int32)
-            for d, s in shoulds:
+            for occ, sub in clauses:
+                if occ != "SHOULD":
+                    continue
+                d, s = _eval_tree(sub, lt, base, norms_map, idfs, caches,
+                                  boost, prune=prune,
+                                  cand=docs if prune else None)
                 if len(d) == 0:
                     continue
                 pos = np.searchsorted(d, docs)
@@ -777,14 +925,21 @@ def _eval_tree(
                 nmatch[hit] += 1
             if msm > 0:
                 keep = nmatch >= msm
-                docs, req, opt64 = docs[keep], req[keep], opt64[keep]
+                docs, req_s, opt64 = docs[keep], req_s[keep], opt64[keep]
                 if len(docs) == 0:
                     return E
-            total = (req + opt64.astype(np.float32)).astype(np.float32)
+            total = (req_s + opt64.astype(np.float32)).astype(np.float32)
             return docs, total
 
         # pure disjunction (DisjunctionSumScorer / MinShouldMatchSumScorer)
-        live = [(d, s) for d, s in shoulds if len(d)]
+        live = []
+        for occ, sub in clauses:
+            if occ != "SHOULD":
+                continue
+            r = _eval_tree(sub, lt, base, norms_map, idfs, caches, boost,
+                           prune=prune, cand=cand)
+            if len(r[0]):
+                live.append(r)
         if not live:
             return E
         union = reduce(np.union1d, [d for d, _ in live])
@@ -795,9 +950,14 @@ def _eval_tree(
             acc64[pos] += s.astype(np.float64)
             nmatch[pos] += 1
         keep = np.ones(len(union), bool)
-        for d in nots:
-            if len(d):
-                keep &= ~np.isin(union, d)
+        for occ, sub in clauses:
+            if occ != "MUST_NOT":
+                continue
+            nd, _ = _eval_tree(sub, lt, base, norms_map, idfs, caches,
+                               boost, prune=prune,
+                               cand=union if prune else None)
+            if len(nd):
+                keep &= ~np.isin(union, nd)
         if msm > 1:
             keep &= nmatch >= msm
         union, total = union[keep], acc64[keep].astype(np.float32)
