@@ -161,3 +161,59 @@ def test_compact_preserves_positions(spark, tmp_path):
     )
     # scores change (stats recomputed) but the surviving match SET is exact
     assert {k for k, _ in after} == {k for k, _ in before} - set(victims)
+
+
+def test_compact_multi_field(spark, tmp_path):
+    """Multi-field compaction (SegmentMerger.java:74-130 merges ALL
+    fields): per-field postings, norms, and collection stats survive a
+    compact with deletes; fielded + cross-field scores equal a fresh
+    build over the surviving corpus."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.index.check import check_index
+    from lucene_solr_spark.index.compact import compact
+    from lucene_solr_spark.index.deletes import delete_by_keys
+    from lucene_solr_spark.search.query import (
+        BooleanQuery,
+        Clause,
+        TermQuery,
+    )
+
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    ix = str(tmp_path / "fix")
+    cfg = IndexConfig(
+        n_shards=2, segs_per_shard=2, id_col="doc_id", text_col="text",
+        extra_fields=("source",),
+    )
+    build_index(spark, src, ix, cfg)
+    victims = [1, 2, 3, 4, 5]
+    delete_by_keys(spark, ix, victims)
+
+    cix = str(tmp_path / "fcix")
+    m = compact(spark, ix, cix)
+    check_index(spark, cix, sample_terms=40)
+    assert set(m["fields"]) == {"text", "source"}
+    assert set(m["field_stats"]) == {"text", "source"}
+
+    gold_ix = str(tmp_path / "fgold")
+    build_index(
+        spark, src.where(~F.col("doc_id").isin(victims)), gold_ix, cfg
+    )
+
+    queries = [
+        ("f_src", TermQuery("src3", field="source")),
+        ("f_text", TermQuery("table")),
+        (
+            "f_cross",
+            BooleanQuery(
+                (
+                    Clause("MUST", TermQuery("table")),
+                    Clause("SHOULD", TermQuery("src3", field="source")),
+                )
+            ),
+        ),
+    ]
+    got = _scores_by_key(spark, cix, queries)
+    want = _scores_by_key(spark, gold_ix, queries)
+    for name, _ in queries:
+        assert got[name] == want[name], name
+        assert len(got[name]) > 0, name
