@@ -88,6 +88,22 @@ def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int):
     return docs[order], scores[order]
 
 
+def _apply_cursor(docs: np.ndarray, scores: np.ndarray, cursor):
+    """searchAfter paging predicate (TopScoreDocCollector.java:87-121,
+    PagingTopScoreDocCollector): keep only hits STRICTLY after the
+    (score, docID) cursor in the global (score desc, docID asc) order.
+    Applied before heap insertion, so the pruned kernels' kth floor is
+    page-N's own competition threshold. Score comparison is at f32
+    precision — the cursor is a page-(N-1) result score."""
+    if cursor is None or len(docs) == 0:
+        return docs, scores
+    s32 = np.float32(cursor[0])
+    ad = np.int64(cursor[1])
+    sf = scores.astype(np.float32, copy=False)
+    m = (sf < s32) | ((sf == s32) & (docs > ad))
+    return docs[m], scores[m]
+
+
 class _LazyTerms:
     """Lazy per-term access to a shard's matched posting rows.
 
@@ -278,6 +294,7 @@ def _score_spec(
     prune: bool,
     deleted: np.ndarray | None = None,
     prune_min: int = 0,
+    cursor: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Score one decoded shard against one query spec -> top-k rows.
 
@@ -326,14 +343,17 @@ def _score_spec(
             nrm, cch = _nc(term, norms_map, caches)
             docs, scores = _score_term_pruned(
                 pdf, term, base, nrm, idfs, cch, k, deleted,
-                codec=lt.codec,
+                codec=lt.codec, cursor=cursor,
             )
         else:
             docs, scores = term_scores(term)
             if deleted is not None and len(deleted):
                 m = ~np.isin(docs, deleted)
                 docs, scores = docs[m], scores[m]
-            docs, scores = _topk_arrays(docs, scores.astype(np.float32), k)
+            docs, scores = _apply_cursor(
+                docs, scores.astype(np.float32), cursor
+            )
+            docs, scores = _topk_arrays(docs, scores, k)
         return pd.DataFrame({"doc_id": docs, "score": scores.astype(np.float32)})
 
     if kind == "reqopt":
@@ -362,6 +382,7 @@ def _score_spec(
             opt64[hit] += s[pos[hit]].astype(np.float64)
         # ReqOptSumScorer.score(): float req + float opt
         total = (req + opt64.astype(np.float32)).astype(np.float32)
+        inter, total = _apply_cursor(inter, total, cursor)
         docs, scores = _topk_arrays(inter, total, k)
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -370,6 +391,7 @@ def _score_spec(
             spec["terms"], lt, base, norms_map, idfs, caches,
             deleted=deleted, slop=int(spec.get("slop", 0)),
         )
+        udocs, scores = _apply_cursor(udocs, scores, cursor)
         docs, scores = _topk_arrays(udocs, scores, k)
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -378,6 +400,7 @@ def _score_spec(
             spec["positions"], lt, base, norms_map,
             np.float32(spec["idf_sum"]), caches, deleted=deleted,
         )
+        udocs, scores = _apply_cursor(udocs, scores, cursor)
         docs, scores = _topk_arrays(udocs, scores, k)
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -397,6 +420,7 @@ def _score_spec(
                 fid = {t: np.float32(np.float32(idfs[t]) * bst)}
                 docs, scores = _score_term_pruned(
                     pdf, t, base, nrm, fid, cch, k, deleted, codec=lt.codec,
+                    cursor=cursor,
                 )
                 return pd.DataFrame(
                     {"doc_id": docs, "score": scores.astype(np.float32)}
@@ -407,7 +431,8 @@ def _score_spec(
                 pres = [t for t in terms_w if t in lt and t in folded]
                 if len(pres) > 1:
                     docs, scores = _score_or_wand(
-                        lt, pres, base, norms_map, folded, caches, k, deleted
+                        lt, pres, base, norms_map, folded, caches, k, deleted,
+                        cursor=cursor,
                     )
                     return pd.DataFrame({"doc_id": docs, "score": scores})
         # nested BooleanQuery / boosts / constant-score; prune=True
@@ -419,6 +444,7 @@ def _score_spec(
         if deleted is not None and len(deleted) and len(docs):
             m = ~np.isin(docs, deleted)
             docs, scores = docs[m], scores[m]
+        docs, scores = _apply_cursor(docs, scores, cursor)
         docs, scores = _topk_arrays(docs, scores, k)
         return pd.DataFrame({"doc_id": docs, "score": scores.astype(np.float32)})
 
@@ -439,6 +465,7 @@ def _score_spec(
         # sum in `must` (query clause) order so pruned == unpruned bitwise
         clause_scores = [scores_at(t, *src[t], inter) for t in must]
         total = bm25.sum_bool(clause_scores)
+        inter, total = _apply_cursor(inter, total, cursor)
         docs, scores = _topk_arrays(inter, total, k)
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -448,7 +475,8 @@ def _score_spec(
         msm = spec.get("min_should_match", 1)
         if prune and kind == "or" and msm <= 1 and k is not None and len(present) > 1:
             docs, scores = _score_or_wand(
-                lt, present, base, norms_map, idfs, caches, k, deleted
+                lt, present, base, norms_map, idfs, caches, k, deleted,
+                cursor=cursor,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
         # Accumulate over the UNFILTERED union (each term's doc array may
@@ -482,6 +510,7 @@ def _score_spec(
         if msm > 1:
             keep = nmatch >= msm
             union, total = union[keep], total[keep]
+        union, total = _apply_cursor(union, total, cursor)
         if len(union) == 0:
             return empty
         docs, scores = _topk_arrays(union, total, k)
@@ -1076,7 +1105,8 @@ def _leapfrog(lt: _LazyTerms, must: list[str], prune: bool):
 
 
 def _score_or_wand(lt: _LazyTerms, present, base, norms_map, idfs, caches,
-                   k, deleted: np.ndarray | None = None):
+                   k, deleted: np.ndarray | None = None,
+                   cursor: tuple[float, int] | None = None):
     """Block-max WAND for a sum-scored disjunction (Ding & Suel,
     SIGIR 2011 — the north-rule addition, SURVEY §4.5).
 
@@ -1161,8 +1191,11 @@ def _score_or_wand(lt: _LazyTerms, present, base, norms_map, idfs, caches,
                 acc64[pos] += sc.astype(np.float64)
             if keep is not None:
                 u, acc64 = u[keep], acc64[keep]
+            # searchAfter: filter before the heap so kth is page-N's
+            # own floor (cursor-aware collector, VERDICT r02 #6)
+            u, sc32 = _apply_cursor(u, acc64.astype(np.float32), cursor)
             docs_acc.append(u)
-            score_acc.append(acc64.astype(np.float32))
+            score_acc.append(sc32)
         if not docs_acc:
             continue
         docs = np.concatenate(docs_acc)
@@ -1180,7 +1213,8 @@ def _score_or_wand(lt: _LazyTerms, present, base, norms_map, idfs, caches,
 
 def _score_term_pruned(pdf, term, base, norms, idfs, cache, k,
                        deleted: np.ndarray | None = None,
-                       codec: str = "vbyte"):
+                       codec: str = "vbyte",
+                       cursor: tuple[float, int] | None = None):
     """Block-max pruning for a single-term query (output-identical).
 
     Upper bound per block: weightValue * max_tf / (max_tf + cache[max_norm])
@@ -1235,6 +1269,8 @@ def _score_term_pruned(pdf, term, base, norms, idfs, cache, k,
             if deleted is not None and len(deleted):
                 m = ~np.isin(d, deleted)
                 d, sc = d[m], sc[m]
+            # searchAfter: drop page-(N-1) hits before the heap
+            d, sc = _apply_cursor(d, sc, cursor)
             docs_acc.append(d)
             score_acc.append(sc)
         docs = np.concatenate(docs_acc)
@@ -1724,23 +1760,32 @@ class IndexSearcher:
         )
         return matched.join(F.broadcast(totals), "term")
 
-    def search(self, query: Query, k: int | None = 10, prune: bool = True) -> DataFrame:
+    def search(self, query: Query, k: int | None = 10, prune: bool = True,
+               cursor: tuple[float, int] | None = None) -> DataFrame:
         """Top-k as a DataFrame (doc_id long, score float), globally ordered
         score desc / doc_id asc with exact Lucene tie-break semantics.
 
         k=None returns ALL matches with scores (Solr /export handler
-        analog — full sorted result-set streaming, SURVEY.md §2.8)."""
+        analog — full sorted result-set streaming, SURVEY.md §2.8).
+
+        `cursor` = (after_score, after_doc) keyset-paging predicate
+        (searchAfter): only hits strictly after the cursor reach the
+        per-shard collectors, so the block-skip kernels prune against
+        page-N's own heap floor (TopScoreDocCollector.java:87-121)."""
         q = rewrite(query)
         if isinstance(q, FieldValueQuery):
-            return self._search_field_value(q, k)
+            out = self._search_field_value(q, None if cursor else k)
+            return self._after_df(out, cursor, k)
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery,
                           TermRangeQuery)):
-            return self._search_constant(q, k)
+            out = self._search_constant(q, None if cursor else k)
+            return self._after_df(out, cursor, k)
         if isinstance(q, FuzzyQuery):
             expanded = self._expand_fuzzy(q)
             if not expanded:
                 return self._empty()
-            return self.search(BooleanOr(tuple(sorted(expanded))), k, prune)
+            return self.search(BooleanOr(tuple(sorted(expanded))), k, prune,
+                               cursor)
         if isinstance(q, CommonTermsQuery):
             # split by GLOBAL df (dictionary stats lookup, like Lucene's
             # TermStates pull) then rewrite to required + optional
@@ -1749,8 +1794,9 @@ class IndexSearcher:
             must = tuple(t for t in q.terms_ if dfs.get(t, 0) <= cutoff)
             should = tuple(t for t in q.terms_ if dfs.get(t, 0) > cutoff)
             if not must:
-                return self.search(BooleanAnd(should), k, prune)
-            return self.search(BooleanMustShould(must, should), k, prune)
+                return self.search(BooleanAnd(should), k, prune, cursor)
+            return self.search(BooleanMustShould(must, should), k, prune,
+                               cursor)
         spec = self._spec(q)
         terms = sorted(set(spec["terms"]))
         # FieldValueQuery clauses match docs in shards no query term
@@ -1780,9 +1826,14 @@ class IndexSearcher:
             idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
             off = offsets.get(int(nr["shard"].iloc[0]), 0)
             del_local = _local_deleted(nr, off)
+            # the cursor's after_doc is GLOBAL; kernel docIDs are
+            # generation-local (off added below), so shift the cursor
+            cur_local = (
+                None if cursor is None else (cursor[0], cursor[1] - off)
+            )
             out = _score_spec(
                 left, decoded, spec, idfs, caches, k, use_prune, del_local,
-                prune_min,
+                prune_min, cursor=cur_local,
             )
             if off:
                 out["doc_id"] = out["doc_id"] + off
@@ -2092,6 +2143,19 @@ class IndexSearcher:
         )
         return out if k is None else out.limit(k)
 
+    @staticmethod
+    def _after_df(hits: DataFrame, cursor, k: int | None) -> DataFrame:
+        """DataFrame-level searchAfter predicate for the constant-score
+        paths (the spec-based path filters inside the kernels)."""
+        if cursor is not None:
+            s32 = float(np.float32(cursor[0]))
+            hits = hits.where(
+                (F.col("score") < s32)
+                | ((F.col("score") == s32)
+                   & (F.col("doc_id") > int(cursor[1])))
+            ).orderBy(F.desc("score"), F.asc("doc_id"))
+        return hits if k is None else hits.limit(k)
+
     def search_after(
         self,
         query: Query,
@@ -2102,15 +2166,15 @@ class IndexSearcher:
     ) -> DataFrame:
         """Keyset paging (IndexSearcher.searchAfter, TopScoreDocCollector
         .java:87-121): resume strictly after the (score, docID) cursor in
-        the global (score desc, docID asc) order."""
-        hits = self.search(query, k=None, prune=False)
-        if after_score is not None:
-            s32 = float(np.float32(after_score))
-            hits = hits.where(
-                (F.col("score") < s32)
-                | ((F.col("score") == s32) & (F.col("doc_id") > int(after_doc)))
-            )
-        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        the global (score desc, docID asc) order. The cursor threads into
+        the per-shard collectors (not a post-filter over a full re-score),
+        so block-max pruning engages against page-N's own heap floor."""
+        if after_score is None:
+            return self.search(query, k=k, prune=prune)
+        return self.search(
+            query, k=k, prune=prune,
+            cursor=(float(np.float32(after_score)), int(after_doc)),
+        )
 
     def mlt_terms(self, text: str, max_query_terms: int = 10) -> list[str]:
         """MoreLikeThis term extraction (queries/.../mlt/MoreLikeThis
