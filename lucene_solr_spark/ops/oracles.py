@@ -197,20 +197,53 @@ def _bucket_sql(col: str, dim: int = 64) -> str:
     return " + ".join(terms)
 
 
+def _kmeans_cents_values(n_centroids: int) -> str:
+    """Train the SAME deterministic spherical k-means as the Spark side
+    (similarity.kmeans_centroids over the frozen vec_id % MOD sample,
+    vec_id asc) by reading the driver's sf parquet directly, and inline
+    the resulting centroids as literal VALUES rows. Literal text is
+    repr(float) on both sides, so both engines parse identical doubles
+    and cell assignment matches bit-for-bit."""
+    import os
+
+    import duckdb
+
+    from lucene_solr_spark.ops.similarity import (
+        KMEANS_SAMPLE_MOD,
+        kmeans_centroids,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "embeddings.parquet")
+    rows = duckdb.connect().execute(
+        f"SELECT embedding FROM read_parquet('{path}') "
+        f"WHERE vec_id % {KMEANS_SAMPLE_MOD} = 0 ORDER BY vec_id"
+    ).fetchall()
+    import numpy as np
+
+    vecs = np.array([[float(x) for x in r[0]] for r in rows], np.float64)
+    cents = kmeans_centroids(vecs, n_centroids)
+    vals = []
+    for i, c in enumerate(cents):
+        lits = ", ".join(repr(float(v)) for v in c)
+        vals.append(f"({i}, CAST([{lits}] AS DOUBLE[]))")
+    return ", ".join(vals)
+
+
 def ann_ivf_sql(
     vec_id: int = 0, k: int = 10, n_probe: int = 4, n_centroids: int = 16
 ) -> str:
-    """Centroid IVF (similarity.ivf_topk), reproduced exactly and
-    fully data-driven: coarse cells = nearest of the first n_centroids
-    vectors by cosine (ties -> smaller cid), probe the n_probe cells
-    nearest the query, exact cosine re-rank inside."""
+    """Centroid IVF (similarity.ivf_topk), reproduced exactly: coarse
+    cells = k-means centroids (trained identically on both sides and
+    inlined as literals — see _kmeans_cents_values), assignment by
+    cosine (ties -> smaller cid), probe the n_probe cells nearest the
+    query, exact cosine re-rank inside."""
     dotec = _dot_sql("e.embedding", "c.ce")
     nec = _norm_sql("c.ce")
     dotqc = _dot_sql("q.qe", "c.ce")
     return f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-  WHERE vec_id < {n_centroids}
+  SELECT * FROM (VALUES {_kmeans_cents_values(n_centroids)}) AS t(cid, ce)
 ),
 scored AS (
   SELECT e.vec_id, e.embedding, c.cid,

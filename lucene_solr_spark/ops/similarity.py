@@ -80,6 +80,38 @@ def _bucket_col(e: Column, planes: np.ndarray) -> Column:
 # ---- IVF: coarse centroid quantizer + probe + exact re-rank -------------
 
 N_CENTROIDS = 16
+KMEANS_SAMPLE_MOD = 4  # deterministic 1/4 sample trains the quantizer
+KMEANS_ITERS = 5
+
+
+def kmeans_centroids(
+    vecs: np.ndarray,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = KMEANS_ITERS,
+) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd) over the sample rows.
+
+    Input rows must be in frozen (vec_id asc) order — the result is
+    then a pure function of the data: seeds = the first n_centroids
+    sample vectors, assignment by cosine with ties -> smaller cid
+    (argmax first-occurrence), update = mean of the assigned unit
+    vectors, empty cells keep their previous centroid. Both the Spark
+    plan and the DuckDB oracle inline the SAME resulting centroid
+    literals, so cell assignment is bitwise reproducible (the FAISS
+    IVF Clustering train/quantize seam)."""
+    x = np.asarray(vecs, np.float64)
+    if len(x) == 0:
+        return x.reshape(0, 0)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = xn[:n_centroids].copy()
+    for _ in range(int(n_iter)):
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                c[j] = xn[m].mean(axis=0)
+    return c
 
 
 def _fold_dot(a, b) -> float:
@@ -93,17 +125,23 @@ def _fold_dot(a, b) -> float:
 
 
 def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse centroids: the N_CENTROIDS smallest
-    vec_ids. (Production would k-means a sample; the quantize/probe
-    seam — FAISS-IVF style — is identical, and a frozen seed set keeps
-    the whole pipeline oracle-reproducible.)"""
+    """Coarse quantizer: deterministic spherical k-means over a frozen
+    1/KMEANS_SAMPLE_MOD sample (vec_id % MOD == 0, vec_id asc). The
+    sample is bounded and collected to the driver — FAISS trains its
+    IVF quantizer the same way (train on a sample, quantize the rest);
+    at 100 TB swap the mod-sample for TABLESAMPLE feeding the same
+    seam. cid = dense 0..n-1."""
     rows = (
-        emb.where(F.col("vec_id") < N_CENTROIDS)
+        emb.where(F.col("vec_id") % KMEANS_SAMPLE_MOD == 0)
         .orderBy("vec_id")
-        .select("vec_id", "embedding")
+        .select("embedding")
         .collect()
     )
-    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+    if not rows:
+        return []
+    vecs = np.array([[float(x) for x in r[0]] for r in rows], np.float64)
+    cents = kmeans_centroids(vecs)
+    return [(i, [float(v) for v in c]) for i, c in enumerate(cents)]
 
 
 def _assign_bucket_col(e: Column, cents) -> Column:

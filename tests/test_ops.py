@@ -109,38 +109,57 @@ def test_cosine_topk_matches_numpy_bruteforce(emb):
     assert got == expect
 
 
-def test_ivf_bucket_ids_are_centroid_vec_ids(spark):
-    """Regression: bucket values must be centroid vec_ids (not list
-    positions) so non-contiguous seed ids probe the right cells."""
+def test_ivf_kmeans_quantizer(spark):
+    """The IVF coarse quantizer is a real k-means: deterministic
+    (bitwise-identical centroids across runs on the same data — the
+    oracle-inlining contract), cids dense 0..n-1, cells cover the
+    corpus, and small samples (fewer sample rows than centroids)
+    degrade gracefully."""
     import numpy as np
 
     from lucene_solr_spark.ops.similarity import (
+        KMEANS_SAMPLE_MOD,
         _assign_bucket_col,
         _centroids,
         ivf_topk,
+        kmeans_centroids,
     )
     from pyspark.sql import functions as F
 
     rng = np.random.RandomState(5)
     rows = [
         (int(i), [float(x) for x in rng.standard_normal(8)], 0)
-        for i in range(40) if i != 1  # vec_id 1 missing -> cids {0,2..16}
+        for i in range(120)
     ]
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label int"
     )
     cents = _centroids(emb)
-    cids = {cid for cid, _ in cents}
-    assert 1 not in cids and len(cents) == 15
+    n_sample = sum(1 for i, _v, _l in rows if i % KMEANS_SAMPLE_MOD == 0)
+    assert [cid for cid, _ in cents] == list(range(min(16, n_sample)))
+    # determinism: re-run bit-for-bit identical
+    cents2 = _centroids(emb)
+    assert all(
+        np.array(a[1]).tobytes() == np.array(b[1]).tobytes()
+        for a, b in zip(cents, cents2)
+    )
+    # centroids moved off their seeds (Lloyd actually iterated)
+    sample = np.array(
+        [v for i, v, _l in rows if i % KMEANS_SAMPLE_MOD == 0], np.float64
+    )
+    assert not np.allclose(np.array([c for _, c in cents]), sample[:16])
     buckets = {
         r.b
         for r in emb.select(
             _assign_bucket_col(F.col("embedding"), cents).alias("b")
         ).collect()
     }
-    assert buckets <= cids
+    assert buckets <= {cid for cid, _ in cents}
     got = ivf_topk(emb, 0, 5, n_probe=4).collect()
     assert len(got) == 5
+    # tiny corpus: sample smaller than n_centroids still works
+    tiny = np.array([v for _i, v, _l in rows[:6]], np.float64)
+    assert len(kmeans_centroids(tiny, 16)) == 6
 
 
 def test_ivf_topk_recall(emb):

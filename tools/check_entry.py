@@ -36,6 +36,12 @@ def rows_key(rows, cols):
 
 
 def main():
+    import os
+
+    # data-dependent oracles (k-means IVF centroids) must train on the
+    # SAME sf the Spark side runs at
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = SF
+
     import __spark_entry__ as entry_mod
     from pyspark.sql import SparkSession
 
