@@ -611,7 +611,9 @@ LIMIT {k}"""
 
 
 def _sloppy_phrase_sql(t0: str, t1: str, slop: int, k: int) -> str:
-    """Ordered within-slop pair count: b.pos in [a.pos+1, a.pos+1+slop]."""
+    """Ordered within-slop windows, b.pos in [a.pos+1, a.pos+1+slop];
+    freq = f64 sum of slop factors 1/(1+matchLength) cast to f32
+    (SloppyPhraseScorer.sloppyFreq)."""
     return f"""
 WITH {_BM25_CTES},
 rawp AS (
@@ -624,7 +626,9 @@ tokp AS (
   WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
 ),
 ph AS (
-  SELECT a.doc_id, count(*)::BIGINT AS freq
+  SELECT a.doc_id,
+         CAST(SUM(CAST(1.0 AS DOUBLE)
+                  / (1 + (b.pos - a.pos - 1))) AS REAL) AS freq
   FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id
     AND b.pos BETWEEN a.pos + 1 AND a.pos + {1 + slop}
   WHERE a.term = '{t0}' AND b.term = '{t1}'
@@ -640,11 +644,11 @@ idfs AS (
 )
 SELECT ph.doc_id,
   CAST(((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
-       * CAST(ph.freq AS REAL) / (CAST(ph.freq AS REAL) + cachet.c)
+       * ph.freq / (ph.freq + cachet.c)
        AS DOUBLE) AS score
 FROM ph JOIN cachet USING (doc_id)
 ORDER BY CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
-       * CAST(ph.freq AS REAL) / (CAST(ph.freq AS REAL) + cachet.c) AS REAL) DESC,
+       * ph.freq / (ph.freq + cachet.c) AS REAL) DESC,
        ph.doc_id
 LIMIT {k}"""
 

@@ -65,7 +65,11 @@ def update_documents(
     batch: DataFrame,
     batch_id: int | str,
 ) -> None:
-    """updateDocument = delete-by-key + NRT append of the new docs."""
+    """updateDocument = delete-by-key + NRT append of the new docs.
+
+    The tombstones are written straight from the batch DataFrame (one
+    distributed projection, no driver-side key collection), so an
+    update batch of any size stays executor-bound end-to-end."""
     import json
 
     from lucene_solr_spark.streaming.nrt import append_batch
@@ -73,6 +77,10 @@ def update_documents(
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
     id_col = manifest["config"]["id_col"]
-    keys = [r[0] for r in batch.select(id_col).collect()]
-    delete_by_keys(spark, index_dir, keys)
+    key_type = "string" if manifest.get("key_kind") == "s" else "long"
+    wm = _current_total_docs(manifest)
+    batch.select(
+        F.col(id_col).cast(key_type).alias("key"),
+        F.lit(wm).cast("long").alias("wm"),
+    ).write.mode("append").parquet(_tomb_dir(index_dir))
     append_batch(spark, batch, index_dir, batch_id)

@@ -538,14 +538,16 @@ def _eval_phrase(
 
     slop > 0: ordered within-slop windows — tuples (p_0 < ... <
     p_{n-1}), p_i from term i, with p_{n-1} - p_0 - (n-1) <= slop;
-    freq = count of DISTINCT (p_0, p_{n-1}) windows admitting such a
-    chain (for 2-term phrases that IS the tuple count; for longer
-    phrases the per-step state dedup bounds memory at O(matches)
-    instead of slop^n). Documented deviation: the reference's
-    SloppyPhraseScorer (SloppyPhraseScorer.java, 601 LoC) allows
-    transpositions and weights each match by 1/(1+matchLength); this
-    engine scores the SpanNearQuery(ordered)-style match set with
-    unit weight, which keeps the kernel vectorized and the oracle
+    each DISTINCT (p_0, p_{n-1}) window contributes the reference's
+    slop factor 1/(1+matchLength), matchLength = p_{n-1}-p_0-(n-1)
+    (SloppyPhraseScorer.java sloppyFreq / SimScorer.computeSlopFactor,
+    BM25Similarity.java:240-243), summed per doc in f64 then cast f32;
+    the float freq feeds the same BM25 kernel (tf/(tf+c) is float math
+    in the reference too). Remaining documented deviation: the
+    reference's greedy matcher (SloppyPhraseScorer.java, 601 LoC)
+    allows transpositions and advances repeats phrase-order-greedily;
+    this engine scores the SpanNearQuery(ordered)-style distinct-
+    window set, which keeps the kernel vectorized and the oracle
     SQL-expressible."""
     from lucene_solr_spark.index.codec import decode_position_lists
 
@@ -630,7 +632,12 @@ def _eval_phrase(
                 )
         if len(cur_doc) == 0:
             return E
-        udocs, freqs = np.unique(cur_doc, return_counts=True)
+        # freq = Σ windows 1/(1+matchLength) — computeSlopFactor
+        ml = (cur_plast - cur_p0 - np.int64(len(seq) - 1)).astype(np.float64)
+        w = 1.0 / (1.0 + ml)
+        order = np.argsort(cur_doc, kind="stable")
+        udocs, first = np.unique(cur_doc[order], return_index=True)
+        freqs = np.add.reduceat(w[order], first).astype(np.float32)
     # idf = float32 sum over the phrase's terms in order
     # (BM25Similarity.computeWeight over TermStatistics[])
     idf_sum = np.float32(0.0)

@@ -356,3 +356,32 @@ def test_sloppy_freq_counts(tiny_index):
         ).collect()
     }
     assert out[4] > out[1]
+
+
+def test_sloppy_slop_factor_weighting(tiny_index):
+    """Each within-slop window contributes the reference slop factor
+    1/(1+matchLength) (SloppyPhraseScorer.sloppyFreq, BM25Similarity
+    computeSlopFactor): doc 4 'alpha gamma alpha gamma' at slop=2 has
+    windows (0,1) ml=0, (0,3) ml=2, (2,3) ml=0 -> freq f32(1 + 1/3 +
+    1); closed-form BM25 over that float freq must match bitwise."""
+    from lucene_solr_spark.functions import bm25
+    from lucene_solr_spark.functions.smallfloat import encode_norm
+
+    s = tiny_index
+    out = {
+        r.doc_id: np.float32(r.score)
+        for r in s.search(PhraseQuery(("alpha", "gamma"), slop=2), k=None).collect()
+    }
+    # corpus: dfs(alpha)=5, dfs(gamma)=5? alpha in docs 0,1,2,3,4;
+    # gamma in docs 0,1,2,3,4 -> df=5 each; max_doc=5; avgdl=16/5
+    idf_sum = np.float32(
+        np.float32(0.0) + bm25.idf(5, s.max_doc) + bm25.idf(5, s.max_doc)
+    )
+    cache = bm25.norm_cache(s.avgdl)
+    nb = encode_norm(np.array([4], np.int64))  # doc 4 has 4 tokens
+    freq = np.array(
+        [np.float32(np.float64(1.0) + np.float64(1.0) / 3.0 + np.float64(1.0))],
+        np.float32,
+    )
+    expect = bm25.score_term(freq, nb, idf_sum, cache)[0]
+    assert out[4] == np.float32(expect)
