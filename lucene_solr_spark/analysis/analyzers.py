@@ -99,14 +99,92 @@ def tokenize_whitespace_with_positions(texts: pd.Series) -> pd.Series:
     )
 
 
+# Letter runs (CharTokenizer.isTokenChar == Character.isLetter,
+# core/LetterTokenizer.java): unicode letters only, digits/underscore
+# split. CharTokenizer SPLITS tokens longer than maxTokenLen=255 into
+# consecutive chunks (CharTokenizer.java:163-171) — unlike
+# StandardTokenizer, which drops them.
+_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def _chunk255(toks: list[str]) -> list[str]:
+    out: list[str] = []
+    for t in toks:
+        if len(t) <= MAX_TOKEN_LENGTH:
+            out.append(t)
+        else:
+            out.extend(
+                t[i : i + MAX_TOKEN_LENGTH]
+                for i in range(0, len(t), MAX_TOKEN_LENGTH)
+            )
+    return out
+
+
+def tokenize_simple(texts: pd.Series) -> pd.Series:
+    """SimpleAnalyzer analog (core/SimpleAnalyzer.java): LetterTokenizer
+    + LowerCaseFilter. Tokenize first, lowercase per token (folding
+    before tokenizing could move letter boundaries in rare Unicode)."""
+    return (
+        texts.fillna("")
+        .str.findall(_LETTER_RE)
+        .map(lambda ts: [t.lower() for t in _chunk255(ts)])
+    )
+
+
+def tokenize_simple_with_positions(texts: pd.Series) -> pd.Series:
+    """Simple analog with positions (every chunk emitted, posIncr 1)."""
+    return (
+        texts.fillna("")
+        .str.findall(_LETTER_RE)
+        .map(
+            lambda ts: [
+                (t.lower(), i) for i, t in enumerate(_chunk255(ts))
+            ]
+        )
+    )
+
+
+def tokenize_stop(texts: pd.Series) -> pd.Series:
+    """StopAnalyzer analog (core/StopAnalyzer.java:69-75):
+    LetterTokenizer + LowerCaseFilter + StopFilter (same 33-word set)."""
+    return tokenize_simple(texts).map(
+        lambda ts: [t for t in ts if t not in ENGLISH_STOP_WORDS]
+    )
+
+
+def tokenize_stop_with_positions(texts: pd.Series) -> pd.Series:
+    """Stop analog with positions: stopped tokens still advance the
+    position counter (FilteringTokenFilter.java:49-62)."""
+    return tokenize_simple_with_positions(texts).map(
+        lambda tps: [(t, p) for t, p in tps if t not in ENGLISH_STOP_WORDS]
+    )
+
+
+def tokenize_keyword(texts: pd.Series) -> pd.Series:
+    """KeywordAnalyzer analog (core/KeywordTokenizer.java): the entire
+    input is ONE token, verbatim (no folding, no stops); empty input
+    emits nothing."""
+    return texts.fillna("").map(lambda t: [t] if t else [])
+
+
+def tokenize_keyword_with_positions(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(lambda t: [(t, 0)] if t else [])
+
+
 ANALYZERS = {
     "standard": tokenize_standard,
     "whitespace": tokenize_whitespace,
+    "simple": tokenize_simple,
+    "stop": tokenize_stop,
+    "keyword": tokenize_keyword,
 }
 
 ANALYZERS_POS = {
     "standard": tokenize_standard_with_positions,
     "whitespace": tokenize_whitespace_with_positions,
+    "simple": tokenize_simple_with_positions,
+    "stop": tokenize_stop_with_positions,
+    "keyword": tokenize_keyword_with_positions,
 }
 
 

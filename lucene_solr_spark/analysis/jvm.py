@@ -79,11 +79,84 @@ def whitespace_tokens_pos_col(text: Column) -> Column:
     return F.filter(pairs, lambda s: s["term"] != F.lit(""))
 
 
+# Java regex equivalent of analyzers._LETTER_RE (letter runs only)
+LETTER_RE_JAVA = "(?U)[^\\W\\d_]+"
+
+
+def _chunk255_col(t: Column) -> Column:
+    """Split one token into consecutive <=255-char chunks
+    (CharTokenizer.java:163-171 emits-and-continues at maxTokenLen)."""
+    n = F.ceil(F.length(t) / F.lit(MAX_TOKEN_LENGTH)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: t.substr(
+            i * MAX_TOKEN_LENGTH + 1, F.lit(MAX_TOKEN_LENGTH)
+        ),
+    )
+
+
+def _letter_chunks(text: Column) -> Column:
+    toks = F.regexp_extract_all(text, F.lit(LETTER_RE_JAVA), F.lit(0))
+    return F.flatten(F.transform(toks, _chunk255_col))
+
+
+def simple_tokens_col(text: Column) -> Column:
+    """SimpleAnalyzer analog: letter runs, 255-chunked, lowercased."""
+    return F.transform(_letter_chunks(text), lambda t: F.lower(t))
+
+
+def simple_tokens_pos_col(text: Column) -> Column:
+    return F.transform(
+        _letter_chunks(text),
+        lambda t, i: F.struct(
+            F.lower(t).alias("term"), i.cast("int").alias("pos")
+        ),
+    )
+
+
+def stop_tokens_col(text: Column) -> Column:
+    """StopAnalyzer analog: simple + 33-word stop filter."""
+    return F.filter(
+        simple_tokens_col(text), lambda t: ~F.array_contains(_STOP_ARR, t)
+    )
+
+
+def stop_tokens_pos_col(text: Column) -> Column:
+    """Stopped tokens advance positions without being emitted."""
+    return F.filter(
+        simple_tokens_pos_col(text),
+        lambda s: ~F.array_contains(_STOP_ARR, s["term"]),
+    )
+
+
+def keyword_tokens_col(text: Column) -> Column:
+    """KeywordAnalyzer analog: whole input = one verbatim token."""
+    t = F.coalesce(text, F.lit(""))
+    return F.when(F.length(t) > 0, F.array(t)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def keyword_tokens_pos_col(text: Column) -> Column:
+    t = F.coalesce(text, F.lit(""))
+    pair = F.struct(t.alias("term"), F.lit(0).cast("int").alias("pos"))
+    return F.when(F.length(t) > 0, F.array(pair)).otherwise(
+        F.array().cast("array<struct<term:string,pos:int>>")
+    )
+
+
 JVM_ANALYZERS = {
     "standard": standard_tokens_col,
     "whitespace": whitespace_tokens_col,
+    "simple": simple_tokens_col,
+    "stop": stop_tokens_col,
+    "keyword": keyword_tokens_col,
 }
 JVM_ANALYZERS_POS = {
     "standard": standard_tokens_pos_col,
     "whitespace": whitespace_tokens_pos_col,
+    "simple": simple_tokens_pos_col,
+    "stop": stop_tokens_pos_col,
+    "keyword": keyword_tokens_pos_col,
 }

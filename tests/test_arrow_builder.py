@@ -106,3 +106,69 @@ def test_arrow_engine_url_keys(spark, tmp_path):
             for r in s.search_with_keys(TermQuery("table"), k=20).collect()
         ]
     assert results["pandas"] == results["arrow"]
+
+
+@pytest.mark.parametrize("name", ["simple", "stop", "keyword"])
+def test_jvm_extra_analyzers_match_pandas(spark, name):
+    """core/SimpleAnalyzer, core/StopAnalyzer, core/KeywordAnalyzer
+    analogs: JVM expression == pandas engine token-for-token and
+    position-for-position on the edge corpus (incl. the 300-char run,
+    which CharTokenizer SPLITS into 255-char chunks rather than
+    dropping)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.analyzers import ANALYZERS, ANALYZERS_POS
+    from lucene_solr_spark.analysis.jvm import JVM_ANALYZERS, JVM_ANALYZERS_POS
+
+    df = spark.createDataFrame([(t,) for t in EDGE_TEXTS], "text string")
+    jvm = df.select(JVM_ANALYZERS[name](F.col("text")).alias("t")).collect()
+    jvmp = df.select(
+        JVM_ANALYZERS_POS[name](F.col("text")).alias("t")
+    ).collect()
+    py = ANALYZERS[name](pd.Series(EDGE_TEXTS))
+    pyp = ANALYZERS_POS[name](pd.Series(EDGE_TEXTS))
+    for i in range(len(EDGE_TEXTS)):
+        assert list(jvm[i].t) == list(py.iloc[i]), (name, EDGE_TEXTS[i][:40])
+        assert [(r.term, r.pos) for r in jvmp[i].t] == list(pyp.iloc[i]), (
+            name, EDGE_TEXTS[i][:40],
+        )
+    # chunk-split semantics: the 300-char run yields a 255+45 pair
+    # (not a drop) for the letter tokenizers
+    if name in ("simple", "stop"):
+        toks = list(py.iloc[3])
+        assert len(toks[0]) == 255 and len(toks[1]) == 45
+
+
+def test_build_and_search_with_extra_analyzers(spark, tmp_path):
+    """An index built with analyzer='simple' / 'keyword' round-trips:
+    digits split away under simple; keyword matches the verbatim line."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.query import TermQuery
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    rows = [(0, "Alpha42beta THE gamma"), (1, "alpha beta"), (2, "exact line")]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out_s = str(tmp_path / "simple")
+    build_index(
+        spark, src, out_s,
+        IndexConfig(n_shards=1, segs_per_shard=1, sharding="range_int",
+                    analyzer="simple"),
+    )
+    s = IndexSearcher(spark, out_s)
+    # '42' splits 'Alpha42beta' -> alpha, beta; 'the' is NOT stopped
+    assert {r.doc_id for r in s.search(TermQuery("alpha"), k=None).collect()} == {0, 1}
+    assert {r.doc_id for r in s.search(TermQuery("the"), k=None).collect()} == {0}
+    assert s.search(TermQuery("alpha42beta"), k=None).count() == 0
+
+    out_k = str(tmp_path / "kw")
+    build_index(
+        spark, src, out_k,
+        IndexConfig(n_shards=1, segs_per_shard=1, sharding="range_int",
+                    analyzer="keyword"),
+    )
+    sk = IndexSearcher(spark, out_k)
+    assert {r.doc_id for r in sk.search(TermQuery("exact line"), k=None).collect()} == {2}
+    assert sk.search(TermQuery("exact"), k=None).count() == 0
