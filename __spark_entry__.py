@@ -515,6 +515,42 @@ def _q_sloppy_phrase(spark, sf):
     return _hits(spark, sf, PhraseQuery(("table", "scan"), slop=2), K)
 
 
+def _q_edismax(spark, sf):
+    """(e)dismax parser subset (solr/.../search/DisMaxQParser.java:
+    77-131): 'table src3' with qf={text:1.0, source:1.5}, tie=0.1 —
+    each term becomes a DisjunctionMax across the qf fields (per-field
+    boost in the leaf weight), terms combine as a scoring SHOULD
+    disjunction."""
+    from lucene_solr_spark.search.parser import edismax_query
+
+    s = _fielded_searcher_for(spark, sf)
+    q = edismax_query("table src3", {"text": 1.0, "source": 1.5}, tie=0.1)
+    return s.search(q, k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_rerank(spark, sf):
+    """Two-phase rerank (ReRankQParserPlugin): main OR(table, vector,
+    customer) top-100, rescored with weight-2 'scan' BM25 added where
+    it matches, reordered top-K."""
+    from lucene_solr_spark.search.query import BooleanOr
+
+    s = _searcher_for(spark, sf)
+    out = s.rerank(
+        BooleanOr(("table", "vector", "customer")),
+        TermQuery("scan"),
+        rerank_docs=100,
+        rerank_weight=2.0,
+        k=K,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def _q_fielded(spark, sf):
     """Per-field search: +text:table +source:src3 — cross-field
     conjunction with per-field norms/avgdl/df (Term.java:36)."""
@@ -556,6 +592,65 @@ SELECT t.doc_id,
 FROM (SELECT doc_id, s FROM sc WHERE term = 'table') t
 JOIN src_sc x USING (doc_id)
 ORDER BY CAST(CAST(t.s AS DOUBLE) + CAST(x.s AS DOUBLE) AS REAL) DESC, t.doc_id
+LIMIT {k}"""
+
+
+def _edismax_sql(k: int) -> str:
+    """edismax 'table src3' qf={text:1.0, source:1.5}: per-term DisMax
+    across fields (on this corpus each term matches exactly ONE field,
+    so DisMax degenerates to the matching alternative; the max+tie
+    kernel itself is driver-verified by bm25_dismax_topk and
+    tree-tested in pytest), then f32(f64 SHOULD-sum). Source-field
+    score: tf=1, doc_len=1, cache=k1 (see _fielded_sql); boost 1.5
+    folds into the f32 weight BEFORE the (k1+1) multiply."""
+    return f"""
+WITH {_BM25_CTES}, {_sc_cte(("table", "src3"))},
+sdf AS (SELECT source, count(*)::BIGINT AS df FROM documents GROUP BY source),
+src_sc AS (
+  SELECT d.doc_id,
+    (((CAST(ln(1 + ((SELECT n FROM a) - sdf.df + 0.5) / (sdf.df + 0.5)) AS REAL))
+       * CAST(1.5 AS REAL))
+      * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+    * CAST(1.0 AS REAL) /
+      (CAST(1.0 AS REAL) + CAST(1.2 AS REAL)
+        * ((CAST(1.0 AS REAL) - CAST(0.75 AS REAL))
+           + CAST(0.75 AS REAL) * CAST(1.0 AS REAL) / CAST(1.0 AS REAL))) AS s
+  FROM documents d JOIN sdf USING (source)
+  WHERE d.source = 'src3'
+),
+txt AS (SELECT doc_id, s FROM sc WHERE term = 'table')
+SELECT COALESCE(t.doc_id, x.doc_id) AS doc_id,
+  CAST(CAST(COALESCE(CAST(t.s AS DOUBLE), 0) + COALESCE(CAST(x.s AS DOUBLE), 0)
+       AS REAL) AS DOUBLE) AS score
+FROM txt t FULL OUTER JOIN src_sc x ON t.doc_id = x.doc_id
+ORDER BY CAST(COALESCE(CAST(t.s AS DOUBLE), 0) + COALESCE(CAST(x.s AS DOUBLE), 0)
+         AS REAL) DESC, COALESCE(t.doc_id, x.doc_id)
+LIMIT {k}"""
+
+
+def _rerank_sql(
+    main_terms: tuple[str, ...], rq_term: str, rerank_docs: int,
+    weight: float, k: int,
+) -> str:
+    """ReRank: main f32(f64-sum) OR top-N (score desc, docID asc), then
+    f32(f64(main) + weight * f64(rq BM25)) where rq matches."""
+    tlist = ",".join(f"'{t}'" for t in main_terms)
+    return f"""
+WITH {_BM25_CTES}, {_sc_cte(tuple(main_terms) + (rq_term,))},
+main AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS ms
+  FROM sc WHERE term IN ({tlist}) GROUP BY doc_id
+  ORDER BY ms DESC, doc_id LIMIT {rerank_docs}
+),
+rq AS (SELECT doc_id, s AS rs FROM sc WHERE term = '{rq_term}')
+SELECT m.doc_id,
+  CAST(CAST(CAST(m.ms AS DOUBLE)
+       + {weight!r} * COALESCE(CAST(r.rs AS DOUBLE), 0) AS REAL) AS DOUBLE)
+    AS score
+FROM main m LEFT JOIN rq r USING (doc_id)
+ORDER BY CAST(CAST(m.ms AS DOUBLE)
+         + {weight!r} * COALESCE(CAST(r.rs AS DOUBLE), 0) AS REAL) DESC,
+         m.doc_id
 LIMIT {k}"""
 
 
@@ -1353,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expand_collapsed_hits": _q_expand_collapsed,
         "field_value_exists_topk": _q_field_value,
         "wildcard_capped_topk": _q_wildcard_capped,
+        "edismax_topk": _q_edismax,
+        "rerank_topk": _q_rerank,
         # --- engine path changed this round (tree pruning, search_after) ---
         "bm25_nested_bool_topk": _q_nested_bool,
         "bm25_boosted_or_topk": _q_boosted_or,
@@ -1492,6 +1589,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY d.lang, d.source ORDER BY d.lang, d.source"
         ),
         "expand_collapsed_hits": _expand_collapsed_sql(),
+        "edismax_topk": _edismax_sql(K),
+        "rerank_topk": _rerank_sql(
+            ("table", "vector", "customer"), "scan", 100, 2.0, K
+        ),
         "field_value_exists_topk": _field_value_sql(K),
         "wildcard_capped_topk": _wildcard_capped_sql(K),
         "bm25_fielded_topk": _fielded_sql(K),

@@ -37,6 +37,7 @@ from lucene_solr_spark.search.query import (
     BooleanQuery,
     BoostQuery,
     Clause,
+    DisMaxQuery,
     FuzzyQuery,
     PhraseQuery,
     PrefixQuery,
@@ -288,3 +289,32 @@ class QueryParser:
 
 def parse_query(s: str, analyzer: str = "standard") -> Query | None:
     return QueryParser(analyzer).parse(s)
+
+
+def edismax_query(
+    s: str,
+    qf: dict[str, float],
+    tie: float = 0.0,
+    mm: int = 0,
+    analyzer: str = "standard",
+) -> Query | None:
+    """(e)dismax parser subset (solr/.../search/DisMaxQParser.java:77-131,
+    ExtendedDismaxQParser.java main-clause path): analyze the user
+    string, turn EACH term into a DisjunctionMax across the qf fields
+    (per-field boost folded into the alternative's weight), and combine
+    the per-term DisMaxes as SHOULD clauses with minShouldMatch = mm
+    (DisMaxQParser.parseClauses + U.setMinShouldMatch). Returns None
+    for an empty/all-stopword string."""
+    from lucene_solr_spark.analysis.analyzers import ANALYZERS
+
+    toks = ANALYZERS[analyzer](pd.Series([s]))[0]
+    if not toks:
+        return None
+    clauses = []
+    for t in toks:
+        alts: list[Query] = []
+        for f, b in qf.items():
+            tq: Query = TermQuery(t, field=f)
+            alts.append(BoostQuery(tq, float(b)) if float(b) != 1.0 else tq)
+        clauses.append(Clause("SHOULD", DisMaxQuery(tuple(alts), tie)))
+    return BooleanQuery(tuple(clauses), min_should_match=mm)

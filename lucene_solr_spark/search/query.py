@@ -93,6 +93,25 @@ class DisjunctionMax(Query):
 
 
 @dataclass(frozen=True)
+class DisMaxQuery(Query):
+    """DisjunctionMaxQuery over arbitrary sub-queries
+    (search/DisjunctionMaxQuery.java:60): score = max(matching sub-
+    scores) + tie * (sum - max). The flat `DisjunctionMax` covers
+    bare-term disjunctions; this nested form is what the (e)dismax
+    parsers build — one DisMax per query term across the qf fields,
+    each alternative typically a boosted fielded TermQuery."""
+
+    queries: tuple[Query, ...]
+    tie: float = 0.0
+
+    def terms(self) -> list[str]:
+        out: list[str] = []
+        for q in self.queries:
+            out.extend(q.terms())
+        return out
+
+
+@dataclass(frozen=True)
 class BooleanMustShould(Query):
     """General BooleanQuery with required and optional scoring clauses
     (BooleanWeight.java:260-359 -> ReqOptSumScorer.java:28): required

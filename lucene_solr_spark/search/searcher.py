@@ -54,6 +54,7 @@ from lucene_solr_spark.search.query import (
     CommonTermsQuery,
     ConstantScoreQuery,
     DisjunctionMax,
+    DisMaxQuery,
     FieldValueQuery,
     FuzzyQuery,
     MultiPhraseQuery,
@@ -1656,10 +1657,14 @@ class IndexSearcher:
         if isinstance(q, DisjunctionMax):
             return {"kind": "dismax", "tie": q.tie,
                     "clauses": [T(t) for t in q.should]}
+        if isinstance(q, DisMaxQuery):
+            return {"kind": "dismax", "tie": q.tie,
+                    "clauses": [self._tree(sub) for sub in q.queries]}
         raise TypeError(f"unsupported query in tree: {q!r}")
 
     def _spec(self, q: Query) -> dict:
-        if isinstance(q, (BooleanQuery, BoostQuery, ConstantScoreQuery)):
+        if isinstance(q, (BooleanQuery, BoostQuery, ConstantScoreQuery,
+                          DisMaxQuery)):
             tree = self._tree(q)
             return {"kind": "tree", "tree": tree, "terms": _tree_terms(tree)}
         if isinstance(q, TermQuery):
@@ -2182,6 +2187,42 @@ class IndexSearcher:
             query, k=k, prune=prune,
             cursor=(float(np.float32(after_score)), int(after_doc)),
         )
+
+    def rerank(
+        self,
+        query: Query,
+        rq: Query,
+        rerank_docs: int = 200,
+        rerank_weight: float = 2.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """Two-phase rerank (solr/core/.../search/ReRankQParserPlugin
+        .java ReRankCollector): the main query's top `rerank_docs` hits
+        (score desc, docID asc) are rescored as
+        new = f32(orig + f32(rerank_weight) * rq_score) for docs also
+        matching `rq` (non-matching docs keep their original score),
+        then the reordered top-k is returned. The rerank query runs
+        once as a full scored set and joins by docID — no per-doc
+        re-execution."""
+        top = self.search(query, k=rerank_docs)
+        rqs = self.search(rq, k=None).withColumnRenamed("score", "rq_score")
+        # combine in f64, cast f32 (deterministic regardless of engine
+        # float-promotion rules; ReRankCollector combines in float)
+        w = F.lit(float(rerank_weight))
+        rescored = (
+            top.join(rqs, "doc_id", "left")
+            .withColumn(
+                "score",
+                (
+                    F.col("score").cast("double")
+                    + w * F.coalesce(
+                        F.col("rq_score").cast("double"), F.lit(0.0)
+                    )
+                ).cast("float"),
+            )
+            .drop("rq_score")
+        )
+        return rescored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def mlt_terms(self, text: str, max_query_terms: int = 10) -> list[str]:
         """MoreLikeThis term extraction (queries/.../mlt/MoreLikeThis
