@@ -2188,6 +2188,164 @@ class IndexSearcher:
             cursor=(float(np.float32(after_score)), int(after_doc)),
         )
 
+    def explain(self, query: Query, doc_id: int) -> dict:
+        """IndexSearcher.explain analog (IndexSearcher.java:561-588,
+        BM25Similarity.explain:244-268): decompose `doc_id`'s score
+        for `query` into per-term Explanation nodes — df, f32 idf,
+        boost-folded weightValue, tf, norm byte, the norm cache value,
+        and the leaf f32 score — plus the boolean composition, using
+        the SAME kernels as search (the returned `score` is bitwise
+        the search score). Flat term/boolean kinds only (the shapes
+        Lucene's explain covers clause-by-clause); slow path by
+        design: decodes just the (term, shard-of-doc) posting rows."""
+        from lucene_solr_spark.index.codec import decode_posting_list
+
+        q = rewrite(query)
+        spec = self._spec(q)
+        kind = spec["kind"]
+        if kind in ("tree", "multi_phrase", "phrase"):
+            raise NotImplementedError(
+                "explain covers flat term/boolean queries"
+            )
+        terms = list(dict.fromkeys(spec["terms"]))
+
+        dmr = self.doc_map().where(F.col("doc_id") == int(doc_id)).collect()
+        if not dmr:
+            return {"doc_id": int(doc_id), "match": False, "score": 0.0,
+                    "description": "no such doc"}
+        dm = dmr[0]
+        shard = int(dm.shard)
+        off = int(self._doc_offsets.get(shard, 0))
+        local = int(doc_id) - off
+        if self._has_tombstones():
+            if (
+                self.deleted_df()
+                .where(F.col("doc_id") == int(doc_id))
+                .count()
+            ):
+                return {"doc_id": int(doc_id), "match": False, "score": 0.0,
+                        "description": "doc is deleted (liveDocs)"}
+
+        def fld(t: str) -> str:
+            i = t.find(FIELD_SEP)
+            return self._default_field if i < 0 else t[:i]
+
+        dfs = self.term_dfs(terms)
+        fields = sorted({fld(t) for t in terms})
+        # per-field norm byte of the doc (Lucene53 norms read)
+        norm_bytes: dict[str, int] = {}
+        for r in self._norms.where(F.col("shard") == shard).collect():
+            f = r.field if r.field is not None else self._default_field
+            if f in fields and r.norms is not None:
+                arr = np.frombuffer(bytes(r.norms), np.uint8)
+                i = local - int(r.base)
+                if 0 <= i < len(arr):
+                    norm_bytes[f] = int(arr[i])
+        norm_bytes.setdefault(self._default_field, int(dm.norm))
+        # tf of each term at the doc (skip-seek analog, driver-side)
+        tfs: dict[str, int] = {}
+        for r in (
+            self._postings.where(
+                F.col("term").isin(terms) & (F.col("shard") == shard)
+            )
+            .select("term", "df", "doc_enc", "tf_enc")
+            .collect()
+        ):
+            d, t = decode_posting_list(
+                bytes(r.doc_enc), bytes(r.tf_enc), int(r.df),
+                codec=self._codec,
+            )
+            p = int(np.searchsorted(d, local))
+            if p < len(d) and d[p] == local:
+                tfs[r.term] = tfs.get(r.term, 0) + int(t[p])
+
+        details = []
+        leaf: dict[str, np.float32] = {}
+        for t in terms:
+            f = fld(t)
+            key = "" if f == self._default_field else f
+            cache = self._caches[key]
+            nb = norm_bytes.get(f, 0)
+            df = int(dfs.get(t, 0))
+            idf = bm25.idf(df, self.max_doc) if df else np.float32(0.0)
+            tf = int(tfs.get(t, 0))
+            wv = (np.float32(idf) * np.float32(1.0)) * (
+                np.float32(K1) + np.float32(1.0)
+            )
+            sc = (
+                bm25.score_term(
+                    np.array([tf], np.int64),
+                    np.array([nb], np.uint8), idf, cache,
+                )[0]
+                if tf
+                else np.float32(0.0)
+            )
+            leaf[t] = sc
+            details.append({
+                "term": t, "field": f, "match": tf > 0, "df": df,
+                "idf": float(idf), "tf": tf, "norm_byte": nb,
+                "norm_cache": float(cache[nb]),
+                "avgdl": float(bm25.avgdl(
+                    int(self._field_stats[f]), self.max_doc)),
+                "weight_value": float(wv), "score": float(sc),
+            })
+
+        def fsum(ts) -> np.float32:
+            return bm25.sum_bool([np.array([leaf[t]]) for t in ts])[0] \
+                if ts else np.float32(0.0)
+
+        matched = [t for t in terms if tfs.get(t, 0) > 0]
+        match, score, desc = False, np.float32(0.0), ""
+        if kind == "term":
+            t = terms[0]
+            match = t in matched
+            score = leaf[t] if match else np.float32(0.0)
+            desc = "weight(term)"
+        elif kind == "and":
+            must = spec["must"]
+            match = all(t in matched for t in must)
+            score = fsum(must) if match else np.float32(0.0)
+            desc = "sum of (all MUST match):"
+        elif kind == "not":
+            must, mn = spec["must"], spec["must_not"]
+            match = all(t in matched for t in must) and not any(
+                t in matched for t in mn
+            )
+            score = fsum(must) if match else np.float32(0.0)
+            desc = "sum of MUST (MUST_NOT excluded):"
+        elif kind == "or":
+            msm = spec.get("min_should_match", 1)
+            hit = [t for t in terms if t in matched]
+            match = len(hit) >= max(msm, 1)
+            score = fsum(hit) if match else np.float32(0.0)
+            desc = f"sum of matching SHOULD (msm={msm}):"
+        elif kind == "reqopt":
+            must, should = spec["must"], spec["should"]
+            match = all(t in matched for t in must)
+            if match:
+                req = fsum(must)
+                opt = fsum([t for t in should if t in matched])
+                score = np.float32(req + opt)
+            desc = "req + matching opt (ReqOptSumScorer):"
+        elif kind == "dismax":
+            hit = [t for t in terms if t in matched]
+            match = bool(hit)
+            if match:
+                mx = np.float32(max(leaf[t] for t in hit))
+                acc = np.float32(0.0)
+                for t in hit:
+                    acc = np.float32(acc + leaf[t])
+                tie = np.float32(spec.get("tie", 0.0))
+                score = np.float32(mx + np.float32(acc - mx) * tie)
+            desc = "max plus tie-scaled others (DisjunctionMax):"
+        else:
+            raise NotImplementedError(kind)
+        return {
+            "doc_id": int(doc_id), "match": bool(match),
+            "score": float(np.float32(score)), "description": desc,
+            "doc_len": int(dm.doc_len), "details": details,
+        }
+
     def rerank(
         self,
         query: Query,

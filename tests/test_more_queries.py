@@ -127,3 +127,51 @@ def test_more_like_this(spark, searcher):
     assert len(hits) == 10
     # the source doc itself should rank well (it contains all its terms)
     assert 7 in {r.doc_id for r in hits}
+
+
+def test_explain_recomposes_search_scores(spark, docs_index):
+    """IndexSearcher.explain analog: for hits of every flat query kind,
+    explain(q, doc).score must equal the search score bitwise, leaf
+    details must recompose, and a non-matching doc must explain as
+    match=False score=0."""
+    from lucene_solr_spark.search.query import (
+        BooleanAnd,
+        BooleanMustShould,
+        BooleanNot,
+        BooleanOr,
+        DisjunctionMax,
+        TermQuery,
+    )
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, docs_index[0])
+    queries = [
+        TermQuery("table"),
+        BooleanAnd(("scan", "table")),
+        BooleanOr(("customer", "spark", "vector")),
+        BooleanNot(("table",), ("scan",)),
+        BooleanMustShould(("vector",), ("table", "scan")),
+        DisjunctionMax(("table", "scan"), tie=0.3),
+    ]
+    for q in queries:
+        hits = s.search(q, k=3).collect()
+        assert hits, q
+        for r in hits:
+            ex = s.explain(q, r.doc_id)
+            assert ex["match"] is True, (q, r.doc_id)
+            assert np.float32(ex["score"]) == np.float32(r.score), (q, r.doc_id)
+            assert any(d["match"] for d in ex["details"])
+            # every matching leaf's pieces recompose: wv*tf/(tf+cache)
+            for d in ex["details"]:
+                if d["match"]:
+                    wv = np.float32(d["weight_value"])
+                    tf = np.float32(d["tf"])
+                    c = np.float32(d["norm_cache"])
+                    assert np.float32(d["score"]) == np.float32(
+                        (wv * tf) / (tf + c)
+                    ), d
+    # non-matching doc: excluded by MUST_NOT
+    nq = BooleanNot(("table",), ("scan",))
+    both = s.search(BooleanAnd(("table", "scan")), k=1).collect()
+    ex = s.explain(nq, both[0].doc_id)
+    assert ex["match"] is False and ex["score"] == 0.0
