@@ -551,6 +551,20 @@ def _q_rerank(spark, sf):
     )
 
 
+def _q_highlight(spark, sf):
+    """Snippet highlighting (lucene/highlighter PostingsHighlighter
+    subset, first-occurrence ±2-token passage, matches wrapped in
+    <em>): top-K 'table' hits with their snippets."""
+    s = _searcher_for(spark, sf)
+    return s.highlight(
+        TermQuery(Q_TERM), _docs(spark, sf), k=K, window=2
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+        "snippet",
+    )
+
+
 def _q_fielded(spark, sf):
     """Per-field search: +text:table +source:src3 — cross-field
     conjunction with per-field norms/avgdl/df (Term.java:36)."""
@@ -593,6 +607,34 @@ FROM (SELECT doc_id, s FROM sc WHERE term = 'table') t
 JOIN src_sc x USING (doc_id)
 ORDER BY CAST(CAST(t.s AS DOUBLE) + CAST(x.s AS DOUBLE) AS REAL) DESC, t.doc_id
 LIMIT {k}"""
+
+
+def _highlight_sql(term: str, k: int, w: int = 2) -> str:
+    """First-occurrence ±w-token passage of the top-k hits, matching
+    tokens wrapped in <em> (corpus tokens are clean lowercase words, so
+    lower(token) = term is the analyzed-form match)."""
+    return f"""
+WITH {_BM25_CTES}, {_sc_cte((term,))},
+top AS (SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT {k}),
+tkh AS (
+  SELECT d.doc_id, unnest(string_split_regex(trim(d.text), ' +')) AS word,
+         generate_subscripts(string_split_regex(trim(d.text), ' +'), 1) - 1 AS pos
+  FROM documents d JOIN top ON d.doc_id = top.doc_id
+),
+firstm AS (
+  SELECT doc_id, min(pos) AS m FROM tkh
+  WHERE lower(word) = '{term}' GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.s AS DOUBLE) AS score,
+  (SELECT string_agg(
+      CASE WHEN lower(tkh.word) = '{term}'
+           THEN '<em>' || tkh.word || '</em>' ELSE tkh.word END,
+      ' ' ORDER BY tkh.pos)
+   FROM tkh JOIN firstm USING (doc_id)
+   WHERE tkh.doc_id = t.doc_id
+     AND tkh.pos BETWEEN firstm.m - {w} AND firstm.m + {w}) AS snippet
+FROM top t
+ORDER BY t.s DESC, t.doc_id"""
 
 
 def _edismax_sql(k: int) -> str:
@@ -1450,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_capped_topk": _q_wildcard_capped,
         "edismax_topk": _q_edismax,
         "rerank_topk": _q_rerank,
+        "highlight_term_topk": _q_highlight,
         # --- engine path changed this round (tree pruning, search_after) ---
         "bm25_nested_bool_topk": _q_nested_bool,
         "bm25_boosted_or_topk": _q_boosted_or,
@@ -1590,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "expand_collapsed_hits": _expand_collapsed_sql(),
         "edismax_topk": _edismax_sql(K),
+        "highlight_term_topk": _highlight_sql(Q_TERM, K),
         "rerank_topk": _rerank_sql(
             ("table", "vector", "customer"), "scan", 100, 2.0, K
         ),

@@ -2382,6 +2382,75 @@ class IndexSearcher:
         )
         return rescored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def highlight(
+        self,
+        query: Query,
+        docs: DataFrame,
+        k: int = 10,
+        text_col: str | None = None,
+        id_col: str | None = None,
+        pre: str = "<em>",
+        post: str = "</em>",
+        window: int = 2,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Snippet highlighting for the query's top-k docs
+        (lucene/highlighter PostingsHighlighter semantics subset):
+        ONE passage of ±`window` display tokens around the FIRST
+        matching token, every matching token inside the passage
+        wrapped pre/post. `docs` supplies the stored text (stored
+        fields live in the source table; the index stores postings
+        only — Solr's phase-2 fetch). Matching = the display token's
+        analyzed form is a query term (default field only).
+        Documented deviation: passage choice is first-occurrence with
+        a fixed window, not the reference's BM25-ranked passages
+        (PostingsHighlighter.java:221-268) — the snippet seam and
+        wrapping are the API; deterministic selection keeps it
+        oracle-checkable. Returns (doc_id=key, score, snippet)."""
+        from lucene_solr_spark.analysis.analyzers import ANALYZERS
+
+        cfg = self.manifest["config"]
+        text_col = text_col or cfg.get("text_col", "text")
+        id_col = id_col or cfg.get("id_col", "doc_id")
+        spec = self._spec(rewrite(query))
+        terms = frozenset(
+            t for t in spec["terms"] if FIELD_SEP not in t
+        )
+        analyzer = ANALYZERS[cfg["analyzer"]]
+        w = int(window)
+
+        hits = self.search_with_keys(query, k=k, prune=prune)
+        src = docs.select(
+            F.col(id_col).alias("key"), F.col(text_col).alias("__text")
+        )
+        joined = hits.join(src, "key")
+
+        @F.pandas_udf("string")
+        def snip(texts: pd.Series) -> pd.Series:
+            out = []
+            for text in texts:
+                toks = (text or "").split()
+                ana = analyzer(pd.Series(toks))
+                is_m = [bool(a) and a[0] in terms for a in ana]
+                first = next((i for i, m in enumerate(is_m) if m), None)
+                if first is None:
+                    out.append(" ".join(toks[: 2 * w + 1]))
+                    continue
+                lo, hi = max(0, first - w), first + w + 1
+                out.append(
+                    " ".join(
+                        f"{pre}{toks[i]}{post}" if is_m[i] else toks[i]
+                        for i in range(lo, min(hi, len(toks)))
+                    )
+                )
+            return pd.Series(out, dtype="object")
+
+        return (
+            joined.withColumn("snippet", snip(F.col("__text")))
+            .select(F.col("key").alias("doc_id"), "score", "snippet")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     def mlt_terms(self, text: str, max_query_terms: int = 10) -> list[str]:
         """MoreLikeThis term extraction (queries/.../mlt/MoreLikeThis
         .java:140): analyze the text, rank its terms by tf * idf with

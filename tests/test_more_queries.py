@@ -175,3 +175,33 @@ def test_explain_recomposes_search_scores(spark, docs_index):
     both = s.search(BooleanAnd(("table", "scan")), k=1).collect()
     ex = s.explain(nq, both[0].doc_id)
     assert ex["match"] is False and ex["score"] == 0.0
+
+
+def test_highlight_snippets(spark, docs_index):
+    """Highlighter subset: the snippet is the ±window display-token
+    passage around the FIRST match; every matching token inside is
+    wrapped; passage clamps at doc start; hit set == search top-k."""
+    from lucene_solr_spark.search.query import BooleanOr, TermQuery
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, docs_index[0])
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = s.highlight(TermQuery("table"), docs, k=10, window=2).collect()
+    top = s.search_with_keys(TermQuery("table"), k=10).collect()
+    assert [r.doc_id for r in out] == [r.key for r in top]
+    text_by_id = {r.doc_id: r.text for r in docs.collect()}
+    for r in out:
+        assert "<em>table</em>" in r.snippet
+        plain = r.snippet.replace("<em>", "").replace("</em>", "")
+        toks = plain.split()
+        assert len(toks) <= 5  # 2*window + 1
+        src = text_by_id[r.doc_id].split()
+        first = next(
+            i for i, t in enumerate(src) if t.lower() == "table"
+        )
+        lo = max(0, first - 2)
+        assert toks == src[lo : first + 3]
+    # multi-term: every query-term occurrence inside the window wraps
+    out2 = s.highlight(BooleanOr(("table", "scan")), docs, k=5).collect()
+    for r in out2:
+        assert "<em>" in r.snippet
