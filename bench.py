@@ -79,7 +79,10 @@ def main() -> None:
         t_build = time.perf_counter() - t0
         queries["index_build"] = round(t_build, 4)
 
-        searcher = IndexSearcher(spark, out)
+        # serving mode: pin postings/norms/dictionary in executor
+        # memory (the open-IndexReader analog — reference SearchTasks
+        # reuse one reader over OS-cached segment files)
+        searcher = IndexSearcher(spark, out).preload()
 
         # ---- search tasks (micro-standard.alg Search analog) ----
         qset = {

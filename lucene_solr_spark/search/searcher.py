@@ -1411,6 +1411,24 @@ class IndexSearcher:
         s._rebuild_caches()
         return s
 
+    def preload(self) -> "IndexSearcher":
+        """Serving mode: pin the postings / norms / term-dictionary
+        frames in executor memory (MEMORY_AND_DISK) and materialize
+        them once. The reference's analog is an open IndexReader over
+        mmap'd, OS-cached segment files (every SearchTask reuses it);
+        without this each query re-runs the parquet scan tasks. At
+        cluster scale the pinned frames are partitioned across
+        executors like any cached table — preload only what serves.
+        Returns self for chaining."""
+        self._postings = self._postings.persist()
+        self._norms = self._norms.persist()
+        self._term_stats = self._term_stats.persist()
+        # one action materializes all three lineages
+        self._postings.count()
+        self._norms.count()
+        self._term_stats.count()
+        return self
+
     def _rebuild_caches(self) -> None:
         """Per-field norm caches from per-field avgdl
         (BM25Similarity.java:84-91,206-211)."""
