@@ -1220,6 +1220,15 @@ def _op_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(_docs(spark, sf))
 
 
+def _op_dedup_clusters(spark, sf):
+    """Near-dup clusters: connected components over the verified
+    minhash-LSH pair graph (min-label propagation); cluster_id = min
+    doc_id = the canonical keep-doc of a dedup pass."""
+    from lucene_solr_spark.ops.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf))
+
+
 def _op_simhash(spark, sf):
     from lucene_solr_spark.ops.dedup import simhash_docs
 
@@ -1493,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edismax_topk": _q_edismax,
         "rerank_topk": _q_rerank,
         "highlight_term_topk": _q_highlight,
+        "dedup_clusters": _op_dedup_clusters,
         # --- engine path changed this round (tree pruning, search_after) ---
         "bm25_nested_bool_topk": _q_nested_bool,
         "bm25_boosted_or_topk": _q_boosted_or,
@@ -1743,6 +1753,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_stats": _ops_oracles.exact_dedup_sql(),
         "dedup_ngram_jaccard": _ops_oracles.ngram_jaccard_sql(),
         "dedup_minhash_lsh": _ops_oracles.minhash_lsh_sql(),
+        "dedup_clusters": _ops_oracles.dedup_clusters_sql(),
         "dedup_simhash_docs": _ops_oracles.simhash_docs_sql(),
         "dedup_simhash_pairs": _ops_oracles.simhash_pairs_sql(),
         "dedup_embedding_topk_pairs": _ops_oracles.embedding_topk_pairs_sql(),

@@ -415,3 +415,75 @@ def embedding_topk_pairs_lsh(emb: DataFrame, k: int = 20) -> DataFrame:
         .select("id_a", "id_b", "cos")
     )
     return pairs.orderBy(F.desc("cos"), "id_a", "id_b").limit(k)
+
+
+def dedup_clusters(
+    docs: DataFrame, n: int = 3, tau: float = 0.5, max_iter: int = 20
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph; cluster_id = min doc_id of the component —
+    the canonical "keep" doc of a training-data dedup pass (the step
+    after pair generation: pairs alone over-delete when A~B and B~C
+    but a pipeline drops both B and C's partners independently).
+
+    Distributed CC by iterative min-label propagation:
+    label(v) <- min(label(v), min over neighbors' labels), iterated to
+    fixpoint. Each round is ONE shuffle join + ONE groupBy on doc_id;
+    rounds needed = component diameter (near-dup clusters are tiny
+    dense cliques, so 2-3 rounds in practice); `max_iter` bounds
+    pathological chains. No driver-side graph state — only the
+    converged-yet? count crosses to the driver each round.
+
+    Returns (doc_id, cluster_id) for every doc in >=1 verified pair."""
+    pairs = minhash_lsh_pairs(docs, n, tau).select("id_a", "id_b")
+    sym = (
+        pairs.union(
+            pairs.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(int(max_iter)):
+        nmin = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("cluster_id").alias("nlabel"),
+                ),
+                "id_b",
+            )
+            .groupBy("id_a")
+            .agg(F.min("nlabel").alias("nmin"))
+            .select(F.col("id_a").alias("doc_id"), "nmin")
+        )
+        new = (
+            labels.join(nmin, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nmin"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new.select("doc_id", F.col("cluster_id").alias("nc"))
+            .join(labels, "doc_id")
+            .where(F.col("nc") != F.col("cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.orderBy("doc_id")

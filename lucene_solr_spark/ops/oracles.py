@@ -375,3 +375,24 @@ def multimodal_len_sql() -> str:
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        length(text)::BIGINT AS n_chars
 FROM documents ORDER BY doc_id"""
+
+
+def dedup_clusters_sql() -> str:
+    """Connected components over the minhash-LSH pair graph: recursive
+    reachability, cluster_id = min reachable doc_id (incl. self)."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_sql()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id::BIGINT AS cluster_id FROM lab ORDER BY doc_id"""

@@ -269,3 +269,29 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_dedup_clusters_transitive(spark):
+    """Connected components over the LSH pair graph: a chain A~B~C
+    (A and C NOT directly similar) must land in ONE cluster labeled
+    min(doc_id); isolated docs appear in no cluster."""
+    from lucene_solr_spark.ops.dedup import dedup_clusters, minhash_lsh_pairs
+
+    base = [f"w{i}" for i in range(40)]
+    a = " ".join(base)                                     # 38 shingles
+    b = " ".join(base[:34] + [f"x{i}" for i in range(6)])  # j(A,B)~0.73
+    c = " ".join(
+        [f"z{i}" for i in range(12)] + base[12:34] + [f"x{i}" for i in range(6)]
+    )  # j(B,C)~0.52, j(A,C)~0.36 < tau
+    rows = [
+        (10, a), (11, b), (12, c),
+        (20, "unrelated words entirely different content here now"),
+        (30, a),  # exact dup of A
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (10, 11) in pairs and (11, 12) in pairs
+    assert (10, 12) not in pairs  # the chain link is genuinely indirect
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(docs).collect()}
+    assert out[10] == out[11] == out[12] == out[30] == 10
+    assert 20 not in out

@@ -119,7 +119,9 @@ def worker_query(cpus: int, ix_dir: str, out_file: str) -> None:
     spark = _make_spark(cpus)
     from lucene_solr_spark.search.searcher import IndexSearcher
 
-    s = IndexSearcher(spark, ix_dir)
+    # serving mode: pinned index frames (open-IndexReader analog) —
+    # the reference's SearchTasks reuse one reader over cached files
+    s = IndexSearcher(spark, ix_dir).preload()
     base = query_set()
     qs = {
         f"q{d:02d}_{i:02d}": q
