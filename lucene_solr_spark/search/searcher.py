@@ -1023,6 +1023,34 @@ def _tree_terms(node: dict) -> list[str]:
     raise ValueError(f"unknown tree node kind {k}")
 
 
+def _tree_has_phrase(node: dict) -> bool:
+    k = node["kind"]
+    if k == "phrase":
+        return True
+    if k == "constwrap":
+        return _tree_has_phrase(node["query"])
+    if k == "dismax":
+        return any(_tree_has_phrase(s) for s in node["clauses"])
+    if k == "bool":
+        return any(_tree_has_phrase(s) for _, s in node["clauses"])
+    return False
+
+
+def _spec_needs_positions(spec: dict) -> bool:
+    """Only phrase-bearing queries touch the positions stream — every
+    other query must NOT ship `pos_enc` through the shard exchange
+    (positions are typically the largest component of an index; the
+    reference reads .pos only from PostingsEnum(FLAG_POSITIONS),
+    Lucene50PostingsReader.java:189-204). _decode_shard handles the
+    column's absence, so dropping it prunes the parquet ReadSchema."""
+    k = spec["kind"]
+    if k in ("phrase", "multi_phrase"):
+        return True
+    if k == "tree":
+        return _tree_has_phrase(spec["tree"])
+    return False
+
+
 def _tree_has_field_exists(node: dict) -> bool:
     k = node["kind"]
     if k == "field_exists":
@@ -1834,9 +1862,10 @@ class IndexSearcher:
         all_shards = spec["kind"] == "tree" and _tree_has_field_exists(
             spec["tree"]
         )
-        matched, norms_side = self._cogroup_inputs(
-            self._matched(terms), all_shards
-        )
+        m = self._matched(terms)
+        if not _spec_needs_positions(spec):
+            m = m.drop("pos_enc")  # prune the heaviest column pre-shuffle
+        matched, norms_side = self._cogroup_inputs(m, all_shards)
 
         caches = dict(self._caches)
         default_field = self._default_field
@@ -2003,7 +2032,10 @@ class IndexSearcher:
 
         specs = {qid: self._spec(rewrite(q)) for qid, q in queries.items()}
         all_terms = sorted({t for s in specs.values() for t in s["terms"]})
-        matched, norms_side = self._cogroup_inputs(self._matched(all_terms))
+        m = self._matched(all_terms)
+        if not any(_spec_needs_positions(s) for s in specs.values()):
+            m = m.drop("pos_enc")  # prune the heaviest column pre-shuffle
+        matched, norms_side = self._cogroup_inputs(m)
 
         caches = dict(self._caches)
         default_field = self._default_field
