@@ -83,6 +83,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FIELDED_SEARCHERS: dict[str, IndexSearcher] = {}
+_SIMPLE_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _simple_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index analyzed with the SimpleAnalyzer chain (letter runs +
+    lowercase, NO stopwords — core/SimpleAnalyzer.java): 'the' is a
+    real indexed term here, unreachable under the standard chain."""
+    key = f"{sf_dir}:simple:{_engine_fingerprint()}"
+    if key in _SIMPLE_SEARCHERS:
+        return _SIMPLE_SEARCHERS[key]
+    digest = hashlib.sha256(key.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), "lss_index_cache", digest)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_index(
+            spark, src, out,
+            IndexConfig(n_shards=4, segs_per_shard=2, analyzer="simple",
+                        id_col="doc_id", text_col="text",
+                        sharding="range_int"),
+        )
+    s = IndexSearcher(spark, out)
+    _SIMPLE_SEARCHERS[key] = s
+    return s
 
 
 def _fielded_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
@@ -187,6 +210,34 @@ sc AS (
 def _term_sql(term: str, k: int) -> str:
     return (
         f"WITH {_BM25_CTES}, {_sc_cte((term,))} "
+        f"SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
+        f"ORDER BY s DESC, doc_id LIMIT {k}"
+    )
+
+
+# SimpleAnalyzer variant of the BM25 CTEs: tokens = letter runs of the
+# lowercased text, NO stop filter — doc_len/avgdl/df all count every
+# token, so the statistics differ from the standard chain's.
+_BM25_CTES_SIMPLE = _BM25_CTES.replace(
+    """toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok2 AS (
+  SELECT doc_id, term FROM toks
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
+),""".replace("{_STOP}", _STOP),
+    """toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM toks),""",
+)
+assert "regexp_extract_all" in _BM25_CTES_SIMPLE, "CTE rewrite failed"
+
+
+def _simple_term_sql(term: str, k: int) -> str:
+    return (
+        f"WITH {_BM25_CTES_SIMPLE}, {_sc_cte((term,))} "
         f"SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
         f"ORDER BY s DESC, doc_id LIMIT {k}"
     )
@@ -513,6 +564,18 @@ def _q_sloppy_phrase(spark, sf):
     searcher._eval_phrase docstring for the documented deviation from
     SloppyPhraseScorer's slop-factor weighting)."""
     return _hits(spark, sf, PhraseQuery(("table", "scan"), slop=2), K)
+
+
+def _q_simple_analyzer(spark, sf):
+    """SimpleAnalyzer chain end-to-end: BM25 top-K for 'the' — a
+    stopword under the standard chain (returns [] there), a real term
+    with its own df / doc_len / avgdl statistics under SimpleAnalyzer
+    (letter runs + lowercase, no stop filter)."""
+    s = _simple_searcher_for(spark, sf)
+    return s.search(TermQuery("the"), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
 
 
 def _q_edismax(spark, sf):
@@ -1503,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_topk": _q_rerank,
         "highlight_term_topk": _q_highlight,
         "dedup_clusters": _op_dedup_clusters,
+        "simple_analyzer_term_topk": _q_simple_analyzer,
         # --- engine path changed this round (tree pruning, search_after) ---
         "bm25_nested_bool_topk": _q_nested_bool,
         "bm25_boosted_or_topk": _q_boosted_or,
@@ -1644,6 +1708,7 @@ def oracle_sql() -> dict[str, str]:
         "expand_collapsed_hits": _expand_collapsed_sql(),
         "edismax_topk": _edismax_sql(K),
         "highlight_term_topk": _highlight_sql(Q_TERM, K),
+        "simple_analyzer_term_topk": _simple_term_sql("the", K),
         "rerank_topk": _rerank_sql(
             ("table", "vector", "customer"), "scan", 100, 2.0, K
         ),
