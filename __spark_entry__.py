@@ -560,9 +560,10 @@ def _q_parser(spark, sf):
 
 
 def _q_sloppy_phrase(spark, sf):
-    """Sloppy phrase "table scan"~2: ordered within-slop windows (see
-    searcher._eval_phrase docstring for the documented deviation from
-    SloppyPhraseScorer's slop-factor weighting)."""
+    """Sloppy phrase "table scan"~2: UNORDERED within-slop minimal
+    windows over position-adjusted streams ("scan ... table" matches
+    too — SloppyPhraseScorer.java:98-124 semantics), each weighted by
+    the slop factor 1/(1+matchLength)."""
     return _hits(spark, sf, PhraseQuery(("table", "scan"), slop=2), K)
 
 
@@ -811,9 +812,14 @@ LIMIT {k}"""
 
 
 def _sloppy_phrase_sql(t0: str, t1: str, slop: int, k: int) -> str:
-    """Ordered within-slop windows, b.pos in [a.pos+1, a.pos+1+slop];
-    freq = f64 sum of slop factors 1/(1+matchLength) cast to f32
-    (SloppyPhraseScorer.sloppyFreq)."""
+    """UNORDERED within-slop minimal windows over the position-adjusted
+    streams (adjusted_b = pos - 1), exactly searcher._sloppy_freq: each
+    event of either stream closes the smallest window ending at it
+    (start = the other stream's latest position: strictly-before for an
+    a-event — at equal positions the smaller query offset sorts first —
+    at-or-before for a b-event), windows grouped by start keep the
+    smallest end, freq = f32(f64 sum of 1/(1+(e-s))) over windows with
+    e - s <= slop (SloppyPhraseScorer sloppyFreq / computeSlopFactor)."""
     return f"""
 WITH {_BM25_CTES},
 rawp AS (
@@ -825,14 +831,28 @@ tokp AS (
   SELECT doc_id, term, pos FROM rawp
   WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
 ),
+apos AS (SELECT doc_id, pos FROM tokp WHERE term = '{t0}'),
+bpos AS (SELECT doc_id, pos - 1 AS pos FROM tokp WHERE term = '{t1}'),
+cand AS (
+  SELECT a.doc_id, a.pos AS e,
+         (SELECT max(b.pos) FROM bpos b
+          WHERE b.doc_id = a.doc_id AND b.pos < a.pos) AS s
+  FROM apos a
+  UNION ALL
+  SELECT b.doc_id, b.pos AS e,
+         (SELECT max(a.pos) FROM apos a
+          WHERE a.doc_id = b.doc_id AND a.pos <= b.pos) AS s
+  FROM bpos b
+),
+win AS (
+  SELECT doc_id, s, min(e) AS e FROM cand
+  WHERE s IS NOT NULL GROUP BY doc_id, s
+),
 ph AS (
-  SELECT a.doc_id,
-         CAST(SUM(CAST(1.0 AS DOUBLE)
-                  / (1 + (b.pos - a.pos - 1))) AS REAL) AS freq
-  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id
-    AND b.pos BETWEEN a.pos + 1 AND a.pos + {1 + slop}
-  WHERE a.term = '{t0}' AND b.term = '{t1}'
-  GROUP BY a.doc_id
+  SELECT doc_id,
+         CAST(SUM(CAST(1.0 AS DOUBLE) / (1 + (e - s))) AS REAL) AS freq
+  FROM win WHERE e - s <= {slop}
+  GROUP BY doc_id
 ),
 idfs AS (
   SELECT
@@ -1293,9 +1313,19 @@ def _op_dedup_clusters(spark, sf):
 
 
 def _op_simhash(spark, sf):
+    """64-bit SimHash fingerprints as two 32-bit words (the web-scale
+    width; 32-bit birthday-collides far below 10^9 docs)."""
     from lucene_solr_spark.ops.dedup import simhash_docs
 
     return simhash_docs(_docs(spark, sf))
+
+
+def _op_simhash32(spark, sf):
+    """Legacy 32-bit SimHash (kept alongside the 64-bit default for
+    width comparison)."""
+    from lucene_solr_spark.ops.dedup import simhash_docs32
+
+    return simhash_docs32(_docs(spark, sf))
 
 
 def _op_simhash_pairs(spark, sf):
@@ -1322,10 +1352,21 @@ def _op_ann_brute(spark, sf):
     return cosine_topk(_emb(spark, sf), 0, 10)
 
 
+def _ivf_index_path(sf: str) -> str:
+    """Per-sf materialized IVF cell-table location (built once,
+    partition-pruned reads afterwards). Content-addressed on the
+    quantizer code so a kernel change rebuilds the cells."""
+    root = os.path.dirname(os.path.abspath(lucene_solr_spark.__file__))
+    with open(os.path.join(root, "ops/similarity.py"), "rb") as fh:
+        code = hashlib.sha256(fh.read()).hexdigest()[:8]
+    tag = sf.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"lss_ivf_{tag}_{code}")
+
+
 def _op_ann_ivf(spark, sf):
     from lucene_solr_spark.ops.similarity import ivf_topk
 
-    return ivf_topk(_emb(spark, sf), 0, 10)
+    return ivf_topk(_emb(spark, sf), 0, 10, index_path=_ivf_index_path(sf))
 
 
 def _op_knn_vote(spark, sf):
@@ -1546,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh_pairs": _op_embedding_lsh_pairs,
         # --- training-data pipeline ops (r01-green, crowded out of r02) ---
         "dedup_simhash_docs": _op_simhash,
+        "dedup_simhash_docs32": _op_simhash32,
         "dedup_simhash_pairs": _op_simhash_pairs,
         "dedup_embedding_topk_pairs": _op_embedding_pairs,
         "ann_cosine_topk": _op_ann_brute,
@@ -1820,6 +1862,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _ops_oracles.minhash_lsh_sql(),
         "dedup_clusters": _ops_oracles.dedup_clusters_sql(),
         "dedup_simhash_docs": _ops_oracles.simhash_docs_sql(),
+        "dedup_simhash_docs32": _ops_oracles.simhash_docs32_sql(),
         "dedup_simhash_pairs": _ops_oracles.simhash_pairs_sql(),
         "dedup_embedding_topk_pairs": _ops_oracles.embedding_topk_pairs_sql(),
         "dedup_embedding_lsh_pairs": _ops_oracles.embedding_topk_pairs_lsh_sql(),

@@ -11,8 +11,9 @@ expressions; no Python UDFs):
 - MinHash + LSH           — the 100 TB scale path: O(docs) signature,
                             band-bucket join produces candidates, exact
                             Jaccard verifies them
-- SimHash                 — 32-bit tf-weighted fingerprints + Hamming
-                            pairs via bit_count(xor)
+- SimHash                 — 64-bit tf-weighted fingerprints (two
+                            32-bit words) + Hamming pairs via
+                            bit_count(xor) on banded candidates
 - embedding cosine        — near-dup by vector similarity
 
 Scale notes (1000-executor / 100 TB design point):
@@ -41,6 +42,7 @@ from lucene_solr_spark.ops.hashing import (
     N_BANDS,
     ROWS_PER_BAND,
     h32,
+    h32b,
     minhash_col,
 )
 
@@ -210,7 +212,6 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFram
         .distinct()
     )
     # exact verification restricted to candidates (reuses persisted ds)
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = ds.select(F.col("doc_id").alias("id_a"), F.col("s"))
     sb = ds.select(F.col("doc_id").alias("id_b"), F.col("s"))
     inter = (
@@ -218,6 +219,21 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFram
         .join(sb, ["id_b", "s"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # Shingle-set sizes are ONE ROW PER DOCUMENT — never broadcast the
+    # unrestricted frame (billions of rows at the 100 TB design point).
+    # Left-semi-join it down to the docs that appear in a candidate
+    # pair FIRST (candidates are tiny by LSH design: only near-dup
+    # clusters collide); only the restricted frame is broadcast.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sizes = (
+        ds.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
     )
     za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
@@ -241,62 +257,142 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFram
 # 4. SimHash
 # ----------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 64-bit fingerprints, carried as two 32-bit words (hi, lo): a web-scale
+# corpus birthday-collides a 32-bit fingerprint far below 10^9 docs, and
+# a single signed BIGINT cannot portably carry bit 63 (DuckDB's << range-
+# checks). The legacy 32-bit variant stays for comparison (simhash_docs32).
+SIMHASH_BITS = 64
+SIMHASH_BITS32 = 32
 
 
-def simhash_docs(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit tf-weighted SimHash fingerprint.
+def simhash_band_specs(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Balanced (offset, width) bit-bands partitioning a `bits`-wide
+    fingerprint — the pigeonhole split: any pair within Hamming
+    distance (n_bands - 1) agrees exactly on >= 1 band."""
+    widths = [bits // n_bands] * n_bands
+    widths[-1] += bits % n_bands
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    return list(zip(offsets, widths))
 
-    Per token: 32 bit-contributions of +tf / -tf; fingerprint bit j set
-    iff the weighted sum is positive.  All 32 sums are columns of ONE
-    hash-aggregate (map-side combine; no extra shuffles)."""
-    tf = (
+
+def _band_col_64(hi: Column, lo: Column, off: int, width: int) -> Column:
+    """Band value of the conceptual 64-bit string (bit j<32 from lo,
+    else hi) — handles bands spanning the word boundary."""
+    if off + width <= 32:
+        return (
+            F.shiftright(lo, off).bitwiseAND(F.lit((1 << width) - 1))
+        ).cast("long")
+    if off >= 32:
+        return (
+            F.shiftright(hi, off - 32).bitwiseAND(F.lit((1 << width) - 1))
+        ).cast("long")
+    lo_w = 32 - off
+    hi_w = width - lo_w
+    lo_part = F.shiftright(lo, off).bitwiseAND(F.lit((1 << lo_w) - 1))
+    hi_part = hi.bitwiseAND(F.lit((1 << hi_w) - 1)) * F.lit(1 << lo_w)
+    return (lo_part + hi_part).cast("long")
+
+
+def _simhash_tf(docs: DataFrame) -> DataFrame:
+    return (
         docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("t"))
         .where(F.col("t") != "")
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", h32(F.col("t")))
     )
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash_hi, simhash_lo): 64-bit tf-weighted SimHash as
+    two 32-bit words (lo = bits 0-31 from md5 chars 1-8, hi = bits
+    32-63 from md5 chars 9-16).
+
+    Per token: 64 bit-contributions of +tf / -tf; fingerprint bit j set
+    iff the weighted sum is positive.  All 64 sums are columns of ONE
+    hash-aggregate (map-side combine; no extra shuffles)."""
+    tf = (
+        _simhash_tf(docs)
+        .withColumn("hlo", h32(F.col("t")))
+        .withColumn("hhi", h32b(F.col("t")))
+    )
+    sums_lo = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("hlo"), j).bitwiseAND(F.lit(1)) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"l{j}")
+        for j in range(32)
+    ]
+    sums_hi = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("hhi"), j).bitwiseAND(F.lit(1)) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"h{j}")
+        for j in range(32)
+    ]
+    sums = tf.groupBy("doc_id").agg(*(sums_lo + sums_hi))
+
+    def word(prefix: str) -> Column:
+        w = None
+        for j in range(32):
+            term = (
+                F.when(F.col(f"{prefix}{j}") > 0, F.lit(1 << j))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            w = term if w is None else w + term
+        return w
+
+    return sums.select(
+        "doc_id", word("h").alias("simhash_hi"), word("l").alias("simhash_lo")
+    ).orderBy("doc_id")
+
+
+def simhash_docs32(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): the legacy 32-bit fingerprint (kept for
+    comparison with the 64-bit default — same construction, one word)."""
+    tf = _simhash_tf(docs).withColumn("h", h32(F.col("t")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
             .otherwise(-F.col("tf"))
         ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
+        for j in range(SIMHASH_BITS32)
     ]
     sums = tf.groupBy("doc_id").agg(*bit_sums)
     sh = None
-    for j in range(SIMHASH_BITS):
+    for j in range(SIMHASH_BITS32):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
         sh = term if sh is None else sh + term
     return sums.select("doc_id", sh.alias("simhash")).orderBy("doc_id")
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming —
-    BANDED, not all-pairs.
+    """Near-dup pairs by 64-bit SimHash Hamming distance <= max_hamming
+    — BANDED, not all-pairs.
 
-    Pigeonhole: split the 32-bit fingerprint into (max_hamming + 1)
-    bit-bands; any pair within Hamming distance max_hamming agrees
-    EXACTLY on at least one band. Candidates come from an equi-join on
-    (band_id, band_bits) — one shuffle keyed by band values, so only
-    genuine near-dup clusters collide — then the exact 32-bit Hamming
-    verify runs on candidates only. Output identical to the all-pairs
-    plan (same oracle)."""
+    Pigeonhole: split the 64-bit fingerprint into (max_hamming + 1)
+    balanced bit-bands (~21 bits each at the default — ~2M bucket keys
+    per band, so intra-bucket joins stay tiny even at web scale; the
+    round-3 32-bit variant's ~11-bit bands put corpus/2048 docs per
+    bucket). Candidates come from an equi-join on (band_id, band_bits)
+    — one shuffle keyed by band values, so only genuine near-dup
+    clusters collide — then the exact 64-bit Hamming verify
+    (bit_count over both words) runs on candidates only. Output
+    identical to the all-pairs plan (same oracle)."""
     sh = simhash_docs(docs)
-    n_bands = max_hamming + 1
-    widths = [SIMHASH_BITS // n_bands] * n_bands
-    widths[-1] += SIMHASH_BITS % n_bands
-    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    specs = simhash_band_specs(SIMHASH_BITS, max_hamming + 1)
     band_cols = [
-        F.shiftright(F.col("simhash"), offsets[i])
-        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-        .cast("long")
-        for i in range(n_bands)
+        _band_col_64(F.col("simhash_hi"), F.col("simhash_lo"), off, w)
+        for off, w in specs
     ]
     bands = sh.select(
         "doc_id",
-        F.col("simhash"),
+        "simhash_hi",
+        "simhash_lo",
         F.posexplode(F.array(*band_cols)).alias("band", "bits"),
     )
     x = bands.alias("x")
@@ -311,14 +407,18 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("id_a"),
             F.col("y.doc_id").alias("id_b"),
-            F.col("x.simhash").alias("ha"),
-            F.col("y.simhash").alias("hb"),
+            F.col("x.simhash_hi").alias("ha_hi"),
+            F.col("x.simhash_lo").alias("ha_lo"),
+            F.col("y.simhash_hi").alias("hb_hi"),
+            F.col("y.simhash_lo").alias("hb_lo"),
         )
         .distinct()
     )
     return (
         cand.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            "hamming",
+            F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi")))
+            + F.bit_count(F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))),
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("long"))
@@ -374,40 +474,64 @@ def embedding_topk_pairs(emb: DataFrame, k: int = 20) -> DataFrame:
     return pairs.orderBy(F.desc("cos"), "id_a", "id_b").limit(k)
 
 
-def embedding_topk_pairs_lsh(emb: DataFrame, k: int = 20) -> DataFrame:
+def embedding_topk_pairs_lsh(
+    emb: DataFrame, k: int = 20, probe_hamming: int = 2
+) -> DataFrame:
     """Bucket-local near-dup pair ranking — the 100 TB variant of
-    embedding_topk_pairs: the quadratic cosine kernel runs INSIDE LSH
-    buckets only (sign-bit hyperplane codes, deterministic planes
-    shared with similarity.ivf_topk), so the join is an equi-join on
-    `bucket` instead of a cross join. At scale `bucket` is the table
-    partition key and each bucket's pairs compute co-located.
+    embedding_topk_pairs: the quadratic cosine kernel runs only on
+    pairs whose 16-plane sign-bit hyperplane codes differ in at most
+    `probe_hamming` bits (MULTI-PROBE LSH — each vector is emitted
+    under its own code plus every 1-bit perturbation, so a pair within
+    code-Hamming 2 meets on an equi-join key; Lv et al., "Multi-Probe
+    LSH", VLDB 2007). 16 planes give 65,536 buckets — at web scale the
+    code is the table partition key and each bucket holds corpus/65536
+    vectors, vs. the 16 buckets (corpus/16 quadratic joins) of the
+    round-3 4-plane variant.
 
-    Approximate by design (cross-bucket pairs are unseen) but fully
-    deterministic — the DuckDB oracle reproduces it exactly."""
-    from lucene_solr_spark.ops.similarity import _bucket_col, _hyperplanes
+    Approximate by design (pairs past the probe radius are unseen) but
+    fully deterministic — the DuckDB oracle reproduces the exact pair
+    set via bit_count(xor(code_a, code_b)) <= probe_hamming."""
+    from lucene_solr_spark.ops.similarity import (
+        N_PLANES,
+        _bucket_col,
+        _hyperplanes,
+    )
 
+    assert probe_hamming <= 2, "both-side 1-bit perturbation covers <= 2"
     dim = len(emb.select("embedding").first()[0])
     planes = _hyperplanes(dim)
     v = emb.select(
         "vec_id",
         F.col("embedding").alias("e"),
         _norm(F.col("embedding")).alias("nrm"),
-        _bucket_col(F.col("embedding"), planes).alias("bucket"),
+        _bucket_col(F.col("embedding"), planes).alias("code"),
     )
-    a = v.select(
+    # probe codes: own code + all 1-bit perturbations; two perturbed
+    # sides meet iff code-Hamming <= 2 (a xor b = e1 xor e2, both
+    # single-bit), so the equi-join emits EXACTLY the radius-2 pairs
+    flips = [F.col("code")] + [
+        F.col("code").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)
+    ]
+    if probe_hamming < 2:
+        flips = flips[: 1 + (N_PLANES if probe_hamming == 1 else 0)]
+    probed = v.select(
+        "vec_id", "e", "nrm", "code", F.explode(F.array(*flips)).alias("probe")
+    )
+    a = probed.select(
         F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
-        F.col("nrm").alias("na"), F.col("bucket"),
+        F.col("nrm").alias("na"), F.col("code").alias("code_a"),
+        F.col("probe"),
     )
-    b = v.select(
+    b = (v if probe_hamming < 2 else probed).select(
         F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"),
+        F.col("nrm").alias("nb"),
+        (F.col("code") if probe_hamming < 2 else F.col("probe")).alias("probe"),
     )
     pairs = (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
+        a.join(b, ["probe"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ea", "eb", "na", "nb")
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "cos",
             F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6),
@@ -434,8 +558,26 @@ def dedup_clusters(
     pathological chains. No driver-side graph state — only the
     converged-yet? count crosses to the driver each round.
 
+    Raises RuntimeError if propagation has not converged within
+    max_iter rounds (a silent non-fixpoint would hand a training-data
+    pipeline WRONG clusters with no signal).
+
     Returns (doc_id, cluster_id) for every doc in >=1 verified pair."""
     pairs = minhash_lsh_pairs(docs, n, tau).select("id_a", "id_b")
+    return connected_components(pairs, max_iter)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Distributed connected components over an (id_a, id_b) edge list
+    by iterative min-label propagation; component label = min node id.
+
+    Each round is ONE shuffle join + ONE groupBy; rounds needed =
+    component diameter. Per-round `localCheckpoint` truncates the plan
+    lineage (an iterative join chain otherwise grows the logical plan
+    exponentially and overflows the optimizer past ~15 rounds — the
+    standard iterative-graph-algorithm discipline). Loud failure:
+    raises RuntimeError when labels still change after `max_iter`
+    rounds (never returns a silently non-converged labeling)."""
     sym = (
         pairs.union(
             pairs.select(
@@ -451,6 +593,7 @@ def dedup_clusters(
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
+    changed = 0
     for _ in range(int(max_iter)):
         nmin = (
             sym.join(
@@ -473,7 +616,7 @@ def dedup_clusters(
                     F.coalesce(F.col("nmin"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint()  # materialize + truncate lineage
         )
         changed = (
             new.select("doc_id", F.col("cluster_id").alias("nc"))
@@ -486,4 +629,11 @@ def dedup_clusters(
         if changed == 0:
             break
     sym.unpersist()
+    if changed:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds ({changed} labels still changing) — raise max_iter "
+            "(rounds needed = component diameter)"
+        )
     return labels.orderBy("doc_id")

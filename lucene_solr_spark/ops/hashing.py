@@ -47,9 +47,21 @@ def h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
 
 
+def h32b(col: Column) -> Column:
+    """Second independent 32-bit hash (md5 hex chars 9-16) — bits 32-63
+    of the portable 64-bit fingerprint (a single signed BIGINT cannot
+    carry bit 63 portably, so 64-bit values ride as two words)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 9, 8), 16, 10).cast("long")
+
+
 def h32_sql(expr: str) -> str:
     """DuckDB SQL for h32 over a string expression."""
     return f"CAST('0x'||substr(md5({expr}),1,8) AS BIGINT)"
+
+
+def h32b_sql(expr: str) -> str:
+    """DuckDB SQL for h32b over a string expression."""
+    return f"CAST('0x'||substr(md5({expr}),9,8) AS BIGINT)"
 
 
 def minhash_col(h: Column, i: int) -> Column:

@@ -8,7 +8,6 @@ same whitespace split on both sides."""
 from __future__ import annotations
 
 from lucene_solr_spark.analysis.analyzers import ENGLISH_STOP_WORDS
-from lucene_solr_spark.ops.dedup import SIMHASH_BITS
 from lucene_solr_spark.ops.hashing import (
     MERSENNE_P,
     minhash_perms_values_sql,
@@ -95,21 +94,61 @@ inter AS (
 {_JACCARD_SELECT}"""
 
 
-def _simhash_cte() -> str:
-    bit_sums = ",\n         ".join(
-        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN tf ELSE -tf END) AS b{j}"
-        for j in range(SIMHASH_BITS)
-    )
-    bit_terms = " + ".join(
-        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
-    )
-    return f"""
+_SIMHASH_TF_CTE = """
 tf AS (
   SELECT doc_id, term, count(*) AS tf
   FROM (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
         FROM documents)
   WHERE term <> '' GROUP BY 1, 2
+)"""
+
+
+def _simhash_cte() -> str:
+    """64-bit fingerprint as two 32-bit words: lo bits from md5 hex
+    chars 1-8, hi bits from chars 9-16 (dedup.simhash_docs)."""
+    sums_lo = ",\n         ".join(
+        f"sum(CASE WHEN (hlo // {1 << j}) % 2 = 1 THEN tf ELSE -tf END) AS l{j}"
+        for j in range(32)
+    )
+    sums_hi = ",\n         ".join(
+        f"sum(CASE WHEN (hhi // {1 << j}) % 2 = 1 THEN tf ELSE -tf END) AS h{j}"
+        for j in range(32)
+    )
+    lo_terms = " + ".join(
+        f"(CASE WHEN l{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    hi_terms = " + ".join(
+        f"(CASE WHEN h{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+{_SIMHASH_TF_CTE},
+hh AS (
+  SELECT doc_id, tf,
+         CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS hlo,
+         CAST('0x' || substr(md5(term), 9, 8) AS BIGINT) AS hhi
+  FROM tf
 ),
+bs AS (
+  SELECT doc_id, {sums_lo},
+         {sums_hi}
+  FROM hh GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, CAST({hi_terms} AS BIGINT) AS simhash_hi,
+         CAST({lo_terms} AS BIGINT) AS simhash_lo FROM bs
+)"""
+
+
+def _simhash32_cte() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN tf ELSE -tf END) AS b{j}"
+        for j in range(32)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+{_SIMHASH_TF_CTE},
 hh AS (
   SELECT doc_id, tf, CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS h FROM tf
 ),
@@ -124,16 +163,30 @@ sim AS (
 
 def simhash_docs_sql(limit: int | None = None) -> str:
     lim = f" LIMIT {limit}" if limit else ""
-    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sim ORDER BY doc_id{lim}"
+    return (
+        f"WITH {_simhash_cte()} SELECT doc_id, simhash_hi, simhash_lo "
+        f"FROM sim ORDER BY doc_id{lim}"
+    )
+
+
+def simhash_docs32_sql(limit: int | None = None) -> str:
+    lim = f" LIMIT {limit}" if limit else ""
+    return (
+        f"WITH {_simhash32_cte()} SELECT doc_id, simhash FROM sim "
+        f"ORDER BY doc_id{lim}"
+    )
 
 
 def simhash_pairs_sql(max_hamming: int = 2) -> str:
+    ham = (
+        "bit_count(xor(a.simhash_hi, b.simhash_hi)) + "
+        "bit_count(xor(a.simhash_lo, b.simhash_lo))"
+    )
     return f"""
 WITH {_simhash_cte()}
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({ham})::BIGINT AS hamming
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+WHERE {ham} <= {max_hamming}
 ORDER BY id_a, id_b"""
 
 
@@ -215,9 +268,12 @@ def _kmeans_cents_values(n_centroids: int) -> str:
 
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     path = os.path.join(sf, "embeddings.parquet")
+    from lucene_solr_spark.ops.similarity import KMEANS_MAX_SAMPLE
+
     rows = duckdb.connect().execute(
         f"SELECT embedding FROM read_parquet('{path}') "
-        f"WHERE vec_id % {KMEANS_SAMPLE_MOD} = 0 ORDER BY vec_id"
+        f"WHERE vec_id % {KMEANS_SAMPLE_MOD} = 0 ORDER BY vec_id "
+        f"LIMIT {KMEANS_MAX_SAMPLE}"
     ).fetchall()
     import numpy as np
 
@@ -265,19 +321,24 @@ FROM cand, q WHERE cand.vec_id <> {vec_id}
 ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 
-def embedding_topk_pairs_lsh_sql(k: int = 20) -> str:
-    """Bucket-local pair ranking (dedup.embedding_topk_pairs_lsh)."""
+def embedding_topk_pairs_lsh_sql(k: int = 20, probe_hamming: int = 2) -> str:
+    """Multi-probe LSH pair ranking (dedup.embedding_topk_pairs_lsh):
+    the Spark side reaches radius-`probe_hamming` pairs through an
+    equi-join on 1-bit-perturbed codes; the oracle states the same pair
+    set directly as a code-Hamming predicate."""
     dot = _dot_sql("a.embedding", "b.embedding")
     na = _norm_sql("a.embedding")
     nb = _norm_sql("b.embedding")
     return f"""
 WITH bk AS (
-  SELECT e.vec_id, e.embedding, {_bucket_sql("e.embedding")} AS bucket
+  SELECT e.vec_id, e.embedding, {_bucket_sql("e.embedding")} AS code
   FROM embeddings e
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({dot} / ({na} * {nb}), 6) AS cos
-FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM bk a JOIN bk b
+  ON bit_count(xor(a.code, b.code)) <= {probe_hamming}
+  AND a.vec_id < b.vec_id
 ORDER BY cos DESC, id_a, id_b LIMIT {k}"""
 
 

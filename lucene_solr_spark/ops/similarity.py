@@ -51,16 +51,16 @@ def cosine_topk(
     return out.orderBy(F.desc("cos"), "vec_id").limit(k)
 
 
-# ---- LSH bucketing (sign-bit hyperplanes; used by the bucket-local
+# ---- LSH bucketing (sign-bit hyperplanes; used by the multi-probe
 # pair kernel dedup.embedding_topk_pairs_lsh) ------------------------------
 
-N_PLANES = 4  # 16 buckets
+N_PLANES = 16  # 65,536 buckets; multi-probe (1-bit flips) recovers recall
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
+def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
     """Deterministic random hyperplanes (seeded, frozen)."""
     rng = np.random.RandomState(20240816)
-    return rng.standard_normal((N_PLANES, dim)).astype(np.float64)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
 def _bucket_col(e: Column, planes: np.ndarray) -> Column:
@@ -81,6 +81,7 @@ def _bucket_col(e: Column, planes: np.ndarray) -> Column:
 
 N_CENTROIDS = 16
 KMEANS_SAMPLE_MOD = 4  # deterministic 1/4 sample trains the quantizer
+KMEANS_MAX_SAMPLE = 65536  # hard cap on the driver-collected sample
 KMEANS_ITERS = 5
 
 
@@ -126,14 +127,15 @@ def _fold_dot(a, b) -> float:
 
 def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
     """Coarse quantizer: deterministic spherical k-means over a frozen
-    1/KMEANS_SAMPLE_MOD sample (vec_id % MOD == 0, vec_id asc). The
-    sample is bounded and collected to the driver — FAISS trains its
-    IVF quantizer the same way (train on a sample, quantize the rest);
-    at 100 TB swap the mod-sample for TABLESAMPLE feeding the same
-    seam. cid = dense 0..n-1."""
+    sample — vec_id % MOD == 0, vec_id asc, HARD-CAPPED at
+    KMEANS_MAX_SAMPLE rows (a distributed top-N, so the driver
+    collect is bounded regardless of corpus size — FAISS trains its
+    IVF quantizer the same way: on a fixed-size sample, then
+    quantizes the rest). cid = dense 0..n-1."""
     rows = (
         emb.where(F.col("vec_id") % KMEANS_SAMPLE_MOD == 0)
         .orderBy("vec_id")
+        .limit(KMEANS_MAX_SAMPLE)
         .select("embedding")
         .collect()
     )
@@ -164,22 +166,68 @@ def _assign_bucket_col(e: Column, cents) -> Column:
     ).cast("int")
 
 
+def build_ivf_index(
+    emb: DataFrame, path: str, n_centroids: int = N_CENTROIDS
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Materialize the IVF inverted file: train the coarse quantizer on
+    the bounded sample, assign EVERY vector to its cell ONCE, and write
+    the cell table PARTITIONED BY bucket (parquet directory per cell —
+    the .ivf posting-file analog; at 100 TB this is the Iceberg
+    partition key). Centroids persist in a `_ivf_centroids.json`
+    sidecar (underscore-prefixed: invisible to the parquet reader),
+    written LAST as the commit marker, so a later ivf_topk loads the
+    quantizer without re-collecting any sample and reads ONLY the
+    probed partitions (partition-pruned scan — no per-query full-table
+    re-assignment).
+
+    Returns (cells DataFrame read back from `path`, centroids)."""
+    import json
+    import os
+
+    spark = emb.sparkSession
+    meta_p = os.path.join(path, "_ivf_centroids.json")
+    if not os.path.exists(meta_p):
+        cents = _centroids(emb)
+        bucketed = emb.withColumn(
+            "bucket", _assign_bucket_col(F.col("embedding"), cents)
+        )
+        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        with open(meta_p, "w") as fh:
+            json.dump(cents, fh)
+    with open(meta_p) as fh:
+        cents = [
+            (int(cid), [float(x) for x in c]) for cid, c in json.load(fh)
+        ]
+    return spark.read.parquet(path), cents
+
+
 def ivf_topk(
-    emb: DataFrame, vec_id: int = 0, k: int = 10, n_probe: int = 4
+    emb: DataFrame,
+    vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 4,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest coarse
     centroid (the inverted-file cell), probe the n_probe cells nearest
     the query, exact cosine re-rank inside the probed cells.
 
-    At 100 TB the cell id is the table partition key, so a query scans
-    n_probe/N_CENTROIDS of the corpus. Fully deterministic: the DuckDB
+    With `index_path` the cell table is MATERIALIZED bucket-partitioned
+    parquet (built once via build_ivf_index, reused across queries):
+    the physical plan is a partition-pruned scan of the n_probe probed
+    cells — n_probe/N_CENTROIDS of the corpus — not a full-table
+    re-assignment. Without it (ad-hoc path) assignment is computed
+    inline over `emb`. Fully deterministic either way: the DuckDB
     oracle (ops/oracles.ann_ivf_sql) reproduces assignment, probe
     selection, and re-rank exactly; recall@10 vs cosine_topk is
     asserted in tests/test_ops.py."""
     import math
 
     q = _query_vec(emb, vec_id)
-    cents = _centroids(emb)
+    if index_path is not None:
+        cells, cents = build_ivf_index(emb, index_path)
+    else:
+        cells, cents = None, _centroids(emb)
     if not cents:
         return cosine_topk(emb, vec_id, k)
     scored = sorted(
@@ -188,10 +236,11 @@ def ivf_topk(
     )
     probe = [cid for _, cid in scored[:n_probe]]
 
-    bucketed = emb.withColumn(
-        "bucket", _assign_bucket_col(F.col("embedding"), cents)
-    )
-    cand = bucketed.where(F.col("bucket").isin(probe))
+    if cells is None:
+        cells = emb.withColumn(
+            "bucket", _assign_bucket_col(F.col("embedding"), cents)
+        )
+    cand = cells.where(F.col("bucket").isin(probe))
     qcol = F.array(*[F.lit(float(x)).cast("double") for x in q])
     qn = float(np.sqrt(np.sum(np.array(q, np.float64) ** 2)))
     out = (

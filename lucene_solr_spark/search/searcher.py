@@ -520,6 +520,41 @@ def _score_spec(
     raise ValueError(f"unknown query kind {kind}")
 
 
+def _sloppy_freq(pos_lists: list[list[int]], slop: int) -> float:
+    """Unordered sloppy-phrase frequency of ONE document: f64 sum of
+    slop factors 1/(1+matchLength) over minimal windows of the
+    adjusted (pos - queryOffset) position lists — one window per slot.
+
+    Single merged ascending sweep (ties -> smaller slot, the
+    reference's PhrasePositions pq offset tie-break,
+    SloppyPhraseScorer.java:98-124): once every slot has been seen,
+    each event closes the smallest window ending at it
+    (start = min over slots of the last position seen); windows
+    sharing a start keep only the first (smallest) one, so no emitted
+    window contains another. matchLength = window spread, counted when
+    <= slop (SimScorer.computeSlopFactor)."""
+    k = len(pos_lists)
+    events = sorted(
+        (int(p), i) for i, arr in enumerate(pos_lists) for p in arr
+    )
+    last: list = [None] * k
+    n_seen = 0
+    prev_s: float = float("-inf")
+    acc = 0.0
+    for pos, i in events:
+        if last[i] is None:
+            n_seen += 1
+        last[i] = pos
+        if n_seen == k:
+            s = min(last)
+            if s > prev_s:
+                prev_s = s
+                ml = pos - s
+                if ml <= slop:
+                    acc += 1.0 / (1.0 + ml)
+    return acc
+
+
 def _eval_phrase(
     seq: list[str],
     lt: "_LazyTerms",
@@ -537,19 +572,27 @@ def _eval_phrase(
     slop == 0: exact phrase (ExactPhraseScorer.java:27) — set-at-a-
     time: per term i the key doc*2^32 + (pos - i) must exist for all i.
 
-    slop > 0: ordered within-slop windows — tuples (p_0 < ... <
-    p_{n-1}), p_i from term i, with p_{n-1} - p_0 - (n-1) <= slop;
-    each DISTINCT (p_0, p_{n-1}) window contributes the reference's
-    slop factor 1/(1+matchLength), matchLength = p_{n-1}-p_0-(n-1)
-    (SloppyPhraseScorer.java sloppyFreq / SimScorer.computeSlopFactor,
+    slop > 0: UNORDERED within-slop matching over position-adjusted
+    streams, like the reference (SloppyPhraseScorer.java:98-124
+    advances PhrasePositions by pos - queryOffset, so "b a"~2 matches
+    "a b"): each query slot i contributes its adjusted position list
+    pos - i; a match is a window over one adjusted position per slot
+    with spread (max - min) = matchLength <= slop, weighted by the
+    slop factor 1/(1+matchLength) (SimScorer.computeSlopFactor,
     BM25Similarity.java:240-243), summed per doc in f64 then cast f32;
     the float freq feeds the same BM25 kernel (tf/(tf+c) is float math
-    in the reference too). Remaining documented deviation: the
-    reference's greedy matcher (SloppyPhraseScorer.java, 601 LoC)
-    allows transpositions and advances repeats phrase-order-greedily;
-    this engine scores the SpanNearQuery(ordered)-style distinct-
-    window set, which keeps the kernel vectorized and the oracle
-    SQL-expressible."""
+    in the reference too).
+
+    Window ENUMERATION is minimal-interval: one merged ascending sweep
+    (ties -> smaller query offset, the reference's pq tie-break)
+    emits, for each completed event, the smallest window ending there,
+    keeping the first window per start (_sloppy_freq). Hit SETS equal
+    the reference's greedy matcher exactly (both accept a doc iff its
+    globally minimal window fits the slop); per-doc freq can differ by
+    one window on crossed/repeated patterns where Lucene's pointer
+    state re-counts a passed position — the remaining (small,
+    documented) deviation; repeated query terms match per-slot
+    adjusted streams rather than requiring distinct doc tokens."""
     from lucene_solr_spark.index.codec import decode_position_lists
 
     E = (np.empty(0, np.int64), np.empty(0, np.float32))
@@ -582,63 +625,41 @@ def _eval_phrase(
             return E
         udocs, freqs = np.unique(phrase_keys // M, return_counts=True)
     else:
-        # sorted (doc*M + pos) per term, restricted to candidate docs
+        # sorted (doc*M + adjusted pos) per query SLOT, restricted to
+        # candidate docs; adjusted = pos - slot + len(seq) (the +len
+        # shift keeps adjusted positions positive so the doc*M packing
+        # never underflows into the previous doc's key range)
+        off = np.int64(len(seq))
         keysets = []
-        for t in seq:
+        for i, t in enumerate(seq):
             d, tf = lt.full(t)
             pos_abs = decode_position_lists(pos_streams[t], tf)
             doc_rep = np.repeat(d, tf)
             mask = np.isin(doc_rep, inter, assume_unique=False)
-            keysets.append(np.sort(doc_rep[mask] * M + pos_abs[mask]))
-        k0 = keysets[0]
-        cur_doc, cur_p0 = k0 // M, k0 % M
-        cur_plast = cur_p0
-        for i in range(1, len(seq)):
-            if len(cur_doc) == 0:
-                break
-            ks = keysets[i]
-            # occurrences of term i in (plast, p0 + i + slop] of the
-            # same doc (windowed range gather, fully vectorized)
-            lo = np.searchsorted(ks, cur_doc * M + cur_plast + 1)
-            hi = np.searchsorted(
-                ks, cur_doc * M + cur_p0 + np.int64(i + slop), side="right"
+            keysets.append(
+                np.sort(doc_rep[mask] * M + (pos_abs[mask] - np.int64(i) + off))
             )
-            cnt = np.maximum(hi - lo, 0)
-            total = int(cnt.sum())
-            if total == 0:
-                cur_doc = cur_doc[:0]
-                break
-            starts = np.repeat(lo, cnt)
-            offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-            new_keys = ks[starts + offs]
-            cur_doc = np.repeat(cur_doc, cnt)
-            cur_p0 = np.repeat(cur_p0, cnt)
-            cur_plast = new_keys % M
-            # Dedupe the (doc, p0, plast) state set: repeated mid-term
-            # occurrences would otherwise multiply tuples (slop^n state
-            # growth on pathological docs). Mid positions are not part
-            # of the state, so freq counts DISTINCT ordered
-            # (first, last) windows — exact for 2-term phrases, and the
-            # documented deviation for longer ones (see docstring).
-            if len(cur_doc) > 1:
-                k1 = cur_doc * M + cur_p0
-                order = np.lexsort((cur_plast, k1))
-                k1s, pls = k1[order], cur_plast[order]
-                keep = np.empty(len(k1s), bool)
-                keep[0] = True
-                keep[1:] = (k1s[1:] != k1s[:-1]) | (pls[1:] != pls[:-1])
-                sel = order[keep]
-                cur_doc, cur_p0, cur_plast = (
-                    cur_doc[sel], cur_p0[sel], cur_plast[sel]
-                )
-        if len(cur_doc) == 0:
+        udoc_list: list[int] = []
+        freq_list: list[float] = []
+        for doc in inter.tolist():
+            lists = []
+            for ks in keysets:
+                lo = int(np.searchsorted(ks, doc * M))
+                hi = int(np.searchsorted(ks, (doc + 1) * M))
+                if lo == hi:
+                    lists = None
+                    break
+                lists.append((ks[lo:hi] - doc * M).tolist())
+            if lists is None:
+                continue
+            freq = _sloppy_freq(lists, slop)
+            if freq > 0.0:
+                udoc_list.append(doc)
+                freq_list.append(freq)
+        if not udoc_list:
             return E
-        # freq = Σ windows 1/(1+matchLength) — computeSlopFactor
-        ml = (cur_plast - cur_p0 - np.int64(len(seq) - 1)).astype(np.float64)
-        w = 1.0 / (1.0 + ml)
-        order = np.argsort(cur_doc, kind="stable")
-        udocs, first = np.unique(cur_doc[order], return_index=True)
-        freqs = np.add.reduceat(w[order], first).astype(np.float32)
+        udocs = np.asarray(udoc_list, np.int64)
+        freqs = np.asarray(freq_list, np.float64).astype(np.float32)
     # idf = float32 sum over the phrase's terms in order
     # (BM25Similarity.computeWeight over TermStatistics[])
     idf_sum = np.float32(0.0)

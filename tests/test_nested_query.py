@@ -334,9 +334,11 @@ def test_sloppy_phrase_windows(tiny_index):
 
     assert docs(0) == {1, 4}
     assert docs(1) == {0, 1, 4}
-    assert docs(2) == {0, 1, 4, 3}
-    # ordered-only semantics: doc 2 ("gamma alpha") never matches
-    assert 2 not in docs(5)
+    # UNORDERED matching (SloppyPhraseScorer semantics): doc 2
+    # "gamma alpha" is a transposition — adjusted spread 2 — so it
+    # matches at slop >= 2, exactly like the reference
+    assert docs(2) == {0, 1, 2, 3, 4}
+    assert 2 in docs(5)
 
 
 def test_sloppy_zero_equals_exact(tiny_index):
@@ -346,9 +348,9 @@ def test_sloppy_zero_equals_exact(tiny_index):
 
 
 def test_sloppy_freq_counts(tiny_index):
-    """doc 4 = 'alpha gamma alpha gamma': slop=2 ordered windows are
-    (0,1) (0,3) (2,3) -> freq 3; doc 1 freq 1. Richer freq must not
-    lower the score (same doc_len here => strictly higher)."""
+    """doc 4 = 'alpha gamma alpha gamma': slop=2 minimal windows are
+    the two exact occurrences -> freq 2; doc 1 freq 1. Richer freq
+    must not lower the score."""
     out = {
         r.doc_id: r.score
         for r in tiny_index.search(
@@ -359,11 +361,13 @@ def test_sloppy_freq_counts(tiny_index):
 
 
 def test_sloppy_slop_factor_weighting(tiny_index):
-    """Each within-slop window contributes the reference slop factor
+    """Each window contributes the reference slop factor
     1/(1+matchLength) (SloppyPhraseScorer.sloppyFreq, BM25Similarity
-    computeSlopFactor): doc 4 'alpha gamma alpha gamma' at slop=2 has
-    windows (0,1) ml=0, (0,3) ml=2, (2,3) ml=0 -> freq f32(1 + 1/3 +
-    1); closed-form BM25 over that float freq must match bitwise."""
+    computeSlopFactor). doc 4 'alpha gamma alpha gamma' at slop=2:
+    adjusted streams A={0,2}, B={0,2} -> minimal windows [0,0] and
+    [2,2], freq f32(1 + 1); doc 2 'gamma alpha' (transposed): A={1},
+    B={-1} -> one window ml=2, freq f32(1/3). Closed-form BM25 over
+    those float freqs must match bitwise."""
     from lucene_solr_spark.functions import bm25
     from lucene_solr_spark.functions.smallfloat import encode_norm
 
@@ -372,16 +376,39 @@ def test_sloppy_slop_factor_weighting(tiny_index):
         r.doc_id: np.float32(r.score)
         for r in s.search(PhraseQuery(("alpha", "gamma"), slop=2), k=None).collect()
     }
-    # corpus: dfs(alpha)=5, dfs(gamma)=5? alpha in docs 0,1,2,3,4;
-    # gamma in docs 0,1,2,3,4 -> df=5 each; max_doc=5; avgdl=16/5
+    # corpus: alpha and gamma each appear in docs 0..4 -> df=5 each;
+    # max_doc=5; avgdl=16/5
     idf_sum = np.float32(
         np.float32(0.0) + bm25.idf(5, s.max_doc) + bm25.idf(5, s.max_doc)
     )
     cache = bm25.norm_cache(s.avgdl)
-    nb = encode_norm(np.array([4], np.int64))  # doc 4 has 4 tokens
-    freq = np.array(
-        [np.float32(np.float64(1.0) + np.float64(1.0) / 3.0 + np.float64(1.0))],
-        np.float32,
+    nb4 = encode_norm(np.array([4], np.int64))  # doc 4 has 4 tokens
+    freq4 = np.array(
+        [np.float32(np.float64(1.0) + np.float64(1.0))], np.float32
     )
-    expect = bm25.score_term(freq, nb, idf_sum, cache)[0]
-    assert out[4] == np.float32(expect)
+    assert out[4] == np.float32(bm25.score_term(freq4, nb4, idf_sum, cache)[0])
+    nb2 = encode_norm(np.array([2], np.int64))  # doc 2 has 2 tokens
+    freq2 = np.array([np.float32(np.float64(1.0) / 3.0)], np.float32)
+    assert out[2] == np.float32(bm25.score_term(freq2, nb2, idf_sum, cache)[0])
+
+
+def test_sloppy_freq_sweep_kernel():
+    """_sloppy_freq directly: minimal-window enumeration matches
+    hand-computed cases (incl. the tie and crossing shapes from
+    SloppyPhraseScorer's pq semantics)."""
+    from lucene_solr_spark.search.searcher import _sloppy_freq
+
+    # two exact occurrences -> two zero-length windows
+    assert _sloppy_freq([[0, 2], [0, 2]], 2) == 2.0
+    # staircase: [0,5] and [5,10] both length 5
+    assert _sloppy_freq([[0, 10], [5]], 5) == pytest.approx(2.0 / 6.0)
+    # [0,5] not minimal (1 in between): only [1,5]
+    assert _sloppy_freq([[0, 1], [5]], 5) == pytest.approx(1.0 / 5.0)
+    # tie case: windows [5,5] and [6,6] only (not the crossed [5,6])
+    assert _sloppy_freq([[5, 6], [5, 6]], 2) == 2.0
+    # out-of-slop windows contribute nothing
+    assert _sloppy_freq([[0], [9]], 2) == 0.0
+    # three slots: smallest window ending at each completion
+    assert _sloppy_freq([[3], [5], [0, 5]], 5) == pytest.approx(
+        1.0 / 6.0 + 1.0 / 3.0
+    )

