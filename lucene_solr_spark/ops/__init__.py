@@ -29,6 +29,22 @@ def bench_ops(spark, sf_dir: str) -> dict[str, float]:
     similarity.cosine_topk(emb, 0, 10).collect()
     out["op_ann_brute"] = time.perf_counter() - t0
 
+    # materialized IVF: one-time cell-table build, then the
+    # partition-pruned probed-cell query (the serving shape)
+    import shutil
+    import tempfile
+
+    ivf_dir = tempfile.mkdtemp(prefix="lss_bench_ivf_")
+    try:
+        t0 = time.perf_counter()
+        similarity.build_ivf_index(emb, ivf_dir)
+        out["op_ann_ivf_build"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        similarity.ivf_topk(emb, 0, 10, index_path=ivf_dir).collect()
+        out["op_ann_ivf_query"] = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
     t0 = time.perf_counter()
     textstats.token_counts_by_lang(docs).collect()
     out["op_token_counts"] = time.perf_counter() - t0

@@ -2,20 +2,27 @@
 QueryParser.jj grammar via QueryParserBase.java:114-118, the demo
 entry point demo/SearchFiles.java:100-170).
 
-Grammar (field-free, default operator OR — the reference default):
+Grammar (default operator OR — the reference default; `field:` scopes
+a term, wildcard, fuzzy, or range clause):
 
     query   := clause+
-    clause  := [conj] [mods] (group | phrase | term)
+    clause  := [conj] [mods] (group | phrase | range | term)
     conj    := AND | && | OR | ||
     mods    := + | - | NOT | !
     group   := '(' query ')' ['^' boost]
     phrase  := '"' text '"' ['~' slop] ['^' boost]
-    term    := word ['~' [edits | float-similarity]] ['^' boost]
+    range   := [field ':'] ('[' | '{') lo TO hi (']' | '}')
+               ['^' boost]     (QueryParser.jj:76,167 Range tokens:
+               '[' ']' inclusive, '{' '}' exclusive; '*' = open bound;
+               bounds lowercased, not analyzed -> TermRangeQuery)
+    term    := [field ':'] word ['~' [edits | float-similarity]]
+               ['^' boost]
                ('-'/'+' are operators only at clause start; mid-word
                 they are term characters, per _TERM_CHAR in the
                 reference grammar)
               (word with '*' / '?' -> wildcard; trailing-'*'-only ->
-               prefix; both CONSTANT_SCORE rewrites)
+               prefix; both CONSTANT_SCORE rewrites, field-scoped
+               when prefixed)
 
 Clause-occur resolution reproduces QueryParserBase.addClause for the
 OR default operator: `a AND b` retro-promotes the previous clause to
@@ -58,6 +65,7 @@ _TOKEN_RE = re.compile(
   | (?P<orop>\|\|)
   | "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>[0-9]+(?:\.[0-9]+)?))?
   | \^(?P<boost>[0-9]+(?:\.[0-9]+)?)
+  | (?:(?P<rfield>[^\s()+\-!"^~:\[\]{}]+):)?(?P<lbr>[\[{])\s*(?P<rlo>[^\s\]}]+)\s+TO\s+(?P<rhi>[^\s\]}]+)\s*(?P<rbr>[\]}])(?:\^(?P<rboost>[0-9]+(?:\.[0-9]+)?))?
   | (?P<term>[^\s()+\-!"^~][^\s()!"^~]*)(?:~(?P<edits>[0-9]*(?:\.[0-9]+)?))?(?:\^(?P<tboost>[0-9]+(?:\.[0-9]+)?))?
     """,
     re.X,
@@ -105,6 +113,22 @@ def _lex(s: str) -> list[tuple]:
             )
         elif m.group("boost") is not None:
             out.append(("BOOST", float(m.group("boost"))))
+        elif m.group("lbr") is not None:
+            out.append(
+                (
+                    "RANGE",
+                    {
+                        "field": m.group("rfield"),
+                        "lower": m.group("rlo"),
+                        "upper": m.group("rhi"),
+                        "include_lower": m.group("lbr") == "[",
+                        "include_upper": m.group("rbr") == "]",
+                        "boost": float(m.group("rboost"))
+                        if m.group("rboost")
+                        else None,
+                    },
+                )
+            )
         else:
             word = m.group("term")
             if word == "AND":
@@ -198,6 +222,9 @@ class QueryParser:
             elif t == "PHRASE":
                 q = self._phrase_query(payload)
                 i += 1
+            elif t == "RANGE":
+                q = self._range_query(payload)
+                i += 1
             elif t == "TERM":
                 q = self._term_query(payload)
                 i += 1
@@ -245,21 +272,17 @@ class QueryParser:
             if fld and rest:
                 field = fld
                 word = rest
-        if field is not None and ("*" in word or "?" in word or p["fuzzy"]):
-            raise ValueError(
-                "fielded wildcard/fuzzy terms are not supported by this "
-                "parser subset"
-            )
         if "*" in word or "?" in word:
             # expanded terms are lowercased, not analyzed
-            # (QueryParserBase lowercaseExpandedTerms default true)
+            # (QueryParserBase lowercaseExpandedTerms default true);
+            # field-scoped expansion when a `field:` prefix is present
             w = word.lower()
             if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
-                q: Query = PrefixQuery(w[:-1])
+                q: Query = PrefixQuery(w[:-1], field=field)
             else:
-                q = WildcardQuery(w)
+                q = WildcardQuery(w, field=field)
         elif p["fuzzy"]:
-            q = FuzzyQuery(word.lower(), max_edits=p["edits"])
+            q = FuzzyQuery(word.lower(), max_edits=p["edits"], field=field)
         else:
             toks = self._tokens(word)
             if not toks:
@@ -273,6 +296,25 @@ class QueryParser:
                         for t in toks
                     )
                 )
+        return BoostQuery(q, boost) if boost is not None else q
+
+    def _range_query(self, p: dict) -> Query:
+        """`[a TO b]` / `{a TO b}` -> TermRangeQuery (QueryParser.jj
+        Range production; RangeQueryNode semantics). Bounds are
+        lowercased, not analyzed (lowercaseExpandedTerms); `*` is an
+        open bound."""
+        from lucene_solr_spark.search.query import TermRangeQuery
+
+        lo = None if p["lower"] == "*" else p["lower"].lower()
+        hi = None if p["upper"] == "*" else p["upper"].lower()
+        q: Query = TermRangeQuery(
+            lo,
+            hi,
+            include_lower=p["include_lower"],
+            include_upper=p["include_upper"],
+            field=p["field"],
+        )
+        boost = p["boost"]
         return BoostQuery(q, boost) if boost is not None else q
 
     def _phrase_query(self, p: dict) -> Query | None:

@@ -174,6 +174,7 @@ class PrefixQuery(Query):
 
     prefix: str
     max_expansions: int | None = None
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return []
@@ -188,6 +189,7 @@ class WildcardQuery(Query):
 
     pattern: str
     max_expansions: int | None = None
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return []
@@ -201,6 +203,7 @@ class RegexpQuery(Query):
 
     pattern: str
     max_expansions: int | None = None
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return []
@@ -219,6 +222,7 @@ class TermRangeQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     max_expansions: int | None = None
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return []
@@ -256,6 +260,7 @@ class FuzzyQuery(Query):
     term: str
     max_edits: int = 2
     max_expansions: int = 50
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return []

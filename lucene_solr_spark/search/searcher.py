@@ -1026,6 +1026,103 @@ def _eval_tree(
     raise ValueError(f"unknown tree node kind {kind}")
 
 
+def _explain_node(
+    node: dict,
+    lt: "_LazyTerms",
+    base: int,
+    norms_map: dict,
+    idfs: dict,
+    caches: dict,
+    doc_local: int,
+    max_doc: int,
+    pboost: float = 1.0,
+) -> dict:
+    """Recursive Explanation tree for ONE doc (IndexSearcher.java:
+    561-588 explains every query shape clause-by-clause): each node's
+    (match, score) comes from the SAME kernel the search runs
+    (_eval_tree with the identical boost cascade), so the root score is
+    bitwise the search score; term leaves add the BM25 decomposition
+    (df, f32 idf, tf, norm byte, norm cache — BM25Similarity.explain:
+    244-268)."""
+    d, s = _eval_tree(
+        node, lt, base, norms_map, idfs, caches, pboost, prune=False
+    )
+    pos = int(np.searchsorted(d, doc_local))
+    match = pos < len(d) and d[pos] == doc_local
+    out: dict = {
+        "kind": node["kind"],
+        "match": bool(match),
+        "score": float(s[pos]) if match else 0.0,
+    }
+    boost = np.float32(
+        np.float32(pboost) * np.float32(node.get("boost", 1.0))
+    )
+    kind = node["kind"]
+    if kind == "term":
+        t = node["term"]
+        out["term"] = t
+        out["df"] = int(lt.dfs.get(t, 0))
+        out["idf"] = float(idfs.get(t, np.float32(0.0)))
+        out["boost"] = float(boost)
+        tf = 0
+        if t in lt:
+            td, ttf = lt.full(t)
+            p = int(np.searchsorted(td, doc_local))
+            if p < len(td) and td[p] == doc_local:
+                tf = int(ttf[p])
+        out["tf"] = tf
+        nrm, cch = _nc(t, norms_map, caches)
+        nb = int(nrm[doc_local - base]) if 0 <= doc_local - base < len(nrm) else 0
+        out["norm_byte"] = nb
+        out["norm_cache"] = float(cch[nb])
+        out["description"] = "weight(term) = idf*boost*(k1+1)*tf/(tf+cache[norm])"
+    elif kind == "phrase":
+        out["terms"] = list(node["terms"])
+        out["slop"] = int(node.get("slop", 0))
+        out["idfs"] = {t: float(idfs.get(t, 0.0)) for t in node["terms"]}
+        out["boost"] = float(boost)
+        out["description"] = (
+            "phrase: BM25 over sloppy freq, idf = f32 sum of term idfs"
+        )
+    elif kind in ("const", "field_exists"):
+        if kind == "const":
+            out["expanded_terms"] = list(node["terms"])
+        else:
+            out["field"] = node["field"]
+        out["boost"] = float(boost)
+        out["description"] = "constant score = boost"
+    elif kind == "constwrap":
+        out["boost"] = float(boost)
+        out["description"] = "constant score over wrapped matches"
+        out["details"] = [
+            _explain_node(node["query"], lt, base, norms_map, idfs,
+                          caches, doc_local, max_doc, 1.0)
+        ]
+    elif kind == "dismax":
+        out["tie"] = float(node.get("tie", 0.0))
+        out["description"] = "max(sub) + tie*(sum-max) (DisjunctionMax)"
+        out["details"] = [
+            _explain_node(sub, lt, base, norms_map, idfs, caches,
+                          doc_local, max_doc, boost)
+            for sub in node["clauses"]
+        ]
+    elif kind == "bool":
+        out["min_should_match"] = int(node.get("msm", 0))
+        out["description"] = (
+            "sum of MUST + matching SHOULD, MUST_NOT excludes "
+            "(BooleanWeight composition)"
+        )
+        out["details"] = [
+            {
+                "occur": occ,
+                **_explain_node(sub, lt, base, norms_map, idfs, caches,
+                                doc_local, max_doc, boost),
+            }
+            for occ, sub in node["clauses"]
+        ]
+    return out
+
+
 def _tree_terms(node: dict) -> list[str]:
     """All dictionary terms a tree touches (for the pushed-down scan)."""
     k = node["kind"]
@@ -1085,41 +1182,48 @@ def _tree_has_field_exists(node: dict) -> bool:
     return False
 
 
-def _mtq_cond(q):
+def _mtq_cond(q, field_prefix: str = ""):
     """Dictionary predicate of a multi-term query (the automaton ∩
     term-dict seek, MultiTermQuery.java:68-94) — pushed down to the
-    term-sorted parquet scan. Expansion is scoped to the DEFAULT
-    field's dictionary: field-prefixed internal terms are excluded so
-    e.g. PrefixQuery('s') cannot leak 'source\x1d...' postings."""
+    term-sorted parquet scan. Expansion is scoped to ONE field's
+    dictionary: `field_prefix` is '' for the default field (then
+    field-prefixed internal terms are excluded, so PrefixQuery('s')
+    cannot leak 'source\x1d...' postings) or '<field>\x1d' for a
+    fielded query (the pattern applies to the token after the
+    prefix)."""
     import re as _re
 
-    not_fielded = ~F.col("term").contains(FIELD_SEP)
+    if field_prefix:
+        scope = F.col("term").startswith(field_prefix)
+        pre = _re.escape(field_prefix)
+    else:
+        scope = ~F.col("term").contains(FIELD_SEP)
+        pre = ""
     if isinstance(q, PrefixQuery):
-        return F.col("term").startswith(q.prefix) & not_fielded
+        return F.col("term").startswith(field_prefix + q.prefix) & scope
     if isinstance(q, RegexpQuery):
-        return F.col("term").rlike("^(?:" + q.pattern + ")$") & not_fielded
+        return F.col("term").rlike("^" + pre + "(?:" + q.pattern + ")$") & scope
     if isinstance(q, TermRangeQuery):
-        # BETWEEN over the sorted dictionary (TermRangeQuery.java)
-        cond = not_fielded
+        # BETWEEN over the sorted dictionary (TermRangeQuery.java);
+        # prefixed bounds keep the BETWEEN sargable on the internal key
+        cond = scope
         if q.lower is not None:
+            lo = field_prefix + q.lower
             cond = cond & (
-                F.col("term") >= q.lower
-                if q.include_lower
-                else F.col("term") > q.lower
+                F.col("term") >= lo if q.include_lower else F.col("term") > lo
             )
         if q.upper is not None:
+            hi = field_prefix + q.upper
             cond = cond & (
-                F.col("term") <= q.upper
-                if q.include_upper
-                else F.col("term") < q.upper
+                F.col("term") <= hi if q.include_upper else F.col("term") < hi
             )
         return cond
     # WildcardQuery
-    regex = "^" + "".join(
+    regex = "^" + pre + "".join(
         ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
         for ch in q.pattern
     ) + "$"
-    return F.col("term").rlike(regex) & not_fielded
+    return F.col("term").rlike(regex) & scope
 
 
 def _prune_eligible(spec: dict, k: int | None, prune: bool) -> bool:
@@ -1598,11 +1702,12 @@ class IndexSearcher:
         at web scale a `t*` pattern is millions of terms. Queries
         carrying max_expansions take the bounded top-terms rewrite
         instead (_expand_top_terms) and never overflow."""
+        pre = self._mtq_prefix(q)
         if getattr(q, "max_expansions", None):
-            return self._expand_top_terms(_mtq_cond(q), q.max_expansions)
+            return self._expand_top_terms(_mtq_cond(q, pre), q.max_expansions)
         cap = self.max_clause_count
         rows = (
-            self._term_stats.where(_mtq_cond(q))
+            self._term_stats.where(_mtq_cond(q, pre))
             .select("term")
             .limit(cap + 1)
             .collect()
@@ -1614,6 +1719,20 @@ class IndexSearcher:
                 "rewrite"
             )
         return sorted(r.term for r in rows)
+
+    def _mtq_prefix(self, q) -> str:
+        """Internal-key prefix scoping a multi-term/fuzzy expansion to
+        its field's dictionary ('' = default field); validates the
+        field is indexed (FieldInfos consistency check)."""
+        field = getattr(q, "field", None)
+        if field is None or field == self._default_field:
+            return ""
+        if field not in self._field_stats:
+            raise KeyError(
+                f"field {field!r} is not indexed (have "
+                f"{sorted(self._field_stats)})"
+            )
+        return f"{field}{FIELD_SEP}"
 
     def _expand_top_terms(self, cond, n: int) -> list[str]:
         """df-bounded top-terms rewrite (TopTermsRewrite.java,
@@ -2113,13 +2232,14 @@ class IndexSearcher:
         With max_expansions set, the df-bounded top-terms rewrite runs
         first (driver-side tiny list) and the postings scan filters to
         those terms — the TopTermsRewrite-to-constant-score path."""
+        pre = self._mtq_prefix(q)
         if getattr(q, "max_expansions", None):
-            top = self._expand_top_terms(_mtq_cond(q), q.max_expansions)
+            top = self._expand_top_terms(_mtq_cond(q, pre), q.max_expansions)
             if not top:
                 return self._empty()
             matched = self._postings.where(F.col("term").isin(top))
         else:
-            matched = self._postings.where(_mtq_cond(q))
+            matched = self._postings.where(_mtq_cond(q, pre))
         offsets = dict(self._doc_offsets)
         codec = self._codec
 
@@ -2161,16 +2281,17 @@ class IndexSearcher:
         survive. The top-n runs distributed — the driver never holds
         more than max_expansions terms."""
         cap = int(getattr(q, "max_expansions", 50) or 50)
+        pre = self._mtq_prefix(q)
+        if pre:
+            scope = F.col("term").startswith(pre)
+            token = F.substring(F.col("term"), len(pre) + 1, 2**30)
+        else:
+            scope = ~F.col("term").contains(FIELD_SEP)
+            token = F.col("term")
+        dist = F.levenshtein(token, F.lit(q.term))
         rows = (
-            self._term_stats.where(
-                (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
-                & ~F.col("term").contains(FIELD_SEP)
-            )
-            .select(
-                "term",
-                F.levenshtein(F.col("term"), F.lit(q.term)).alias("dist"),
-                "df",
-            )
+            self._term_stats.where((dist <= q.max_edits) & scope)
+            .select("term", dist.alias("dist"), "df")
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
             .limit(cap)
             .collect()
@@ -2266,17 +2387,20 @@ class IndexSearcher:
         boost-folded weightValue, tf, norm byte, the norm cache value,
         and the leaf f32 score — plus the boolean composition, using
         the SAME kernels as search (the returned `score` is bitwise
-        the search score). Flat term/boolean kinds only (the shapes
-        Lucene's explain covers clause-by-clause); slow path by
-        design: decodes just the (term, shard-of-doc) posting rows."""
+        the search score). Nested tree and phrase kinds recurse
+        clause-by-clause through _explain_node (which evaluates every
+        sub-node with the identical _eval_tree kernel and boost
+        cascade — IndexSearcher.java:561-588); multi_phrase stays
+        unsupported. Slow path by design: decodes just the
+        (term, shard-of-doc) posting rows."""
         from lucene_solr_spark.index.codec import decode_posting_list
 
         q = rewrite(query)
         spec = self._spec(q)
         kind = spec["kind"]
-        if kind in ("tree", "multi_phrase", "phrase"):
+        if kind == "multi_phrase":
             raise NotImplementedError(
-                "explain covers flat term/boolean queries"
+                "explain covers term/boolean/tree/phrase queries"
             )
         terms = list(dict.fromkeys(spec["terms"]))
 
@@ -2296,6 +2420,43 @@ class IndexSearcher:
             ):
                 return {"doc_id": int(doc_id), "match": False, "score": 0.0,
                         "description": "doc is deleted (liveDocs)"}
+
+        if kind in ("tree", "phrase"):
+            node = (
+                spec["tree"]
+                if kind == "tree"
+                else {"kind": "phrase", "terms": spec["terms"],
+                      "slop": spec.get("slop", 0)}
+            )
+            pdf = (
+                self._matched(sorted(set(terms)))
+                .where(F.col("shard") == shard)
+                .toPandas()
+            )
+            nr = (
+                self._norms_for_query(None)
+                .where(F.col("shard") == shard)
+                .toPandas()
+            )
+            decoded = _decode_shard(
+                pdf, nr, self._default_field, self._codec
+            )
+            _base, norms_map, lt, dfs, _ = decoded
+            idfs = {
+                t: bm25.idf(d, self.max_doc) for t, d in dfs.items()
+            }
+            root = _explain_node(
+                node, lt, _base, norms_map, idfs, dict(self._caches),
+                local, self.max_doc,
+            )
+            return {
+                "doc_id": int(doc_id),
+                "match": root["match"],
+                "score": root["score"],
+                "description": root.get("description", kind),
+                "doc_len": int(dm.doc_len),
+                "details": [root],
+            }
 
         def fld(t: str) -> str:
             i = t.find(FIELD_SEP)
@@ -2466,18 +2627,19 @@ class IndexSearcher:
         prune: bool = True,
     ) -> DataFrame:
         """Snippet highlighting for the query's top-k docs
-        (lucene/highlighter PostingsHighlighter semantics subset):
-        ONE passage of ±`window` display tokens around the FIRST
-        matching token, every matching token inside the passage
-        wrapped pre/post. `docs` supplies the stored text (stored
-        fields live in the source table; the index stores postings
-        only — Solr's phase-2 fetch). Matching = the display token's
-        analyzed form is a query term (default field only).
-        Documented deviation: passage choice is first-occurrence with
-        a fixed window, not the reference's BM25-ranked passages
-        (PostingsHighlighter.java:221-268) — the snippet seam and
-        wrapping are the API; deterministic selection keeps it
-        oracle-checkable. Returns (doc_id=key, score, snippet)."""
+        (lucene/highlighter PostingsHighlighter semantics): candidate
+        passages are the ±`window` display-token spans centered on
+        each matching token; each passage scores the f64 sum of the
+        f32 BM25 idfs of the matching tokens it contains (the
+        PassageScorer term-weight ranking, PostingsHighlighter.java:
+        97,221-268 — unique-term idf weighting over the passage), and
+        the BEST passage is returned (score desc, earlier center
+        wins ties), every matching token inside wrapped pre/post.
+        `docs` supplies the stored text (stored fields live in the
+        source table; the index stores postings only — Solr's phase-2
+        fetch). Matching = the display token's analyzed form is a
+        query term (default field only).
+        Returns (doc_id=key, score, snippet)."""
         from lucene_solr_spark.analysis.analyzers import ANALYZERS
 
         cfg = self.manifest["config"]
@@ -2487,6 +2649,11 @@ class IndexSearcher:
         terms = frozenset(
             t for t in spec["terms"] if FIELD_SEP not in t
         )
+        dfs = self.term_dfs(sorted(terms))
+        max_doc = self.max_doc
+        idfs = {
+            t: float(bm25.idf(dfs[t], max_doc)) for t in terms if t in dfs
+        }
         analyzer = ANALYZERS[cfg["analyzer"]]
         w = int(window)
 
@@ -2502,15 +2669,28 @@ class IndexSearcher:
             for text in texts:
                 toks = (text or "").split()
                 ana = analyzer(pd.Series(toks))
-                is_m = [bool(a) and a[0] in terms for a in ana]
-                first = next((i for i, m in enumerate(is_m) if m), None)
-                if first is None:
+                m_idf = [
+                    idfs.get(a[0], 0.0) if (a is not None and len(a)) else 0.0
+                    for a in ana
+                ]
+                centers = [i for i, v in enumerate(m_idf) if v > 0.0]
+                if not centers:
                     out.append(" ".join(toks[: 2 * w + 1]))
                     continue
-                lo, hi = max(0, first - w), first + w + 1
+                # best passage: f64 idf sum over matches in the span,
+                # score desc, earlier center wins ties
+                best, best_score = centers[0], -1.0
+                for i in centers:
+                    sc = sum(
+                        m_idf[j]
+                        for j in range(max(0, i - w), min(i + w + 1, len(toks)))
+                    )
+                    if sc > best_score:
+                        best, best_score = i, sc
+                lo, hi = max(0, best - w), best + w + 1
                 out.append(
                     " ".join(
-                        f"{pre}{toks[i]}{post}" if is_m[i] else toks[i]
+                        f"{pre}{toks[i]}{post}" if m_idf[i] > 0.0 else toks[i]
                         for i in range(lo, min(hi, len(toks)))
                     )
                 )

@@ -136,6 +136,75 @@ def test_mtq_expansion_scoped_to_default_field(fielded):
     assert hits.isdisjoint(only_source)
 
 
+def test_fielded_mtq_expansion(fielded):
+    """Fielded multi-term queries expand against THAT field's
+    dictionary only (field-scoped automaton ∩ term-dict seek) and
+    return internal field-prefixed keys; unknown fields raise."""
+    from lucene_solr_spark.index.builder import FIELD_SEP
+    from lucene_solr_spark.search.query import (
+        FuzzyQuery,
+        PrefixQuery,
+        TermRangeQuery,
+        WildcardQuery,
+    )
+
+    s, src = fielded
+    for q in (
+        PrefixQuery("src", field="source"),
+        WildcardQuery("src?", field="source"),
+        TermRangeQuery("src0", "src2", field="source"),
+    ):
+        terms = s._expand_mtq(q)
+        assert terms, q
+        assert all(t.startswith(f"source{FIELD_SEP}") for t in terms), q
+    fz = s._expand_fuzzy(FuzzyQuery("src3", max_edits=1, field="source"))
+    assert fz and all(t.startswith(f"source{FIELD_SEP}") for t in fz)
+    with pytest.raises(KeyError):
+        s._expand_mtq(PrefixQuery("x", field="nope"))
+    # end-to-end: source:src3* matches exactly the src3 docs
+    hits = {
+        r.doc_id
+        for r in s.search(PrefixQuery("src3", field="source"), k=None).collect()
+    }
+    expect = {r.doc_id for r in src.where(F.col("source") == "src3").collect()}
+    assert hits == expect and hits
+
+
+def test_parser_fielded_prefix_and_range(fielded):
+    """Parser: fielded wildcard/prefix/fuzzy clauses and range syntax
+    end-to-end (QueryParser.jj Range production)."""
+    from lucene_solr_spark.search.query import TermRangeQuery
+
+    s, src = fielded
+    a = [
+        (r.doc_id, r.score)
+        for r in s.search(parse_query("source:src3* AND table"), k=30).collect()
+    ]
+    assert a
+    src3 = {r.doc_id for r in src.where(F.col("source") == "src3").collect()}
+    assert {d for d, _ in a} <= src3
+    # range through the parser == the TermRangeQuery it compiles to
+    p = [
+        (r.doc_id, r.score)
+        for r in s.search(parse_query("[sc TO so]"), k=30).collect()
+    ]
+    d = [
+        (r.doc_id, r.score)
+        for r in s.search(TermRangeQuery("sc", "so"), k=30).collect()
+    ]
+    assert p == d and p
+    # exclusive bounds are strict
+    excl = {
+        r.doc_id
+        for r in s.search(parse_query("{sc TO so}"), k=None).collect()
+    }
+    incl = {
+        r.doc_id
+        for r in s.search(parse_query("[sc TO so]"), k=None).collect()
+    }
+    assert excl <= incl
+
+
 def test_classic_rejects_fielded(fielded):
     s, _ = fielded
     with pytest.raises(ValueError):

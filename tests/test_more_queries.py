@@ -177,16 +177,65 @@ def test_explain_recomposes_search_scores(spark, docs_index):
     assert ex["match"] is False and ex["score"] == 0.0
 
 
+def test_explain_tree_and_phrase(spark, docs_index):
+    """explain for NESTED tree and phrase kinds (IndexSearcher.java:
+    561-588 explains every query shape clause-by-clause): the root
+    score is bitwise the search score, clause nodes recurse, and term
+    leaves carry the BM25 decomposition."""
+    from lucene_solr_spark.search.parser import parse_query
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, docs_index[0])
+    queries = [
+        parse_query("+vector (table scan) -dup"),
+        parse_query("(fast OR slow) AND value"),
+        parse_query("table^2 scan"),
+    ]
+    for q in queries:
+        hits = s.search(q, k=2).collect()
+        assert hits, q
+        for r in hits:
+            ex = s.explain(q, r.doc_id)
+            assert ex["match"] is True, (q, r.doc_id)
+            assert np.float32(ex["score"]) == np.float32(r.score), (
+                q, r.doc_id,
+            )
+            root = ex["details"][0]
+            assert root["match"] and root["score"] == ex["score"]
+    # clause structure: bool node exposes per-occur children with
+    # term-leaf BM25 pieces
+    q = parse_query("(fast OR slow) AND value")
+    r = s.search(q, k=1).collect()[0]
+    root = s.explain(q, r.doc_id)["details"][0]
+    assert root["kind"] == "bool"
+    occurs = [c["occur"] for c in root["details"]]
+    assert "MUST" in occurs
+    leaves = [c for c in root["details"] if c["kind"] == "term"]
+    sub = [c for c in root["details"] if c["kind"] == "bool"]
+    for leaf in leaves:
+        if leaf["match"]:
+            assert leaf["df"] > 0 and leaf["tf"] > 0 and leaf["idf"] > 0
+    assert sub and any(c["kind"] == "term" for c in sub[0]["details"])
+    # non-matching doc explains false/0 through the tree path
+    hits_all = {x.doc_id for x in s.search(q, k=None).collect()}
+    non = next(i for i in range(200) if i not in hits_all)
+    exn = s.explain(q, non)
+    assert exn["match"] is False and exn["score"] == 0.0
+
+
 def test_highlight_snippets(spark, docs_index):
-    """Highlighter subset: the snippet is the ±window display-token
-    passage around the FIRST match; every matching token inside is
-    wrapped; passage clamps at doc start; hit set == search top-k."""
+    """Highlighter: the snippet is the BEST ±window display-token
+    passage (PassageScorer ranking — idf-weighted match count inside
+    the span, earlier center breaks ties); every matching token inside
+    is wrapped; passage clamps at doc start; hit set == search
+    top-k."""
     from lucene_solr_spark.search.query import BooleanOr, TermQuery
     from lucene_solr_spark.search.searcher import IndexSearcher
 
     s = IndexSearcher(spark, docs_index[0])
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
-    out = s.highlight(TermQuery("table"), docs, k=10, window=2).collect()
+    w = 2
+    out = s.highlight(TermQuery("table"), docs, k=10, window=w).collect()
     top = s.search_with_keys(TermQuery("table"), k=10).collect()
     assert [r.doc_id for r in out] == [r.key for r in top]
     text_by_id = {r.doc_id: r.text for r in docs.collect()}
@@ -194,14 +243,39 @@ def test_highlight_snippets(spark, docs_index):
         assert "<em>table</em>" in r.snippet
         plain = r.snippet.replace("<em>", "").replace("</em>", "")
         toks = plain.split()
-        assert len(toks) <= 5  # 2*window + 1
+        assert len(toks) <= 2 * w + 1
         src = text_by_id[r.doc_id].split()
-        first = next(
-            i for i, t in enumerate(src) if t.lower() == "table"
-        )
-        lo = max(0, first - 2)
-        assert toks == src[lo : first + 3]
+        centers = [i for i, t in enumerate(src) if t.lower() == "table"]
+        best, best_cnt = centers[0], -1
+        for i in centers:
+            cnt = sum(1 for j in centers if abs(j - i) <= w)
+            if cnt > best_cnt:
+                best, best_cnt = i, cnt
+        lo = max(0, best - w)
+        assert toks == src[lo : best + w + 1]
     # multi-term: every query-term occurrence inside the window wraps
     out2 = s.highlight(BooleanOr(("table", "scan")), docs, k=5).collect()
     for r in out2:
         assert "<em>" in r.snippet
+
+
+def test_highlight_picks_densest_passage(spark, tmp_path):
+    """A doc whose FIRST match is isolated but whose later matches
+    cluster must snippet the dense cluster (the PostingsHighlighter
+    ranked-passage behavior, not first-occurrence)."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.query import TermQuery
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    rows = [(0, "table one two three four five table x table table y")]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "hlix")
+    build_index(
+        spark, src, out,
+        IndexConfig(n_shards=1, segs_per_shard=1, id_col="doc_id",
+                    text_col="text", sharding="range_int"),
+    )
+    s = IndexSearcher(spark, out)
+    snip = s.highlight(TermQuery("table"), src, k=1, window=2).first().snippet
+    # densest ±2 window centers on the 'table table' cluster (3 matches)
+    assert snip == "<em>table</em> x <em>table</em> <em>table</em> y"

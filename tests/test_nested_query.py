@@ -392,6 +392,25 @@ def test_sloppy_slop_factor_weighting(tiny_index):
     assert out[2] == np.float32(bm25.score_term(freq2, nb2, idf_sum, cache)[0])
 
 
+def test_explain_phrase_bitwise(tiny_index):
+    """explain of a PhraseQuery (exact and sloppy): root score bitwise
+    equals the search score; the phrase node carries per-term idfs."""
+    for slop in (0, 2):
+        q = PhraseQuery(("alpha", "gamma"), slop=slop)
+        for r in tiny_index.search(q, k=3).collect():
+            ex = tiny_index.explain(q, r.doc_id)
+            assert ex["match"] is True
+            assert np.float32(ex["score"]) == np.float32(r.score)
+            node = ex["details"][0]
+            assert node["kind"] == "phrase" and node["slop"] == slop
+            assert set(node["idfs"]) == {"alpha", "gamma"}
+    # doc 2 ("gamma alpha") matches sloppy but not exact
+    ex0 = tiny_index.explain(PhraseQuery(("alpha", "gamma")), 2)
+    assert ex0["match"] is False and ex0["score"] == 0.0
+    ex2 = tiny_index.explain(PhraseQuery(("alpha", "gamma"), slop=2), 2)
+    assert ex2["match"] is True and ex2["score"] > 0.0
+
+
 def test_sloppy_freq_sweep_kernel():
     """_sloppy_freq directly: minimal-window enumeration matches
     hand-computed cases (incl. the tie and crossing shapes from
