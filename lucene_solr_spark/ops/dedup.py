@@ -185,8 +185,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFram
     shingle frame is computed ONCE and persisted — signatures and
     verification share the same scan (at the 100 TB design point this
     persist becomes a materialized shingle table). Only the most
-    recent call's frame stays cached — the previous one is
-    unpersisted (at worst its still-referenced plan recomputes)."""
+    recent call's frames stay cached — the previous ones are
+    unpersisted (at worst their still-referenced plans recompute)."""
     ds = _distinct_shingles(docs, n).persist()
     while _CACHED_SHINGLES:
         _CACHED_SHINGLES.pop().unpersist()
@@ -210,7 +210,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5) -> DataFram
         )
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
+        .persist()  # consumed twice: the verify join + the size semi-join
     )
+    _CACHED_SHINGLES.append(cand)
     # exact verification restricted to candidates (reuses persisted ds)
     sa = ds.select(F.col("doc_id").alias("id_a"), F.col("s"))
     sb = ds.select(F.col("doc_id").alias("id_b"), F.col("s"))

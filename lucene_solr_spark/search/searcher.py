@@ -2398,10 +2398,6 @@ class IndexSearcher:
         q = rewrite(query)
         spec = self._spec(q)
         kind = spec["kind"]
-        if kind == "multi_phrase":
-            raise NotImplementedError(
-                "explain covers term/boolean/tree/phrase queries"
-            )
         terms = list(dict.fromkeys(spec["terms"]))
 
         dmr = self.doc_map().where(F.col("doc_id") == int(doc_id)).collect()
@@ -2421,13 +2417,7 @@ class IndexSearcher:
                 return {"doc_id": int(doc_id), "match": False, "score": 0.0,
                         "description": "doc is deleted (liveDocs)"}
 
-        if kind in ("tree", "phrase"):
-            node = (
-                spec["tree"]
-                if kind == "tree"
-                else {"kind": "phrase", "terms": spec["terms"],
-                      "slop": spec.get("slop", 0)}
-            )
+        if kind in ("tree", "phrase", "multi_phrase"):
             pdf = (
                 self._matched(sorted(set(terms)))
                 .where(F.col("shard") == shard)
@@ -2445,10 +2435,35 @@ class IndexSearcher:
             idfs = {
                 t: bm25.idf(d, self.max_doc) for t, d in dfs.items()
             }
-            root = _explain_node(
-                node, lt, _base, norms_map, idfs, dict(self._caches),
-                local, self.max_doc,
-            )
+            if kind == "multi_phrase":
+                d, s = _eval_multi_phrase(
+                    spec["positions"], lt, _base, norms_map,
+                    np.float32(spec["idf_sum"]), dict(self._caches),
+                )
+                p = int(np.searchsorted(d, local))
+                hit = p < len(d) and d[p] == local
+                root = {
+                    "kind": "multi_phrase",
+                    "match": bool(hit),
+                    "score": float(s[p]) if hit else 0.0,
+                    "positions": [list(a) for a in spec["positions"]],
+                    "idf_sum": float(spec["idf_sum"]),
+                    "description": (
+                        "multi-phrase: BM25 over matching start "
+                        "positions, idf = f32 sum over indexed terms"
+                    ),
+                }
+            else:
+                node = (
+                    spec["tree"]
+                    if kind == "tree"
+                    else {"kind": "phrase", "terms": spec["terms"],
+                          "slop": spec.get("slop", 0)}
+                )
+                root = _explain_node(
+                    node, lt, _base, norms_map, idfs, dict(self._caches),
+                    local, self.max_doc,
+                )
             return {
                 "doc_id": int(doc_id),
                 "match": root["match"],

@@ -411,6 +411,21 @@ def test_explain_phrase_bitwise(tiny_index):
     assert ex2["match"] is True and ex2["score"] > 0.0
 
 
+def test_explain_multiphrase_bitwise(tiny_index):
+    """explain of a MultiPhraseQuery: root score bitwise equals the
+    search score (position alternatives explained as one leaf)."""
+    from lucene_solr_spark.search.query import MultiPhraseQuery
+
+    q = MultiPhraseQuery((("alpha", "gamma"), ("beta", "gamma")))
+    hits = tiny_index.search(q, k=5).collect()
+    assert hits
+    for r in hits:
+        ex = tiny_index.explain(q, r.doc_id)
+        assert ex["match"] is True
+        assert np.float32(ex["score"]) == np.float32(r.score)
+        assert ex["details"][0]["kind"] == "multi_phrase"
+
+
 def test_sloppy_freq_sweep_kernel():
     """_sloppy_freq directly: minimal-window enumeration matches
     hand-computed cases (incl. the tie and crossing shapes from
