@@ -101,6 +101,43 @@ def test_parse_special_terms():
     assert parse_query('"table scan"~2') == PhraseQuery(("table", "scan"), slop=2)
 
 
+def test_parse_range_syntax():
+    """QueryParser.jj Range production: '[' ']' inclusive, '{' '}'
+    exclusive, '*' open bound, optional field prefix and boost;
+    bounds lowercased, not analyzed."""
+    from lucene_solr_spark.search.query import TermRangeQuery
+
+    assert parse_query("[sc TO so]") == TermRangeQuery("sc", "so")
+    assert parse_query("{sc TO so}") == TermRangeQuery(
+        "sc", "so", include_lower=False, include_upper=False
+    )
+    assert parse_query("[A TO B]") == TermRangeQuery("a", "b")
+    assert parse_query("[sc TO *]") == TermRangeQuery("sc", None)
+    assert parse_query("[* TO so]") == TermRangeQuery(None, "so")
+    assert parse_query("source:[src1 TO src3]") == TermRangeQuery(
+        "src1", "src3", field="source"
+    )
+    assert parse_query("[sc TO so]^2") == BoostQuery(
+        TermRangeQuery("sc", "so"), 2.0
+    )
+    q = parse_query("value AND [sc TO so]")
+    assert isinstance(q, BooleanQuery)
+    assert [c.occur for c in q.clauses] == ["MUST", "MUST"]
+    assert q.clauses[1].query == TermRangeQuery("sc", "so")
+
+
+def test_parse_fielded_multiterm():
+    """Fielded wildcard/prefix/fuzzy clauses (previously rejected by
+    the parser subset) compile to field-scoped queries."""
+    assert parse_query("source:src*") == PrefixQuery("src", field="source")
+    assert parse_query("source:v?lue") == WildcardQuery(
+        "v?lue", field="source"
+    )
+    assert parse_query("source:tabl~1") == FuzzyQuery(
+        "tabl", max_edits=1, field="source"
+    )
+
+
 def test_parse_boosts():
     assert parse_query("table^2") == BoostQuery(TermQuery("table"), 2.0)
     q = parse_query("(table scan)^3 vector")
