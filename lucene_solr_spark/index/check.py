@@ -78,18 +78,25 @@ def check_shard(
         if not (tfs >= 1).all():
             bad(term, "tf_min", "tf < 1")
         bl = np.asarray(row.block_last, np.int64)
+        offs = np.asarray(row.block_doc_off, np.int64)
+        if len(docs) and (len(bl) == 0 or len(offs) == 0):
+            # postings without skip metadata: block-max pruning would
+            # silently mis-skip — this must be LOUD, not green
+            bad(term, "block_missing", "postings present but no block meta")
+            continue
         if not (np.diff(bl) > 0).all():
             bad(term, "block_last_sorted", "block_last not increasing")
         if len(bl) and len(docs) and bl[-1] != docs[-1]:
             bad(term, "block_last_tail", f"{bl[-1]} != {docs[-1]}")
-        offs = np.asarray(row.block_doc_off, np.int64)
         if len(offs) and (offs[0] != 0 or not (np.diff(offs) > 0).all()):
             bad(term, "block_offsets", "offsets not 0-based increasing")
         bmt = np.asarray(row.block_max_tf, np.int64)
         bmn = np.asarray(row.block_max_norm, np.int64)
         blk_of = np.searchsorted(bl, docs)
         check_norms = "\x1d" not in term
-        norms_of = nm.reindex(docs).to_numpy() if check_norms else None
+        norms_of = (
+            nm.reindex(docs).to_numpy(np.float64) if check_norms else None
+        )
         for b in range(len(bl)):
             sel = blk_of == b
             if not sel.any():
@@ -99,12 +106,19 @@ def check_shard(
                 bad(term, "block_last", f"block {b} last mismatch")
             if tfs[sel].max() != bmt[b]:
                 bad(term, "block_max_tf", f"block {b}")
-            if check_norms and np.nanmax(
-                norms_of[sel].astype(np.float64)
-            ) != float(bmn[b]):
-                bad(term, "block_max_norm", f"block {b}")
-        ins = np.searchsorted(valid, docs)
-        exists = (ins < len(valid)) & (valid[np.minimum(ins, len(valid) - 1)] == docs)
+            if check_norms:
+                known = norms_of[sel]
+                known = known[~np.isnan(known)]
+                # docs missing from doc_map are flagged by doc_exists
+                if len(known) == 0 or known.max() != float(bmn[b]):
+                    bad(term, "block_max_norm", f"block {b}")
+        if len(valid) == 0:
+            exists = np.zeros(len(docs), bool)
+        else:
+            ins = np.searchsorted(valid, docs)
+            exists = (ins < len(valid)) & (
+                valid[np.minimum(ins, len(valid) - 1)] == docs
+            )
         if not exists.all():
             bad(term, "doc_exists", f"{int((~exists).sum())} postings w/o doc")
         n_postings += len(docs)

@@ -573,13 +573,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Distributed connected components over an (id_a, id_b) edge list
     by iterative min-label propagation; component label = min node id.
 
-    Each round is ONE shuffle join + ONE groupBy; rounds needed =
-    component diameter. Per-round `localCheckpoint` truncates the plan
-    lineage (an iterative join chain otherwise grows the logical plan
+    Each round is ONE shuffle join + ONE groupBy; labels stabilize in
+    `diameter` rounds and one extra no-change round confirms the
+    fixpoint, so up to max_iter + 1 rounds run — max_iter = the
+    largest component diameter you accept, with no off-by-one.
+    Per-round `localCheckpoint` truncates the plan lineage (an
+    iterative join chain otherwise grows the logical plan
     exponentially and overflows the optimizer past ~15 rounds — the
     standard iterative-graph-algorithm discipline). Loud failure:
-    raises RuntimeError when labels still change after `max_iter`
-    rounds (never returns a silently non-converged labeling)."""
+    raises RuntimeError when labels are still changing after the
+    budget (never returns a silently non-converged labeling)."""
     sym = (
         pairs.union(
             pairs.select(
@@ -596,7 +599,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .persist()
     )
     changed = 0
-    for _ in range(int(max_iter)):
+    # max_iter propagation rounds + 1 confirmation round: a component
+    # of diameter d needs d label-moving rounds and one no-change round
+    # to prove the fixpoint
+    for _ in range(int(max_iter) + 1):
         nmin = (
             sym.join(
                 labels.select(
@@ -634,8 +640,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     if changed:
         labels.unpersist()
         raise RuntimeError(
-            f"connected_components did not converge within {max_iter} "
-            f"rounds ({changed} labels still changing) — raise max_iter "
-            "(rounds needed = component diameter)"
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} propagation rounds ({changed} labels still "
+            "changing) — raise max_iter (rounds needed = component "
+            "diameter)"
         )
     return labels.orderBy("doc_id")

@@ -125,7 +125,9 @@ def _fold_dot(a, b) -> float:
     return acc
 
 
-def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+def _centroids(
+    emb: DataFrame, n_centroids: int = N_CENTROIDS
+) -> list[tuple[int, list[float]]]:
     """Coarse quantizer: deterministic spherical k-means over a frozen
     sample — vec_id % MOD == 0, vec_id asc, HARD-CAPPED at
     KMEANS_MAX_SAMPLE rows (a distributed top-N, so the driver
@@ -142,7 +144,7 @@ def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
     if not rows:
         return []
     vecs = np.array([[float(x) for x in r[0]] for r in rows], np.float64)
-    cents = kmeans_centroids(vecs)
+    cents = kmeans_centroids(vecs, n_centroids)
     return [(i, [float(v) for v in c]) for i, c in enumerate(cents)]
 
 
@@ -187,7 +189,7 @@ def build_ivf_index(
     spark = emb.sparkSession
     meta_p = os.path.join(path, "_ivf_centroids.json")
     if not os.path.exists(meta_p):
-        cents = _centroids(emb)
+        cents = _centroids(emb, n_centroids)
         bucketed = emb.withColumn(
             "bucket", _assign_bucket_col(F.col("embedding"), cents)
         )

@@ -555,6 +555,59 @@ def _sloppy_freq(pos_lists: list[list[int]], slop: int) -> float:
     return acc
 
 
+def _sloppy_freqs_bulk(
+    keysets: list[np.ndarray], slop: int, M: np.int64
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized _sloppy_freq over EVERY candidate doc at once:
+    keysets[i] = sorted (doc*M + adjusted position) keys of query slot
+    i. One global merged sweep — k maximum.accumulate passes recover
+    each slot's latest position at every event (doc boundaries respected
+    by checking the carried key's doc), completion/minimal-window/
+    first-per-start logic identical to the scalar sweep (parity
+    pytest-pinned against _sloppy_freq on random inputs).
+
+    Returns (docs sorted asc, f64 freqs) for docs with freq > 0."""
+    E = (np.empty(0, np.int64), np.empty(0, np.float64))
+    k = len(keysets)
+    keys = np.concatenate(keysets)
+    if len(keys) == 0:
+        return E
+    slots = np.concatenate(
+        [np.full(len(ks), i, np.int64) for i, ks in enumerate(keysets)]
+    )
+    order = np.lexsort((slots, keys))  # pos asc, slot asc at ties (pq)
+    keys, slots = keys[order], slots[order]
+    docs_e = keys // M
+    pos_e = keys % M
+    big = np.int64(np.iinfo(np.int64).max)
+    complete = np.ones(len(keys), bool)
+    s = np.full(len(keys), big)
+    for i in range(k):
+        lastk = np.maximum.accumulate(
+            np.where(slots == i, keys, np.int64(-1))
+        )
+        seen = (lastk >= 0) & (lastk // M == docs_e)
+        complete &= seen
+        s = np.minimum(s, np.where(seen, lastk % M, big))
+    if not complete.any():
+        return E
+    d, sw, e = docs_e[complete], s[complete], pos_e[complete]
+    # first event per (doc, start): s is non-decreasing within a doc,
+    # so consecutive-dedupe keeps the smallest window per start
+    key2 = d * M + sw
+    keep = np.empty(len(key2), bool)
+    keep[0] = True
+    keep[1:] = key2[1:] != key2[:-1]
+    d, sw, e = d[keep], sw[keep], e[keep]
+    ml = (e - sw).astype(np.float64)
+    ok = ml <= slop
+    d, w = d[ok], 1.0 / (1.0 + ml[ok])
+    if len(d) == 0:
+        return E
+    udocs, first = np.unique(d, return_index=True)
+    return udocs, np.add.reduceat(w, first)
+
+
 def _eval_phrase(
     seq: list[str],
     lt: "_LazyTerms",
@@ -639,27 +692,10 @@ def _eval_phrase(
             keysets.append(
                 np.sort(doc_rep[mask] * M + (pos_abs[mask] - np.int64(i) + off))
             )
-        udoc_list: list[int] = []
-        freq_list: list[float] = []
-        for doc in inter.tolist():
-            lists = []
-            for ks in keysets:
-                lo = int(np.searchsorted(ks, doc * M))
-                hi = int(np.searchsorted(ks, (doc + 1) * M))
-                if lo == hi:
-                    lists = None
-                    break
-                lists.append((ks[lo:hi] - doc * M).tolist())
-            if lists is None:
-                continue
-            freq = _sloppy_freq(lists, slop)
-            if freq > 0.0:
-                udoc_list.append(doc)
-                freq_list.append(freq)
-        if not udoc_list:
+        udocs, freqs64 = _sloppy_freqs_bulk(keysets, slop, M)
+        if len(udocs) == 0:
             return E
-        udocs = np.asarray(udoc_list, np.int64)
-        freqs = np.asarray(freq_list, np.float64).astype(np.float32)
+        freqs = freqs64.astype(np.float32)
     # idf = float32 sum over the phrase's terms in order
     # (BM25Similarity.computeWeight over TermStatistics[])
     idf_sum = np.float32(0.0)
@@ -2390,9 +2426,9 @@ class IndexSearcher:
         the search score). Nested tree and phrase kinds recurse
         clause-by-clause through _explain_node (which evaluates every
         sub-node with the identical _eval_tree kernel and boost
-        cascade — IndexSearcher.java:561-588); multi_phrase stays
-        unsupported. Slow path by design: decodes just the
-        (term, shard-of-doc) posting rows."""
+        cascade — IndexSearcher.java:561-588); multi_phrase explains
+        as one leaf via _eval_multi_phrase. Slow path by design:
+        decodes just the (term, shard-of-doc) posting rows."""
         from lucene_solr_spark.index.codec import decode_posting_list
 
         q = rewrite(query)
@@ -2418,11 +2454,10 @@ class IndexSearcher:
                         "description": "doc is deleted (liveDocs)"}
 
         if kind in ("tree", "phrase", "multi_phrase"):
-            pdf = (
-                self._matched(sorted(set(terms)))
-                .where(F.col("shard") == shard)
-                .toPandas()
-            )
+            m = self._matched(sorted(set(terms)))
+            if not _spec_needs_positions(spec):
+                m = m.drop("pos_enc")  # heaviest column; boolean trees
+            pdf = m.where(F.col("shard") == shard).toPandas()
             nr = (
                 self._norms_for_query(None)
                 .where(F.col("shard") == shard)

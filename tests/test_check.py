@@ -95,10 +95,22 @@ def test_check_shard_catches_each_invariant(tiny):
     p.at[0, "block_max_norm"] = bmn
     assert "block_max_norm" in _viols(p, d0)
 
+    # missing skip metadata must be loud, not green
+    p = p0.copy()
+    p.at[0, "block_last"] = []
+    p.at[0, "block_doc_off"] = []
+    assert "block_missing" in _viols(p, d0)
+
     # norm range violation
     d = d0.copy()
     d.loc[0, "norm"] = 999
     assert "norm_range" in _viols(p0, d)
+
+    # empty doc_map slice: every posting is a doc_exists violation,
+    # reported (not an IndexError crash inside the executor)
+    d_empty = d0.iloc[0:0].copy()
+    v = _viols(p0, d_empty)
+    assert "doc_exists" in v
 
     # posting doc missing from doc_map
     d = d0.copy()

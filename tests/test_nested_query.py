@@ -448,6 +448,51 @@ def test_explain_phrase_bitwise(tiny_index):
     assert ex2["match"] is True and ex2["score"] > 0.0
 
 
+def test_sloppy_bulk_matches_scalar_sweep():
+    """_sloppy_freqs_bulk (the vectorized all-docs kernel) must equal
+    the scalar _sloppy_freq sweep doc-by-doc on randomized inputs —
+    the slow-vs-fast scorer dueling discipline
+    (ThreadedIndexingAndSearchingTestCase analog). Equality is at
+    float32 — the precision the freq feeds BM25 at — because reduceat
+    (pairwise f64 summation) and the scalar left-fold can differ in
+    the last f64 ulp over identical window sets."""
+    import numpy as np
+
+    from lucene_solr_spark.search.searcher import (
+        _sloppy_freq,
+        _sloppy_freqs_bulk,
+    )
+
+    rng = np.random.RandomState(7)
+    M = np.int64(1) << np.int64(32)
+    for trial in range(30):
+        k = int(rng.randint(2, 5))
+        n_docs = int(rng.randint(1, 8))
+        slop = int(rng.randint(0, 5))
+        per_doc: dict[int, list[list[int]]] = {}
+        keysets = []
+        for i in range(k):
+            keys = []
+            for d in range(n_docs):
+                npos = int(rng.randint(0, 6))
+                pos = np.unique(rng.randint(1, 25, npos)).tolist()
+                per_doc.setdefault(d, [[] for _ in range(k)])[i] = pos
+                keys.extend(np.int64(d) * M + np.int64(p) for p in pos)
+            keysets.append(np.array(sorted(keys), np.int64))
+        bd, bf = _sloppy_freqs_bulk(keysets, slop, M)
+        bulk = dict(zip(bd.tolist(), bf.tolist()))
+        for d, lists in per_doc.items():
+            expect = (
+                _sloppy_freq(lists, slop)
+                if all(len(x) for x in lists)
+                else 0.0
+            )
+            got = bulk.get(d, 0.0)
+            assert np.float32(got) == np.float32(expect), (
+                trial, d, lists, slop, got, expect,
+            )
+
+
 def test_explain_multiphrase_bitwise(tiny_index):
     """explain of a MultiPhraseQuery: root score bitwise equals the
     search score (position alternatives explained as one leaf)."""
