@@ -15,6 +15,9 @@ a term, wildcard, fuzzy, or range clause):
                ['^' boost]     (QueryParser.jj:76,167 Range tokens:
                '[' ']' inclusive, '{' '}' exclusive; '*' = open bound;
                bounds lowercased, not analyzed -> TermRangeQuery)
+    group   may be field-scoped: `field:(...)` sets the default field
+               of the grouped sub-query; phrases likewise accept a
+               `field:"..."` prefix (QueryParser.jj Clause production)
     term    := [field ':'] word ['~' [edits | float-similarity]]
                ['^' boost]
                ('-'/'+' are operators only at clause start; mid-word
@@ -63,7 +66,8 @@ _TOKEN_RE = re.compile(
   | (?P<bang>!)
   | (?P<andop>&&)
   | (?P<orop>\|\|)
-  | "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>[0-9]+(?:\.[0-9]+)?))?
+  | (?:(?P<pfield>[^\s()+\-!"^~:\[\]{}]+):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>[0-9]+(?:\.[0-9]+)?))?
+  | (?P<gfield>[^\s()+\-!"^~:\[\]{}]+):(?=\()
   | \^(?P<boost>[0-9]+(?:\.[0-9]+)?)
   | (?:(?P<rfield>[^\s()+\-!"^~:\[\]{}]+):)?(?P<lbr>[\[{])\s*(?P<rlo>[^\s\]}]+)\s+TO\s+(?P<rhi>[^\s\]}]+)\s*(?P<rbr>[\]}])(?:\^(?P<rboost>[0-9]+(?:\.[0-9]+)?))?
   | (?P<term>[^\s()+\-!"^~][^\s()!"^~]*)(?:~(?P<edits>[0-9]*(?:\.[0-9]+)?))?(?:\^(?P<tboost>[0-9]+(?:\.[0-9]+)?))?
@@ -104,6 +108,7 @@ def _lex(s: str) -> list[tuple]:
                     "PHRASE",
                     {
                         "text": m.group("phrase"),
+                        "field": m.group("pfield"),
                         "slop": int(m.group("slop")) if m.group("slop") else 0,
                         "boost": float(m.group("pboost"))
                         if m.group("pboost")
@@ -111,6 +116,10 @@ def _lex(s: str) -> list[tuple]:
                     },
                 )
             )
+        elif m.group("gfield") is not None:
+            # `field:(...)` — the field scopes the following group
+            # (QueryParser.jj Clause: [TermToken COLON] LPAREN Query)
+            out.append(("FIELD", m.group("gfield")))
         elif m.group("boost") is not None:
             out.append(("BOOST", float(m.group("boost"))))
         elif m.group("lbr") is not None:
@@ -185,7 +194,12 @@ class QueryParser:
 
     # ---- recursive descent ------------------------------------------
 
-    def _parse_query(self, toks: list, i: int) -> tuple[Query | None, int]:
+    def _parse_query(
+        self, toks: list, i: int, field: str | None = None
+    ) -> tuple[Query | None, int]:
+        """`field` is the enclosing `field:(...)` scope (QueryParser.jj
+        sets the default field for the grouped sub-query); an explicit
+        `f:term` inside still overrides it."""
         clauses: list[Clause] = []
         conj = None
         mods = None
@@ -209,8 +223,15 @@ class QueryParser:
                 mods = "MINUS"
                 i += 1
                 continue
+            sub_field = field
+            if t == "FIELD":
+                if i + 1 >= len(toks) or toks[i + 1][0] != "(":
+                    raise ValueError("field scope must precede a group")
+                sub_field = payload
+                i += 1
+                t, payload = toks[i]
             if t == "(":
-                sub, i = self._parse_query(toks, i + 1)
+                sub, i = self._parse_query(toks, i + 1, field=sub_field)
                 if i >= len(toks) or toks[i][0] != ")":
                     raise ValueError("missing ')'")
                 i += 1
@@ -220,13 +241,13 @@ class QueryParser:
                     i += 1
                 q = sub
             elif t == "PHRASE":
-                q = self._phrase_query(payload)
+                q = self._phrase_query(payload, default_field=field)
                 i += 1
             elif t == "RANGE":
-                q = self._range_query(payload)
+                q = self._range_query(payload, default_field=field)
                 i += 1
             elif t == "TERM":
-                q = self._term_query(payload)
+                q = self._term_query(payload, default_field=field)
                 i += 1
             else:
                 raise ValueError(f"unexpected token {t}")
@@ -261,10 +282,10 @@ class QueryParser:
             return clauses[0].query
         return BooleanQuery(tuple(clauses))
 
-    def _term_query(self, p: dict) -> Query | None:
+    def _term_query(self, p: dict, default_field: str | None = None) -> Query | None:
         word = p["text"]
         boost = p["boost"]
-        field = None
+        field = default_field
         if ":" in word:
             # classic fielded clause `field:term`
             # (QueryParser.jj Clause production)
@@ -298,7 +319,7 @@ class QueryParser:
                 )
         return BoostQuery(q, boost) if boost is not None else q
 
-    def _range_query(self, p: dict) -> Query:
+    def _range_query(self, p: dict, default_field: str | None = None) -> Query:
         """`[a TO b]` / `{a TO b}` -> TermRangeQuery (QueryParser.jj
         Range production; RangeQueryNode semantics). Bounds are
         lowercased, not analyzed (lowercaseExpandedTerms); `*` is an
@@ -312,19 +333,20 @@ class QueryParser:
             hi,
             include_lower=p["include_lower"],
             include_upper=p["include_upper"],
-            field=p["field"],
+            field=p["field"] or default_field,
         )
         boost = p["boost"]
         return BoostQuery(q, boost) if boost is not None else q
 
-    def _phrase_query(self, p: dict) -> Query | None:
+    def _phrase_query(self, p: dict, default_field: str | None = None) -> Query | None:
+        field = p.get("field") or default_field
         toks = self._tokens(p["text"])
         if not toks:
             return None
         if len(toks) == 1:
-            q: Query = TermQuery(toks[0])
+            q: Query = TermQuery(toks[0], field=field)
         else:
-            q = PhraseQuery(tuple(toks), slop=p["slop"])
+            q = PhraseQuery(tuple(toks), slop=p["slop"], field=field)
         boost = p["boost"]
         return BoostQuery(q, boost) if boost is not None else q
 

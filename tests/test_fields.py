@@ -205,6 +205,32 @@ def test_parser_fielded_prefix_and_range(fielded):
     assert excl <= incl
 
 
+def test_field_scoped_group_end_to_end(fielded):
+    """`source:(src1 OR src3) AND table` == the explicit fielded
+    disjunction conjoined with the text term."""
+    from lucene_solr_spark.search.query import BooleanQuery, Clause
+
+    s, _ = fielded
+    q1 = parse_query("source:(src1 OR src3) AND table")
+    q2 = BooleanQuery(
+        (
+            Clause(
+                "MUST",
+                BooleanQuery(
+                    (
+                        Clause("SHOULD", TermQuery("src1", field="source")),
+                        Clause("SHOULD", TermQuery("src3", field="source")),
+                    )
+                ),
+            ),
+            Clause("MUST", TermQuery("table")),
+        )
+    )
+    a = [(r.doc_id, r.score) for r in s.search(q1, k=30).collect()]
+    b = [(r.doc_id, r.score) for r in s.search(q2, k=30).collect()]
+    assert a == b and len(a) > 0
+
+
 def test_classic_rejects_fielded(fielded):
     s, _ = fielded
     with pytest.raises(ValueError):

@@ -138,6 +138,25 @@ def test_parse_fielded_multiterm():
     )
 
 
+def test_parse_field_scoped_group_and_phrase():
+    """QueryParser.jj Clause: `field:(...)` scopes the group's default
+    field; `field:"phrase"` scopes a phrase; an explicit `f:term`
+    inside a scoped group overrides the scope."""
+    q = parse_query("source:(src1 src3)")
+    assert isinstance(q, BooleanQuery)
+    assert all(c.query.field == "source" for c in q.clauses)
+    q2 = parse_query('text:"table scan"~2')
+    assert q2 == PhraseQuery(("table", "scan"), slop=2, field="text")
+    assert parse_query('source:"src3"') == TermQuery("src3", field="source")
+    q3 = parse_query("source:(src1 f:x)")
+    assert [c.query.field for c in q3.clauses] == ["source", "f"]
+    q4 = parse_query("a:(b c)^2")
+    assert isinstance(q4, BoostQuery) and q4.boost == 2.0
+    # unscoped groups keep the default field
+    q5 = parse_query("(table scan)")
+    assert all(c.query.field is None for c in q5.clauses)
+
+
 def test_parse_boosts():
     assert parse_query("table^2") == BoostQuery(TermQuery("table"), 2.0)
     q = parse_query("(table scan)^3 vector")
