@@ -361,6 +361,8 @@ def edismax_query(
     tie: float = 0.0,
     mm: int = 0,
     analyzer: str = "standard",
+    pf: dict[str, float] | None = None,
+    ps: int = 0,
 ) -> Query | None:
     """(e)dismax parser subset (solr/.../search/DisMaxQParser.java:77-131,
     ExtendedDismaxQParser.java main-clause path): analyze the user
@@ -368,7 +370,14 @@ def edismax_query(
     (per-field boost folded into the alternative's weight), and combine
     the per-term DisMaxes as SHOULD clauses with minShouldMatch = mm
     (DisMaxQParser.parseClauses + U.setMinShouldMatch). Returns None
-    for an empty/all-stopword string."""
+    for an empty/all-stopword string.
+
+    `pf` (phrase fields) + `ps` (phrase slop): when the string analyzes
+    to >= 2 tokens, a boosted PhraseQuery over the WHOLE token sequence
+    is added per pf field as an optional clause on top of the required
+    main query (DisMaxQParser.addBoostQuery / getPhraseQuery — docs
+    matching the full phrase score main + phrase, others keep the main
+    score: ReqOptSumScorer shape)."""
     from lucene_solr_spark.analysis.analyzers import ANALYZERS
 
     toks = ANALYZERS[analyzer](pd.Series([s]))[0]
@@ -381,4 +390,13 @@ def edismax_query(
             tq: Query = TermQuery(t, field=f)
             alts.append(BoostQuery(tq, float(b)) if float(b) != 1.0 else tq)
         clauses.append(Clause("SHOULD", DisMaxQuery(tuple(alts), tie)))
-    return BooleanQuery(tuple(clauses), min_should_match=mm)
+    main = BooleanQuery(tuple(clauses), min_should_match=mm)
+    if not pf or len(toks) < 2:
+        return main
+    phrase_clauses: list[Clause] = []
+    for f, b in pf.items():
+        pq: Query = PhraseQuery(tuple(toks), slop=int(ps), field=f)
+        phrase_clauses.append(
+            Clause("SHOULD", BoostQuery(pq, float(b)) if float(b) != 1.0 else pq)
+        )
+    return BooleanQuery((Clause("MUST", main), *phrase_clauses))

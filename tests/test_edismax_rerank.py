@@ -110,6 +110,59 @@ def test_edismax_empty_and_mm():
     assert q.min_should_match == 2
 
 
+def test_edismax_phrase_fields_boost(spark, tmp_path):
+    """pf/ps (DisMaxQParser.addBoostQuery): the analyzed query string
+    becomes a boosted optional PhraseQuery per pf field on top of the
+    required main query — docs matching the phrase add its score, the
+    rest keep the main score; with equal term stats the phrase doc
+    outranks the bag-of-words doc."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.query import (
+        BooleanQuery,
+        BoostQuery,
+        Clause,
+        PhraseQuery,
+    )
+
+    rows = [
+        (0, "alpha gamma beta"),   # exact phrase "alpha gamma"
+        (1, "gamma alpha beta"),   # transposed: adjusted spread 2
+    ]
+    out = str(tmp_path / "pfix")
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(
+        spark, src, out,
+        IndexConfig(n_shards=1, segs_per_shard=1, id_col="doc_id",
+                    text_col="text", sharding="range_int",
+                    index_positions=True),
+    )
+    s = IndexSearcher(spark, out)
+    q = edismax_query("alpha gamma", {"text": 1.0}, pf={"text": 2.0})
+    got = _scores(s.search(q, k=None))
+    manual = BooleanQuery(
+        (
+            Clause("MUST", edismax_query("alpha gamma", {"text": 1.0})),
+            Clause(
+                "SHOULD",
+                BoostQuery(PhraseQuery(("alpha", "gamma"), field="text"), 2.0),
+            ),
+        )
+    )
+    want = _scores(s.search(manual, k=None))
+    assert got == want and set(got) == {0, 1}
+    assert got[0] > got[1]  # phrase match boosts doc 0
+    # ps relaxes adjacency: slop 2 reaches doc 1's transposed pair too
+    q2 = edismax_query("alpha gamma", {"text": 1.0}, pf={"text": 2.0}, ps=2)
+    got2 = _scores(s.search(q2, k=None))
+    assert got2[1] > got[1]
+    # no pf or a one-token string -> plain main query
+    assert edismax_query("alpha gamma", {"text": 1.0}) == edismax_query(
+        "alpha gamma", {"text": 1.0}, pf=None
+    )
+    assert edismax_query("alpha", {"text": 1.0}, pf={"text": 2.0}) == \
+        edismax_query("alpha", {"text": 1.0})
+
+
 def test_rerank_matches_manual(spark, docs_index):
     """rerank == manual: top-100 of the main query, +w*rq where rq
     matches (f64 combine, f32 cast), reordered (score desc, doc asc)."""
