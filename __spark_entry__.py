@@ -108,6 +108,33 @@ def _simple_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_ENGLISH_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _english_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index analyzed with the EnglishAnalyzer chain (en/EnglishAnalyzer.
+    java:104-113: standard tokens -> possessive strip -> stop ->
+    PorterStemFilter). The arrow engine stems the pyarrow term
+    DICTIONARY (per unique term, not per token); 'queries' and 'query'
+    collapse to the same posting ('queri')."""
+    key = f"{sf_dir}:english:{_engine_fingerprint()}"
+    if key in _ENGLISH_SEARCHERS:
+        return _ENGLISH_SEARCHERS[key]
+    digest = hashlib.sha256(key.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), "lss_index_cache", digest)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_index(
+            spark, src, out,
+            IndexConfig(n_shards=4, segs_per_shard=2, analyzer="english",
+                        id_col="doc_id", text_col="text",
+                        sharding="range_int"),
+        )
+    s = IndexSearcher(spark, out)
+    _ENGLISH_SEARCHERS[key] = s
+    return s
+
+
 def _fielded_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Multi-field index: `text` (default) + `source` as a second
     analyzed field (per-field postings/norms/stats — Term.java:36,
@@ -233,6 +260,50 @@ tok2 AS (
 tok2 AS (SELECT doc_id, term FROM toks),""",
 )
 assert "regexp_extract_all" in _BM25_CTES_SIMPLE, "CTE rewrite failed"
+
+
+def _english_ctes() -> str:
+    """EnglishAnalyzer variant of the BM25 CTEs (en/EnglishAnalyzer.
+    java:104-113): standard tokens -> possessive strip -> lowercase ->
+    stop filter -> PorterStemFilter. The stemmer runs over the DISTINCT
+    terms (mirroring the engine's dictionary-stemming seam) via the
+    stem module's own SQL generator, then joins the mapping back;
+    doc_len counts emitted tokens (stemming drops nothing)."""
+    from lucene_solr_spark.analysis.stem import porter_sql_ctes
+
+    head = f"""
+tokse AS (
+  SELECT doc_id, lower(t) AS t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) q WHERE t <> '' AND length(t) <= 255
+),
+tok1 AS (
+  SELECT doc_id, regexp_replace(t, '[''’＇]s$', '') AS term
+  FROM tokse
+),
+tok1f AS MATERIALIZED (
+  SELECT doc_id, term FROM tok1 WHERE term NOT IN ({_STOP})
+),
+dterm AS MATERIALIZED (SELECT DISTINCT term FROM tok1f),
+{porter_sql_ctes("dterm")},
+tok2 AS (
+  SELECT t.doc_id, p.stem AS term
+  FROM tok1f t JOIN porter_out p USING (term)
+),
+"""
+    tail = _BM25_CTES[_BM25_CTES.index("dl AS ("):]
+    return head + tail
+
+
+_BM25_CTES_ENGLISH = _english_ctes()
+
+
+def _english_term_sql(term: str, k: int) -> str:
+    return (
+        f"WITH {_BM25_CTES_ENGLISH}, {_sc_cte((term,))} "
+        f"SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
+        f"ORDER BY s DESC, doc_id LIMIT {k}"
+    )
 
 
 def _simple_term_sql(term: str, k: int) -> str:
@@ -574,6 +645,20 @@ def _q_simple_analyzer(spark, sf):
     (letter runs + lowercase, no stop filter)."""
     s = _simple_searcher_for(spark, sf)
     return s.search(TermQuery("the"), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_english_stem(spark, sf):
+    """EnglishAnalyzer chain end-to-end: BM25 top-K for 'queri' — the
+    Porter stem of the corpus term 'query' (en/EnglishAnalyzer.java:
+    104-113 chain; PorterStemmer.java:115-488). The raw term 'query'
+    does not exist in this index (step2 y->i rewrites it), so a hit
+    proves the index-side dictionary stemming; the oracle re-derives
+    the stem with an independent SQL Porter implementation."""
+    s = _english_searcher_for(spark, sf)
+    return s.search(TermQuery("queri"), k=K).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("score").cast("double").alias("score"),
     )
@@ -1647,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_parser_range_topk": _q_parser_range,
         "fielded_prefix_topk": _q_fielded_prefix,
         "dedup_simhash_docs32": _op_simhash32,
+        "english_stem_term_topk": _q_english_stem,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
@@ -1812,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         "edismax_topk": _edismax_sql(K),
         "highlight_term_topk": _highlight_sql(Q_TERM, K),
         "simple_analyzer_term_topk": _simple_term_sql("the", K),
+        "english_stem_term_topk": _english_term_sql("queri", K),
         "rerank_topk": _rerank_sql(
             ("table", "vector", "customer"), "scan", 100, 2.0, K
         ),

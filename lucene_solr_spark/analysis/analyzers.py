@@ -160,6 +160,56 @@ def tokenize_stop_with_positions(texts: pd.Series) -> pd.Series:
     )
 
 
+_POSSESSIVE_RE = re.compile("['’＇][sS]$")
+
+
+def strip_possessive(t: str) -> str:
+    """EnglishPossessiveFilter (analysis/common/.../en/
+    EnglishPossessiveFilter.java:44-52): drop a trailing 's (any of
+    ' ’ ＇, s or S)."""
+    return _POSSESSIVE_RE.sub("", t)
+
+
+def _english_finish(toks: list[str], stem) -> list[tuple[str, int]]:
+    """EnglishAnalyzer chain after tokenization (en/EnglishAnalyzer.
+    java:104-113: StandardFilter -> EnglishPossessiveFilter ->
+    LowerCaseFilter -> StopFilter -> PorterStemFilter): emitted
+    (term, pos) pairs; dropped/stopped tokens advance positions."""
+    out = []
+    pos = -1
+    for t in toks:
+        pos += 1
+        if len(t) > MAX_TOKEN_LENGTH:
+            continue
+        lt = strip_possessive(t).lower()
+        if lt in ENGLISH_STOP_WORDS:
+            continue
+        out.append((stem(lt), pos))
+    return out
+
+
+def _make_english(stem, with_pos: bool):
+    from lucene_solr_spark.analysis.stem import porter_stem  # noqa: F401
+
+    def tokenize(texts: pd.Series) -> pd.Series:
+        memo: dict[str, str] = {}
+
+        def cached(t: str) -> str:
+            s = memo.get(t)
+            if s is None:
+                s = memo[t] = stem(t)
+            return s
+
+        tokens = texts.fillna("").str.findall(_TOKEN_RE)
+        if with_pos:
+            return tokens.map(lambda ts: _english_finish(ts, cached))
+        return tokens.map(
+            lambda ts: [t for t, _ in _english_finish(ts, cached)]
+        )
+
+    return tokenize
+
+
 def tokenize_keyword(texts: pd.Series) -> pd.Series:
     """KeywordAnalyzer analog (core/KeywordTokenizer.java): the entire
     input is ONE token, verbatim (no folding, no stops); empty input
@@ -171,12 +221,27 @@ def tokenize_keyword_with_positions(texts: pd.Series) -> pd.Series:
     return texts.fillna("").map(lambda t: [(t, 0)] if t else [])
 
 
+def _english_analyzers():
+    from lucene_solr_spark.analysis.stem import minimal_stem_en, porter_stem
+
+    return {
+        "english": _make_english(porter_stem, False),
+        "english_minimal": _make_english(minimal_stem_en, False),
+    }, {
+        "english": _make_english(porter_stem, True),
+        "english_minimal": _make_english(minimal_stem_en, True),
+    }
+
+
+_EN, _EN_POS = _english_analyzers()
+
 ANALYZERS = {
     "standard": tokenize_standard,
     "whitespace": tokenize_whitespace,
     "simple": tokenize_simple,
     "stop": tokenize_stop,
     "keyword": tokenize_keyword,
+    **_EN,
 }
 
 ANALYZERS_POS = {
@@ -185,7 +250,24 @@ ANALYZERS_POS = {
     "simple": tokenize_simple_with_positions,
     "stop": tokenize_stop_with_positions,
     "keyword": tokenize_keyword_with_positions,
+    **_EN_POS,
 }
+
+# analyzers whose stemming step runs on the term DICTIONARY in the
+# arrow engine (|vocab| python calls per segment, never per token);
+# the JVM tokens column for these is the unstemmed standard+possessive
+# chain and the arrow builder stems the pyarrow dictionary.
+DICT_STEMMERS: dict = {}
+
+
+def _register_dict_stemmers():
+    from lucene_solr_spark.analysis.stem import minimal_stem_en, porter_stem
+
+    DICT_STEMMERS["english"] = porter_stem
+    DICT_STEMMERS["english_minimal"] = minimal_stem_en
+
+
+_register_dict_stemmers()
 
 
 def doc_lengths(token_lists: pd.Series) -> np.ndarray:

@@ -146,12 +146,56 @@ def keyword_tokens_pos_col(text: Column) -> Column:
     )
 
 
+_POSSESSIVE_RE_JAVA = "['’＇]s$"  # input lowercased first, so no [sS]
+
+
+def english_tokens_col(text: Column) -> Column:
+    """EnglishAnalyzer chain MINUS the stem step (en/EnglishAnalyzer.
+    java:104-113): standard tokens -> possessive strip -> stop filter.
+    PorterStemFilter runs on the pyarrow term dictionary inside the
+    arrow segment builder (analyzers.DICT_STEMMERS) — per unique term,
+    not per token — so the JVM column stays whole-stage-codegen."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE_JAVA), F.lit(0))
+    stripped = F.transform(
+        toks,
+        lambda t: F.when(
+            F.length(t) <= MAX_TOKEN_LENGTH,
+            F.regexp_replace(t, _POSSESSIVE_RE_JAVA, ""),
+        ).otherwise(t),
+    )
+    return F.filter(
+        stripped,
+        lambda t: (F.length(t) <= MAX_TOKEN_LENGTH) & ~F.array_contains(_STOP_ARR, t),
+    )
+
+
+def english_tokens_pos_col(text: Column) -> Column:
+    toks = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE_JAVA), F.lit(0))
+    pairs = F.transform(
+        toks,
+        lambda t, i: F.struct(
+            F.when(
+                F.length(t) <= MAX_TOKEN_LENGTH,
+                F.regexp_replace(t, _POSSESSIVE_RE_JAVA, ""),
+            ).otherwise(t).alias("term"),
+            i.cast("int").alias("pos"),
+        ),
+    )
+    return F.filter(
+        pairs,
+        lambda s: (F.length(s["term"]) <= MAX_TOKEN_LENGTH)
+        & ~F.array_contains(_STOP_ARR, s["term"]),
+    )
+
+
 JVM_ANALYZERS = {
     "standard": standard_tokens_col,
     "whitespace": whitespace_tokens_col,
     "simple": simple_tokens_col,
     "stop": stop_tokens_col,
     "keyword": keyword_tokens_col,
+    "english": english_tokens_col,
+    "english_minimal": english_tokens_col,
 }
 JVM_ANALYZERS_POS = {
     "standard": standard_tokens_pos_col,
@@ -159,4 +203,6 @@ JVM_ANALYZERS_POS = {
     "simple": simple_tokens_pos_col,
     "stop": stop_tokens_pos_col,
     "keyword": keyword_tokens_pos_col,
+    "english": english_tokens_pos_col,
+    "english_minimal": english_tokens_pos_col,
 }

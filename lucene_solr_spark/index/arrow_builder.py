@@ -75,12 +75,18 @@ def _list_array(parts: list[np.ndarray], dtype) -> pa.Array:
 
 def make_arrow_segment_builder(
     key_kind: str, index_positions: bool, field_name: str = "text",
-    codec: str = "vbyte",
+    codec: str = "vbyte", stem=None,
 ):
     """Returns the applyInArrow function building ONE segment's rows.
 
     Single-field fast path; multi-field builds use the pandas engine
-    (builder._make_segment_builder with `fields`)."""
+    (builder._make_segment_builder with `fields`).
+
+    `stem`: optional per-term stemmer (analyzers.DICT_STEMMERS — the
+    PorterStemFilter seam). Applied to the pyarrow DICTIONARY only
+    (|vocab| python calls per segment batch, never per token); terms
+    whose stems collide merge into one posting via a code remap, and
+    positions / doc lengths are untouched (stemming drops nothing)."""
 
     def build_segment(tbl: pa.Table) -> pa.Table:
         schema = _arrow_schema()
@@ -118,12 +124,25 @@ def make_arrow_segment_builder(
                 denc = denc.combine_chunks()
             codes_raw = denc.indices.to_numpy().astype(np.int64)
             dictionary = denc.dictionary
-            # byte-order ranks for the dictionary -> sorted term ids
-            sort_idx = pc.array_sort_indices(dictionary).to_numpy().astype(np.int64)
-            rank = np.empty(len(dictionary), np.int64)
-            rank[sort_idx] = np.arange(len(dictionary), dtype=np.int64)
-            codes = rank[codes_raw]
-            uniques = dictionary.take(pa.array(sort_idx)).to_pylist()
+            if stem is not None:
+                # stem the dictionary; colliding stems merge via the
+                # inverse map (np.unique sorts by codepoint = utf-8
+                # byte order, the Term comparison contract)
+                stems = np.array(
+                    [stem(t) for t in dictionary.to_pylist()], object
+                )
+                uniq, inv = np.unique(stems, return_inverse=True)
+                uniques = uniq.tolist()
+                codes = inv.astype(np.int64)[codes_raw]
+            else:
+                # byte-order ranks for the dictionary -> sorted term ids
+                sort_idx = (
+                    pc.array_sort_indices(dictionary).to_numpy().astype(np.int64)
+                )
+                rank = np.empty(len(dictionary), np.int64)
+                rank[sort_idx] = np.arange(len(dictionary), dtype=np.int64)
+                codes = rank[codes_raw]
+                uniques = dictionary.take(pa.array(sort_idx)).to_pylist()
             n_terms = len(uniques)
 
             doc_ord = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)

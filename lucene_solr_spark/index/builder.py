@@ -551,11 +551,13 @@ def build_index(
             if cfg.index_positions
             else JVM_ANALYZERS[cfg.analyzer]
         )
+        from lucene_solr_spark.analysis.analyzers import DICT_STEMMERS
+
         todo_tok = todo.withColumn("toks", tok_col(F.col("text"))).drop("text")
         seg_rows = todo_tok.groupBy("g").applyInArrow(
             make_arrow_segment_builder(
                 key_kind, cfg.index_positions, field_name=cfg.text_col,
-                codec=cfg.codec,
+                codec=cfg.codec, stem=DICT_STEMMERS.get(cfg.analyzer),
             ),
             SEGMENT_SCHEMA,
         )
