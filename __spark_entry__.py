@@ -135,6 +135,33 @@ def _english_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_SYNONYM_SEARCHERS: dict[str, IndexSearcher] = {}
+_SYNONYMS = {"fast": ("quick", "speedy"), "big": ("large",)}
+
+
+def _synonym_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index with index-time synonym expansion (SynonymFilter analog,
+    includeOrig=true — analysis/synonyms.py; SynonymMap.java:205).
+    Injected tokens share the original's position and count toward the
+    norm (DefaultIndexingChain.java:637)."""
+    key = f"{sf_dir}:syn:{_engine_fingerprint()}"
+    if key in _SYNONYM_SEARCHERS:
+        return _SYNONYM_SEARCHERS[key]
+    digest = hashlib.sha256(key.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), "lss_index_cache", digest)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_index(
+            spark, src, out,
+            IndexConfig(n_shards=4, segs_per_shard=2, analyzer="standard",
+                        id_col="doc_id", text_col="text",
+                        sharding="range_int", synonyms=_SYNONYMS),
+        )
+    s = IndexSearcher(spark, out)
+    _SYNONYM_SEARCHERS[key] = s
+    return s
+
+
 def _fielded_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Multi-field index: `text` (default) + `source` as a second
     analyzed field (per-field postings/norms/stats — Term.java:36,
@@ -301,6 +328,50 @@ _BM25_CTES_ENGLISH = _english_ctes()
 def _english_term_sql(term: str, k: int) -> str:
     return (
         f"WITH {_BM25_CTES_ENGLISH}, {_sc_cte((term,))} "
+        f"SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
+        f"ORDER BY s DESC, doc_id LIMIT {k}"
+    )
+
+
+def _synonym_ctes() -> str:
+    """Synonym-expanded variant of the BM25 CTEs: every emitted token
+    additionally emits its mapped synonyms (same doc — position is
+    irrelevant to BM25), and doc_len counts the injected tokens."""
+    vals = ", ".join(
+        f"('{k}', '{v}')" for k, vs in sorted(_SYNONYMS.items()) for v in vs
+    )
+    # inject syns/tok2x right after tok2 (CTEs are order-sensitive),
+    # then point every downstream reader of tok2 at tok2x: doc_len
+    # counts injected tokens and tf/df see the synonym postings.
+    old_dl = """dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS doc_len
+  FROM documents d LEFT JOIN tok2 t USING (doc_id) GROUP BY d.doc_id
+),"""
+    new_dl = f"""syns(term, syn) AS (VALUES {vals}),
+tok2x AS (
+  SELECT doc_id, term FROM tok2
+  UNION ALL
+  SELECT t.doc_id, s.syn AS term FROM tok2 t JOIN syns s USING (term)
+),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS doc_len
+  FROM documents d LEFT JOIN tok2x t USING (doc_id) GROUP BY d.doc_id
+),"""
+    out = _BM25_CTES.replace(old_dl, new_dl)
+    assert "tok2x" in out, "synonym CTE rewrite failed"
+    old_tf = "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, term),"
+    new_tf = "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2x GROUP BY doc_id, term),"
+    out2 = out.replace(old_tf, new_tf)
+    assert out2 != out, "synonym tf rewrite failed"
+    return out2
+
+
+_BM25_CTES_SYNONYM = _synonym_ctes()
+
+
+def _synonym_term_sql(term: str, k: int) -> str:
+    return (
+        f"WITH {_BM25_CTES_SYNONYM}, {_sc_cte((term,))} "
         f"SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
         f"ORDER BY s DESC, doc_id LIMIT {k}"
     )
@@ -645,6 +716,20 @@ def _q_simple_analyzer(spark, sf):
     (letter runs + lowercase, no stop filter)."""
     s = _simple_searcher_for(spark, sf)
     return s.search(TermQuery("the"), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_synonym(spark, sf):
+    """Index-time synonyms end-to-end: BM25 top-K for 'quick' — a term
+    that never occurs raw in the corpus, injected as a synonym of
+    'fast' (includeOrig=true, SynonymMap.java:205). The score differs
+    from a plain 'fast' query on the standard index because injected
+    tokens lengthen the docs (DefaultIndexingChain.java:637) and the
+    oracle reproduces both effects."""
+    s = _synonym_searcher_for(spark, sf)
+    return s.search(TermQuery("quick"), k=K).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("score").cast("double").alias("score"),
     )
@@ -1733,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fielded_prefix_topk": _q_fielded_prefix,
         "dedup_simhash_docs32": _op_simhash32,
         "english_stem_term_topk": _q_english_stem,
+        "synonym_term_topk": _q_synonym,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
@@ -1899,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         "highlight_term_topk": _highlight_sql(Q_TERM, K),
         "simple_analyzer_term_topk": _simple_term_sql("the", K),
         "english_stem_term_topk": _english_term_sql("queri", K),
+        "synonym_term_topk": _synonym_term_sql("quick", K),
         "rerank_topk": _rerank_sql(
             ("table", "vector", "customer"), "scan", 100, 2.0, K
         ),

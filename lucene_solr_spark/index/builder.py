@@ -113,6 +113,12 @@ class IndexConfig:
     # frames, ForUtil.java:36-47 analog — the PForDelta-family variant
     # the north star names). Pluggable behind one seam (index/codec.py).
     codec: str = "vbyte"
+    # index-time synonym map {term: (syn, ...)} applied to the DEFAULT
+    # field after the analyzer chain (SynonymFilter analog with
+    # includeOrig=true — see analysis/synonyms.py for the mirrored
+    # semantics: injected tokens share the position and count toward
+    # the norm). Incompatible with the stemming analyzers.
+    synonyms: dict | None = None
 
 
 SEGMENT_SCHEMA = StructType(
@@ -167,6 +173,7 @@ def _make_segment_builder(
     index_positions: bool = False,
     fields: tuple = (("text", "text"),),
     codec: str = "vbyte",
+    synonyms: dict | None = None,
 ):
     """Returns the applyInPandas function building ONE segment's rows.
 
@@ -192,15 +199,29 @@ def _make_segment_builder(
 
         tokenize_pos = ANALYZERS_POS[analyzer_name]
 
-    def invert(series: pd.Series, with_pos: bool):
+    def invert(series: pd.Series, with_pos: bool, expand: dict | None = None):
         """-> (doc_lens, norms, parts|None) where parts =
-        (uniques, dfs, cfs, enc, pos_encs)."""
+        (uniques, dfs, cfs, enc, pos_encs). `expand` = synonym map for
+        this field (analysis/synonyms.py — injected tokens share the
+        position and count toward doc_len/norm)."""
         n_docs = len(series)
         if with_pos:
             tp_lists = tokenize_pos(series)
+            if expand:
+                from lucene_solr_spark.analysis.synonyms import (
+                    expand_token_pos_lists,
+                )
+
+                tp_lists = expand_token_pos_lists(tp_lists, expand)
             doc_lens = tp_lists.str.len().to_numpy(np.int64)
         else:
             token_lists = tokenize(series)
+            if expand:
+                from lucene_solr_spark.analysis.synonyms import (
+                    expand_token_lists,
+                )
+
+                token_lists = expand_token_lists(token_lists, expand)
             doc_lens = token_lists.str.len().to_numpy(np.int64)
         norms = encode_norm(doc_lens)
         total = int(doc_lens.sum())
@@ -274,7 +295,9 @@ def _make_segment_builder(
         frames: list[pd.DataFrame] = []
         for fi, (fname, fcol) in enumerate(fields):
             with_pos = index_positions and fi == 0
-            doc_lens, norms, parts = invert(pdf[fcol], with_pos)
+            doc_lens, norms, parts = invert(
+                pdf[fcol], with_pos, synonyms if fi == 0 else None
+            )
             if parts is not None:
                 uniques, dfs, cfs, enc, pos_encs = parts
                 term_out = uniques.astype(str)
@@ -487,6 +510,15 @@ def build_index(
     from lucene_solr_spark.session import ensure_on_workers
 
     cfg = config or IndexConfig()
+    if cfg.synonyms:
+        from lucene_solr_spark.analysis.analyzers import DICT_STEMMERS
+
+        if cfg.analyzer in DICT_STEMMERS:
+            raise ValueError(
+                "synonyms are incompatible with stemming analyzers: the "
+                "arrow engine stems AFTER expansion and the pandas engine "
+                "before it — configure one or the other"
+            )
     ensure_on_workers(spark)
     os.makedirs(out_dir, exist_ok=True)
     _pt = _PhaseTimer()
@@ -553,7 +585,19 @@ def build_index(
         )
         from lucene_solr_spark.analysis.analyzers import DICT_STEMMERS
 
-        todo_tok = todo.withColumn("toks", tok_col(F.col("text"))).drop("text")
+        toks_expr = tok_col(F.col("text"))
+        if cfg.synonyms:
+            from lucene_solr_spark.analysis.synonyms import (
+                expand_tokens_col,
+                expand_tokens_pos_col,
+            )
+
+            toks_expr = (
+                expand_tokens_pos_col(toks_expr, cfg.synonyms)
+                if cfg.index_positions
+                else expand_tokens_col(toks_expr, cfg.synonyms)
+            )
+        todo_tok = todo.withColumn("toks", toks_expr).drop("text")
         seg_rows = todo_tok.groupBy("g").applyInArrow(
             make_arrow_segment_builder(
                 key_kind, cfg.index_positions, field_name=cfg.text_col,
@@ -567,6 +611,7 @@ def build_index(
             _make_segment_builder(
                 cfg.analyzer, cfg.segs_per_shard, key_kind,
                 cfg.index_positions, fields, cfg.codec,
+                synonyms=cfg.synonyms,
             ),
             SEGMENT_SCHEMA,
         )
