@@ -1053,6 +1053,196 @@ ORDER BY CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
 LIMIT {k}"""
 
 
+# ----------------------------------------------------------------------
+# Spans family (search/spans.py; reference search/spans/*.java)
+# ----------------------------------------------------------------------
+
+_TOKP_CTES = f"""
+rawp AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term,
+         generate_subscripts(string_split_regex(trim(text), ' +'), 1) - 1 AS pos
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term, pos FROM rawp
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
+)"""
+
+
+def _span_sql(ph_cte: str, idf_terms: tuple[str, ...], k: int) -> str:
+    """Shared BM25 tail of every span oracle: `ph_cte` must define
+    ph(doc_id, freq REAL); idf = f32 chain over idf_terms (the kernel
+    sums the DISTINCT scoring terms in SORTED order — pass them
+    sorted)."""
+    idf = "\n    + ".join(
+        f"(SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL)"
+        f" FROM dfs WHERE term = '{t}')"
+        for t in idf_terms
+    )
+    return f"""
+WITH {_BM25_CTES},
+{_TOKP_CTES},
+{ph_cte},
+idfs AS (SELECT {idf} AS s)
+SELECT ph.doc_id,
+  CAST(((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+       * ph.freq / (ph.freq + cachet.c) AS DOUBLE) AS score
+FROM ph JOIN cachet USING (doc_id)
+ORDER BY CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
+       * ph.freq / (ph.freq + cachet.c) AS REAL) DESC, ph.doc_id
+LIMIT {k}"""
+
+
+def _span_near_ordered_sql(t0: str, t1: str, slop: int, k: int) -> str:
+    """NearSpansOrdered with two unit spans: each t0 position pairs
+    with the MINIMAL t1 position after it (sub-span state persists
+    forward but is always the minimal successor for unit spans,
+    NearSpansOrdered.stretchToOrder); width = gap = b - a - 1, matched
+    when <= slop, slop factor 1/(1+width) summed f64 then cast f32."""
+    ph = f"""
+ph AS (
+  SELECT x.doc_id,
+         CAST(SUM(CAST(1.0 AS DOUBLE) / (x.y - x.pos)) AS REAL) AS freq
+  FROM (
+    SELECT a.doc_id, a.pos,
+      (SELECT min(b.pos) FROM tokp b
+       WHERE b.doc_id = a.doc_id AND b.term = '{t1}' AND b.pos > a.pos) AS y
+    FROM tokp a WHERE a.term = '{t0}'
+  ) x
+  WHERE x.y IS NOT NULL AND x.y - x.pos - 1 <= {slop}
+  GROUP BY x.doc_id
+)"""
+    return _span_sql(ph, tuple(sorted({t0, t1})), k)
+
+
+def _span_near_unordered_sql(t0: str, t1: str, slop: int, k: int) -> str:
+    """NearSpansUnordered with two unit spans: the min-heap walk visits
+    exactly the states (p, minimal other-term position AFTER p) from
+    both sides (test_spans.py pins the kernel to this closed form);
+    match when |gap| - 1 <= slop, factor 1/(1 + |gap|) (width =
+    maxStart - minStart, NearSpansUnordered.width())."""
+    ph = f"""
+cand AS (
+  SELECT a.doc_id, a.pos AS x,
+    (SELECT min(b.pos) FROM tokp b
+     WHERE b.doc_id = a.doc_id AND b.term = '{t1}' AND b.pos > a.pos) AS y
+  FROM tokp a WHERE a.term = '{t0}'
+  UNION ALL
+  SELECT b.doc_id, b.pos AS x,
+    (SELECT min(a.pos) FROM tokp a
+     WHERE a.doc_id = b.doc_id AND a.term = '{t0}' AND a.pos > b.pos) AS y
+  FROM tokp b WHERE b.term = '{t1}'
+),
+ph AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(1.0 AS DOUBLE) / (1 + (y - x))) AS REAL) AS freq
+  FROM cand WHERE y IS NOT NULL AND y - x - 1 <= {slop}
+  GROUP BY doc_id
+)"""
+    return _span_sql(ph, tuple(sorted({t0, t1})), k)
+
+
+def _span_or_sql(t0: str, t1: str, k: int) -> str:
+    """SpanOrQuery over two terms: every position of either term is a
+    width-0 span (factor 1), so freq = total occurrence count; idf
+    still sums BOTH terms (unlike BooleanOr, a doc containing only one
+    term is weighted by the combined idf)."""
+    ph = f"""
+ph AS (
+  SELECT doc_id, CAST(count(*) AS REAL) AS freq
+  FROM tokp WHERE term IN ('{t0}', '{t1}') GROUP BY doc_id
+)"""
+    return _span_sql(ph, tuple(sorted({t0, t1})), k)
+
+
+def _span_first_sql(t: str, end: int, k: int) -> str:
+    """SpanFirstQuery(term, end): spans fully inside [0, end) —
+    pos + 1 <= end for unit spans."""
+    ph = f"""
+ph AS (
+  SELECT doc_id, CAST(count(*) AS REAL) AS freq
+  FROM tokp WHERE term = '{t}' AND pos + 1 <= {end} GROUP BY doc_id
+)"""
+    return _span_sql(ph, (t,), k)
+
+
+def _span_not_sql(inc: str, exc: str, pre: int, post: int, k: int) -> str:
+    """SpanNotQuery(include, exclude, pre, post) over unit spans:
+    an include position a is rejected iff an exclude position lies in
+    [a - pre, a + post] (the accept-window algebra of
+    SpanNotQuery.java:178-190 reduced to unit spans). Exclude terms
+    contribute no idf (extractTermContexts pulls include only)."""
+    ph = f"""
+ph AS (
+  SELECT a.doc_id, CAST(count(*) AS REAL) AS freq
+  FROM tokp a
+  WHERE a.term = '{inc}' AND NOT EXISTS (
+    SELECT 1 FROM tokp b
+    WHERE b.doc_id = a.doc_id AND b.term = '{exc}'
+      AND b.pos BETWEEN a.pos - {pre} AND a.pos + {post})
+  GROUP BY a.doc_id
+)"""
+    return _span_sql(ph, (inc,), k)
+
+
+def _q_span_near_ordered(spark, sf):
+    """spanNear([table, scan], slop=3, inOrder=true)
+    (spans/SpanNearQuery.java, NearSpansOrdered.java)."""
+    from lucene_solr_spark.search.query import SpanNearQuery, SpanTermQuery
+
+    return _hits(
+        spark, sf,
+        SpanNearQuery((SpanTermQuery("table"), SpanTermQuery("scan")), 3,
+                      True),
+        K,
+    )
+
+
+def _q_span_near_unordered(spark, sf):
+    """spanNear([vector, scan], slop=4, inOrder=false)
+    (NearSpansUnordered.java min-heap walk)."""
+    from lucene_solr_spark.search.query import SpanNearQuery, SpanTermQuery
+
+    return _hits(
+        spark, sf,
+        SpanNearQuery((SpanTermQuery("vector"), SpanTermQuery("scan")), 4,
+                      False),
+        K,
+    )
+
+
+def _q_span_or(spark, sf):
+    """spanOr([merge, sort]) (spans/SpanOrQuery.java): merged width-0
+    spans, combined idf."""
+    from lucene_solr_spark.search.query import SpanOrQuery, SpanTermQuery
+
+    return _hits(
+        spark, sf,
+        SpanOrQuery((SpanTermQuery("merge"), SpanTermQuery("sort"))),
+        K,
+    )
+
+
+def _q_span_first(spark, sf):
+    """spanFirst(table, 10) (spans/SpanFirstQuery.java): occurrences in
+    the first 10 positions only."""
+    from lucene_solr_spark.search.query import SpanFirstQuery, SpanTermQuery
+
+    return _hits(spark, sf, SpanFirstQuery(SpanTermQuery("table"), 10), K)
+
+
+def _q_span_not(spark, sf):
+    """spanNot(scan, table, pre=2, post=2) (spans/SpanNotQuery.java):
+    scan occurrences with no table within 2 positions either side."""
+    from lucene_solr_spark.search.query import SpanNotQuery, SpanTermQuery
+
+    return _hits(
+        spark, sf,
+        SpanNotQuery(SpanTermQuery("scan"), SpanTermQuery("table"), 2, 2),
+        K,
+    )
+
+
 def _q_term_range(spark, sf):
     """TermRangeQuery constant-score (search/TermRangeQuery.java):
     dictionary BETWEEN ['sc', 'so']."""
@@ -1819,6 +2009,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_docs32": _op_simhash32,
         "english_stem_term_topk": _q_english_stem,
         "synonym_term_topk": _q_synonym,
+        "span_near_ordered_topk": _q_span_near_ordered,
+        "span_near_unordered_topk": _q_span_near_unordered,
+        "span_or_topk": _q_span_or,
+        "span_first_topk": _q_span_first,
+        "span_not_topk": _q_span_not,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
@@ -1986,6 +2181,15 @@ def oracle_sql() -> dict[str, str]:
         "simple_analyzer_term_topk": _simple_term_sql("the", K),
         "english_stem_term_topk": _english_term_sql("queri", K),
         "synonym_term_topk": _synonym_term_sql("quick", K),
+        "span_near_ordered_topk": _span_near_ordered_sql(
+            "table", "scan", 3, K
+        ),
+        "span_near_unordered_topk": _span_near_unordered_sql(
+            "vector", "scan", 4, K
+        ),
+        "span_or_topk": _span_or_sql("merge", "sort", K),
+        "span_first_topk": _span_first_sql("table", 10, K),
+        "span_not_topk": _span_not_sql("scan", "table", 2, 2, K),
         "rerank_topk": _rerank_sql(
             ("table", "vector", "customer"), "scan", 100, 2.0, K
         ),

@@ -311,6 +311,84 @@ class FieldValueQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanQuery(Query):
+    """Base of the positional interval queries (search/spans/
+    SpanQuery.java). Spans enumerate (start, end, width) intervals per
+    doc; scoring sums slop factors 1/(1+width) (SpanScorer.java:90-118)
+    into a float freq fed to BM25 with idf = f32 sum over the scoring
+    terms. Kernel: search/spans.py."""
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(SpanQuery):
+    """All positions of one term as unit-width spans
+    (spans/SpanTermQuery.java, TermSpans.java:96-110)."""
+
+    term: str
+    field: str | None = None
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(SpanQuery):
+    """Sub-spans within `slop` of each other
+    (spans/SpanNearQuery.java). in_order=True: clause order in the
+    document, non-overlapping, width = sum of the gaps
+    (NearSpansOrdered.java:95-118); False: any arrangement, matched
+    when maxEnd - minStart - totalSpanLength <= slop
+    (NearSpansUnordered.java atMatch)."""
+
+    clauses: tuple
+    slop: int = 0
+    in_order: bool = True
+
+    def terms(self) -> list[str]:
+        return [t for c in self.clauses for t in c.terms()]
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(SpanQuery):
+    """Union of sub-spans in (start, end) order
+    (spans/SpanOrQuery.java:237-295)."""
+
+    clauses: tuple
+
+    def terms(self) -> list[str]:
+        return [t for c in self.clauses for t in c.terms()]
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(SpanQuery):
+    """Include spans with no exclude span overlapping
+    [start - pre, end + post) (spans/SpanNotQuery.java:151-190).
+    Exclude-side terms never score (extractTermContexts pulls the
+    include weight only)."""
+
+    include: SpanQuery
+    exclude: SpanQuery
+    pre: int = 0
+    post: int = 0
+
+    def terms(self) -> list[str]:
+        return self.include.terms() + self.exclude.terms()
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(SpanQuery):
+    """Match spans fully within the first `end` positions
+    (spans/SpanFirstQuery.java: accept while start < end and
+    span.end <= end)."""
+
+    match: SpanQuery
+    end: int
+
+    def terms(self) -> list[str]:
+        return self.match.terms()
+
+
+@dataclass(frozen=True)
 class Clause:
     """One BooleanQuery clause (search/BooleanClause.java): occur in
     MUST / SHOULD / MUST_NOT / FILTER."""

@@ -62,6 +62,12 @@ from lucene_solr_spark.search.query import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanQuery,
+    SpanTermQuery,
     TermQuery,
     TermRangeQuery,
     TooManyClauses,
@@ -400,6 +406,17 @@ def _score_spec(
         udocs, scores = _eval_multi_phrase(
             spec["positions"], lt, base, norms_map,
             np.float32(spec["idf_sum"]), caches, deleted=deleted,
+        )
+        udocs, scores = _apply_cursor(udocs, scores, cursor)
+        docs, scores = _topk_arrays(udocs, scores, k)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    if kind == "spans":
+        from lucene_solr_spark.search.spans import eval_spans
+
+        udocs, scores = eval_spans(
+            spec["node"], lt, base, norms_map, idfs, caches,
+            deleted=deleted,
         )
         udocs, scores = _apply_cursor(udocs, scores, cursor)
         docs, scores = _topk_arrays(udocs, scores, k)
@@ -1198,7 +1215,7 @@ def _spec_needs_positions(spec: dict) -> bool:
     Lucene50PostingsReader.java:189-204). _decode_shard handles the
     column's absence, so dropping it prunes the parquet ReadSchema."""
     k = spec["kind"]
-    if k in ("phrase", "multi_phrase"):
+    if k in ("phrase", "multi_phrase", "spans"):
         return True
     if k == "tree":
         return _tree_has_phrase(spec["tree"])
@@ -1884,7 +1901,50 @@ class IndexSearcher:
                     "clauses": [self._tree(sub) for sub in q.queries]}
         raise TypeError(f"unsupported query in tree: {q!r}")
 
+    def _span_node(self, q: SpanQuery) -> dict:
+        """SpanQuery -> the plain-dict node tree the spans kernel walks
+        (search/spans.py). Fields resolve through the same internal-key
+        mapping as TermQuery (Term.java:36)."""
+        if isinstance(q, SpanTermQuery):
+            return {"op": "term", "term": self._iterm(q.field, q.term)}
+        if isinstance(q, SpanNearQuery):
+            return {
+                "op": "near",
+                "clauses": [self._span_node(c) for c in q.clauses],
+                "slop": int(q.slop),
+                "in_order": bool(q.in_order),
+            }
+        if isinstance(q, SpanOrQuery):
+            return {
+                "op": "or",
+                "clauses": [self._span_node(c) for c in q.clauses],
+            }
+        if isinstance(q, SpanNotQuery):
+            return {
+                "op": "not",
+                "include": self._span_node(q.include),
+                "exclude": self._span_node(q.exclude),
+                "pre": int(q.pre),
+                "post": int(q.post),
+            }
+        if isinstance(q, SpanFirstQuery):
+            return {
+                "op": "first",
+                "match": self._span_node(q.match),
+                "end": int(q.end),
+            }
+        raise TypeError(f"unsupported span query {q!r}")
+
     def _spec(self, q: Query) -> dict:
+        if isinstance(q, SpanQuery):
+            from lucene_solr_spark.search.spans import span_all_terms
+
+            node = self._span_node(q)
+            return {
+                "kind": "spans",
+                "node": node,
+                "terms": list(dict.fromkeys(span_all_terms(node))),
+            }
         if isinstance(q, (BooleanQuery, BoostQuery, ConstantScoreQuery,
                           DisMaxQuery)):
             tree = self._tree(q)
