@@ -1682,6 +1682,16 @@ def _op_dedup_clusters(spark, sf):
     return dedup_clusters(_docs(spark, sf))
 
 
+def _op_dedup_representatives(spark, sf):
+    """Keep/drop decision table over the WHOLE corpus: every doc with
+    its near-dup cluster (singletons = themselves) and keep = doc is
+    the cluster's min-id representative — the materialized output of a
+    training-data dedup pass (downstream filters `keep`)."""
+    from lucene_solr_spark.ops.dedup import dedup_representatives
+
+    return dedup_representatives(_docs(spark, sf))
+
+
 def _op_simhash(spark, sf):
     """64-bit SimHash fingerprints as two 32-bit words (the web-scale
     width; 32-bit birthday-collides far below 10^9 docs)."""
@@ -2014,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or_topk": _q_span_or,
         "span_first_topk": _q_span_first,
         "span_not_topk": _q_span_not,
+        "dedup_keep_decisions": _op_dedup_representatives,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
@@ -2190,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
         "span_or_topk": _span_or_sql("merge", "sort", K),
         "span_first_topk": _span_first_sql("table", 10, K),
         "span_not_topk": _span_not_sql("scan", "table", 2, 2, K),
+        "dedup_keep_decisions": _ops_oracles.dedup_representatives_sql(),
         "rerank_topk": _rerank_sql(
             ("table", "vector", "customer"), "scan", 100, 2.0, K
         ),

@@ -569,6 +569,37 @@ def dedup_clusters(
     return connected_components(pairs, max_iter)
 
 
+def dedup_representatives(
+    docs: DataFrame, n: int = 3, tau: float = 0.5, max_iter: int = 20
+) -> DataFrame:
+    """Full-corpus KEEP/DROP decision table — the step a training-data
+    pipeline actually executes after clustering: every document gets
+    its near-dup cluster (docs in no verified pair are singleton
+    clusters of themselves) and `keep` = this doc is the cluster's
+    canonical representative (min doc_id — which IS the cluster_id,
+    so the predicate is cluster_id == doc_id).
+
+    Scale shape: dedup_clusters' label frame holds ONLY docs that
+    appear in a verified pair (dup sets, not the corpus), and the
+    singleton completion is ONE left shuffle join keyed by doc_id —
+    no broadcast of any per-document frame, no driver state. The
+    downstream pass is `.where("keep")`, which prunes before anything
+    heavier runs.
+
+    Returns (doc_id, cluster_id, keep) for EVERY document."""
+    labels = dedup_clusters(docs, n, tau, max_iter)
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Distributed connected components over an (id_a, id_b) edge list
     by iterative min-label propagation; component label = min node id.

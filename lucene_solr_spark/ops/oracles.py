@@ -457,3 +457,28 @@ lab AS (
   SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
 )
 SELECT doc_id, cluster_id::BIGINT AS cluster_id FROM lab ORDER BY doc_id"""
+
+
+def dedup_representatives_sql() -> str:
+    """Keep/drop decision table: every document, its cluster (singleton
+    = itself), keep = doc is the cluster's min-id representative."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_sql()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       COALESCE(lab.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+       (COALESCE(lab.cluster_id, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
+ORDER BY d.doc_id"""

@@ -446,3 +446,26 @@ def test_dedup_clusters_transitive(spark):
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(docs).collect()}
     assert out[10] == out[11] == out[12] == out[30] == 10
     assert 20 not in out
+
+
+def test_dedup_representatives_keep_table(spark):
+    """Keep/drop decision table: EVERY doc appears once; cluster
+    members keep only the min-id representative; singletons keep
+    themselves."""
+    from lucene_solr_spark.ops.dedup import dedup_representatives
+
+    base = [f"w{i}" for i in range(40)]
+    a = " ".join(base)
+    rows = [
+        (10, a), (30, a), (41, a),  # one dup clique
+        (20, "unrelated words entirely different content here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in dedup_representatives(docs).collect()}
+    assert out == {
+        10: (10, True),
+        30: (10, False),
+        41: (10, False),
+        20: (20, True),
+    }
