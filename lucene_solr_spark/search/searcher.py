@@ -2487,8 +2487,10 @@ class IndexSearcher:
         clause-by-clause through _explain_node (which evaluates every
         sub-node with the identical _eval_tree kernel and boost
         cascade — IndexSearcher.java:561-588); multi_phrase explains
-        as one leaf via _eval_multi_phrase. Slow path by design:
-        decodes just the (term, shard-of-doc) posting rows."""
+        as one leaf via _eval_multi_phrase; span queries explain as
+        one leaf via eval_spans (node tree, scoring terms, idf sum).
+        Slow path by design: decodes just the (term, shard-of-doc)
+        posting rows."""
         from lucene_solr_spark.index.codec import decode_posting_list
 
         q = rewrite(query)
@@ -2513,7 +2515,7 @@ class IndexSearcher:
                 return {"doc_id": int(doc_id), "match": False, "score": 0.0,
                         "description": "doc is deleted (liveDocs)"}
 
-        if kind in ("tree", "phrase", "multi_phrase"):
+        if kind in ("tree", "phrase", "multi_phrase", "spans"):
             m = self._matched(sorted(set(terms)))
             if not _spec_needs_positions(spec):
                 m = m.drop("pos_enc")  # heaviest column; boolean trees
@@ -2530,7 +2532,43 @@ class IndexSearcher:
             idfs = {
                 t: bm25.idf(d, self.max_doc) for t, d in dfs.items()
             }
-            if kind == "multi_phrase":
+            if kind == "spans":
+                from lucene_solr_spark.search.spans import (
+                    _resolve,
+                    _scoring_terms,
+                    eval_spans,
+                )
+
+                d, s = eval_spans(
+                    spec["node"], lt, _base, norms_map, idfs,
+                    dict(self._caches),
+                )
+                p = int(np.searchsorted(d, local))
+                hit = p < len(d) and d[p] == local
+                resolved = _resolve(spec["node"], lt)
+                sterms = (
+                    sorted(set(_scoring_terms(resolved)))
+                    if resolved is not None else []
+                )
+                idf_sum = np.float32(0.0)
+                for t in sterms:
+                    if t in idfs:
+                        idf_sum = np.float32(idf_sum + idfs[t])
+                root = {
+                    "kind": "spans",
+                    "match": bool(hit),
+                    "score": float(s[p]) if hit else 0.0,
+                    "node": spec["node"],
+                    "scoring_terms": sterms,
+                    "idf_sum": float(idf_sum),
+                    "description": (
+                        "spans: freq = sum of slop factors 1/(1+width) "
+                        "over the enumerated spans (SpanScorer), idf = "
+                        "f32 sum over the scoring terms (exclude sides "
+                        "never score)"
+                    ),
+                }
+            elif kind == "multi_phrase":
                 d, s = _eval_multi_phrase(
                     spec["positions"], lt, _base, norms_map,
                     np.float32(spec["idf_sum"]), dict(self._caches),

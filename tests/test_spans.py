@@ -265,3 +265,18 @@ def test_e2e_span_kinds(span_index):
         k=10,
     ).collect()
     assert dead == []
+
+
+def test_explain_spans_bitwise(span_index):
+    from lucene_solr_spark.search.query import SpanNearQuery, SpanTermQuery
+
+    q = SpanNearQuery((SpanTermQuery("table"), SpanTermQuery("scan")), 3,
+                      True)
+    hits = span_index.search(q, k=10).collect()
+    assert hits
+    for r in hits:
+        ex = span_index.explain(q, int(r.doc_id))
+        assert ex["match"] is True
+        assert ex["score"] == r.score  # bitwise f32 recomposition
+    miss = span_index.explain(q, 2)  # doc2 has neither table nor scan
+    assert miss["match"] is False and miss["score"] == 0.0
