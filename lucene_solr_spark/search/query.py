@@ -389,6 +389,50 @@ class SpanFirstQuery(SpanQuery):
 
 
 @dataclass(frozen=True)
+class SpanContainingQuery(SpanQuery):
+    """Big spans that contain a little span
+    (spans/SpanContainingQuery.java over ContainSpans.java): iterate
+    big, advance little past starts before big's, match when
+    big.end >= little.end. Source = big; BOTH sides' terms score."""
+
+    big: SpanQuery
+    little: SpanQuery
+
+    def terms(self) -> list[str]:
+        return self.big.terms() + self.little.terms()
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery(SpanQuery):
+    """Little spans lying inside a big span
+    (spans/SpanWithinQuery.java): iterate little, advance big past
+    ends before little's, match when big.start <= little.start.
+    Source = little; BOTH sides' terms score."""
+
+    big: SpanQuery
+    little: SpanQuery
+
+    def terms(self) -> list[str]:
+        return self.big.terms() + self.little.terms()
+
+
+@dataclass(frozen=True)
+class SpanMultiTermQueryWrapper(SpanQuery):
+    """Lift a multi-term query (Prefix/Wildcard/Regexp/TermRange) into
+    span position (spans/SpanMultiTermQueryWrapper.java): rewrites to a
+    SpanOr over the matching dictionary terms
+    (SCORING_SPAN_QUERY_REWRITE -> SpanOrQuery of SpanTermQuery), so
+    e.g. spanNear([prefix*, term]) works. Expansion honors the wrapped
+    query's max_expansions (df-ranked top-terms) and the searcher's
+    maxClauseCount guard."""
+
+    query: Query  # a multi-term query carrying field/max_expansions
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
 class Clause:
     """One BooleanQuery clause (search/BooleanClause.java): occur in
     MUST / SHOULD / MUST_NOT / FILTER."""

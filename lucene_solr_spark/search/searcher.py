@@ -62,12 +62,15 @@ from lucene_solr_spark.search.query import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanContainingQuery,
     SpanFirstQuery,
+    SpanMultiTermQueryWrapper,
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
     SpanQuery,
     SpanTermQuery,
+    SpanWithinQuery,
     TermQuery,
     TermRangeQuery,
     TooManyClauses,
@@ -1932,6 +1935,24 @@ class IndexSearcher:
                 "op": "first",
                 "match": self._span_node(q.match),
                 "end": int(q.end),
+            }
+        if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+            return {
+                "op": ("containing" if isinstance(q, SpanContainingQuery)
+                       else "within"),
+                "big": self._span_node(q.big),
+                "little": self._span_node(q.little),
+            }
+        if isinstance(q, SpanMultiTermQueryWrapper):
+            # SCORING_SPAN_QUERY_REWRITE: SpanOr over the expanded
+            # dictionary terms (term order; _expand_mtq applies the
+            # maxClauseCount guard / df-ranked top-terms bound)
+            return {
+                "op": "or",
+                "clauses": [
+                    {"op": "term", "term": t}
+                    for t in self._expand_mtq(q.query)
+                ],
             }
         raise TypeError(f"unsupported span query {q!r}")
 

@@ -237,6 +237,64 @@ class NotSpans:
         return NMP
 
 
+class ContainingSpans:
+    """SpanContainingQuery (ContainSpans.java + SpanContainingQuery.
+    java): big spans that contain a little span. Per the reference's
+    greedy: iterate big; advance little (persistent) while
+    little.start < big.start; match when big.end >= little.end.
+    Source spans = big (start/end/width from the big side)."""
+
+    __slots__ = ("big", "little", "start", "end", "width")
+
+    def __init__(self, big, little):
+        self.big = big
+        self.little = little
+        self.start = self.end = -1
+        self.width = 0
+
+    def next(self) -> int:
+        while self.big.next() != NMP:
+            while self.little.start < self.big.start:
+                if self.little.next() == NMP:
+                    self.start = self.end = NMP
+                    return NMP
+            if self.big.end >= self.little.end:
+                self.start = self.big.start
+                self.end = self.big.end
+                self.width = self.big.width
+                return self.start
+        self.start = self.end = NMP
+        return NMP
+
+
+class WithinSpans:
+    """SpanWithinQuery: little spans lying inside a big span. Iterate
+    little; advance big (persistent) while big.end < little.end; match
+    when big.start <= little.start. Source spans = little."""
+
+    __slots__ = ("big", "little", "start", "end", "width")
+
+    def __init__(self, big, little):
+        self.big = big
+        self.little = little
+        self.start = self.end = -1
+        self.width = 0
+
+    def next(self) -> int:
+        while self.little.next() != NMP:
+            while self.big.end < self.little.end:
+                if self.big.next() == NMP:
+                    self.start = self.end = NMP
+                    return NMP
+            if self.big.start <= self.little.start:
+                self.start = self.little.start
+                self.end = self.little.end
+                self.width = self.little.width
+                return self.start
+        self.start = self.end = NMP
+        return NMP
+
+
 class FirstSpans:
     """SpanFirstQuery.java (SpanPositionRangeQuery with range [0, E)):
     accept while start < E and end <= E; a span starting at or past E
@@ -298,6 +356,13 @@ def _resolve(node: dict, lt) -> dict | None:
         if m is None:
             return None
         return {**node, "match": m}
+    if op in ("containing", "within"):
+        # prepareConjunction returns null when EITHER side is null
+        big = _resolve(node["big"], lt)
+        little = _resolve(node["little"], lt)
+        if big is None or little is None:
+            return None
+        return {**node, "big": big, "little": little}
     raise ValueError(f"unknown span node {op}")
 
 
@@ -314,12 +379,14 @@ def span_all_terms(node: dict) -> list[str]:
             node["exclude"])
     if op == "first":
         return span_all_terms(node["match"])
+    if op in ("containing", "within"):
+        return span_all_terms(node["big"]) + span_all_terms(node["little"])
     raise ValueError(f"unknown span node {op}")
 
 
 def _scoring_terms(node: dict) -> list[str]:
     """Terms contributing idf (SpanNotWeight.extractTermContexts pulls
-    the include side only)."""
+    the include side only; SpanContainWeight pulls BOTH sides)."""
     op = node["op"]
     if op == "term":
         return [node["term"]]
@@ -329,6 +396,8 @@ def _scoring_terms(node: dict) -> list[str]:
         return _scoring_terms(node["include"])
     if op == "first":
         return _scoring_terms(node["match"])
+    if op in ("containing", "within"):
+        return _scoring_terms(node["big"]) + _scoring_terms(node["little"])
     raise ValueError(f"unknown span node {op}")
 
 
@@ -352,6 +421,10 @@ def _cand_docs(node: dict, lt) -> np.ndarray:
         return _cand_docs(node["include"], lt)
     if op == "first":
         return _cand_docs(node["match"], lt)
+    if op in ("containing", "within"):
+        a = _cand_docs(node["big"], lt)
+        b = _cand_docs(node["little"], lt)
+        return a[np.isin(a, b, assume_unique=True)]
     raise ValueError(f"unknown span node {op}")
 
 
@@ -391,6 +464,13 @@ def _build(node: dict, lo_hi, posmap: dict, doc: int):
         if m is None:
             return None
         return FirstSpans(m, int(node["end"]))
+    if op in ("containing", "within"):
+        big = _build(node["big"], lo_hi, posmap, doc)
+        little = _build(node["little"], lo_hi, posmap, doc)
+        if big is None or little is None:
+            return None
+        cls = ContainingSpans if op == "containing" else WithinSpans
+        return cls(big, little)
     raise ValueError(f"unknown span node {op}")
 
 

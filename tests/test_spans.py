@@ -280,3 +280,104 @@ def test_explain_spans_bitwise(span_index):
         assert ex["score"] == r.score  # bitwise f32 recomposition
     miss = span_index.explain(q, 2)  # doc2 has neither table nor scan
     assert miss["match"] is False and miss["score"] == 0.0
+
+
+class FakeSpans:
+    """Duck-typed spans stream from a literal (start, end) list, for
+    unit-testing the composing iterators."""
+
+    def __init__(self, pairs):
+        self._pairs = list(pairs)
+        self._i = 0
+        self.start = self.end = -1
+        self.width = 0
+
+    def next(self):
+        if self._i >= len(self._pairs):
+            self.start = self.end = NMP
+            return NMP
+        self.start, self.end = self._pairs[self._i]
+        self.width = self.end - self.start - 1
+        self._i += 1
+        return self.start
+
+
+def test_containing_unit():
+    from lucene_solr_spark.search.spans import ContainingSpans
+
+    # big (0,4) contains little (2,3); big (6,9) has no little inside
+    got = drain(ContainingSpans(FakeSpans([(0, 4), (6, 9)]),
+                                FakeSpans([(2, 3), (10, 11)])))
+    assert [(s, e) for s, e, _ in got] == [(0, 4)]
+    # little extends past big's end -> no containment
+    got = drain(ContainingSpans(FakeSpans([(0, 3)]), FakeSpans([(1, 5)])))
+    assert got == []
+
+
+def test_within_unit():
+    from lucene_solr_spark.search.spans import WithinSpans
+
+    # little (1,2) lies inside big (0,4); little (5,6) does not
+    got = drain(WithinSpans(FakeSpans([(0, 4)]),
+                            FakeSpans([(1, 2), (5, 6)])))
+    assert [(s, e) for s, e, _ in got] == [(1, 2)]
+    # big starts after little -> rejected
+    got = drain(WithinSpans(FakeSpans([(2, 6)]), FakeSpans([(1, 3)])))
+    assert got == []
+
+
+def test_e2e_containing_within(span_index):
+    from lucene_solr_spark.search.query import (
+        SpanContainingQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+        SpanWithinQuery,
+    )
+
+    near = SpanNearQuery((SpanTermQuery("table"), SpanTermQuery("scan")),
+                         3, True)
+    # doc3 "table big big big scan dup": near spans (0,5) containing
+    # big@1; doc0's (0,2) near span has no "big" inside (term absent)
+    cont = span_index.search(
+        SpanContainingQuery(near, SpanTermQuery("big")), k=10
+    ).collect()
+    assert [r.doc_id for r in cont] == [3]
+
+    within = span_index.search(
+        SpanWithinQuery(near, SpanTermQuery("big")), k=10
+    ).collect()
+    assert [r.doc_id for r in within] == [3]
+
+    # dup@5 ends past the near span's end 5 -> not contained
+    none = span_index.search(
+        SpanContainingQuery(near, SpanTermQuery("dup")), k=10
+    ).collect()
+    assert none == []
+
+
+def test_e2e_span_mtq_wrapper(span_index):
+    from lucene_solr_spark.search.query import (
+        PrefixQuery,
+        SpanMultiTermQueryWrapper,
+        SpanNearQuery,
+        SpanTermQuery,
+    )
+
+    q = SpanNearQuery(
+        (SpanMultiTermQueryWrapper(PrefixQuery("ta")),
+         SpanTermQuery("scan")),
+        0, True,
+    )
+    hits = span_index.search(q, k=10).collect()
+    # "table scan" adjacency: doc0 once, doc1 twice (higher freq)
+    assert {r.doc_id for r in hits} == {0, 1}
+
+    empty = span_index.search(
+        SpanNearQuery(
+            (SpanMultiTermQueryWrapper(PrefixQuery("zz")),
+             SpanTermQuery("scan")),
+            0, True,
+        ),
+        k=10,
+    ).collect()
+    assert empty == []
