@@ -1185,6 +1185,103 @@ ph AS (
     return _span_sql(ph, (inc,), k)
 
 
+def _big_near_cte(t0: str, t1: str, slop: int) -> str:
+    """Ordered 2-term near spans as a CTE big(doc_id, s, y): span
+    [s, y+1) with gap y-s-1 <= slop (each t0 position pairs with its
+    minimal t1 successor — NearSpansOrdered on unit spans)."""
+    return f"""
+big AS (
+  SELECT x.doc_id, x.pos AS s, x.y
+  FROM (
+    SELECT a.doc_id, a.pos,
+      (SELECT min(b.pos) FROM tokp b
+       WHERE b.doc_id = a.doc_id AND b.term = '{t1}' AND b.pos > a.pos) AS y
+    FROM tokp a WHERE a.term = '{t0}'
+  ) x
+  WHERE x.y IS NOT NULL AND x.y - x.pos - 1 <= {slop}
+)"""
+
+
+def _span_containing_sql(t0: str, t1: str, slop: int, little: str,
+                         k: int) -> str:
+    """SpanContainingQuery(big=near([t0,t1], slop, ordered), little):
+    source spans = the big side, kept iff a little position lies
+    inside [s, y] (ContainSpans greedy == existence because ordered
+    2-term near spans have strictly increasing starts and
+    nondecreasing ends). Slop factor = the big span's 1/(1+width);
+    idf sums BOTH sides (SpanContainWeight extracts both)."""
+    ph = f"""{_big_near_cte(t0, t1, slop)},
+ph AS (
+  SELECT big.doc_id,
+         CAST(SUM(CAST(1.0 AS DOUBLE) / (big.y - big.s)) AS REAL) AS freq
+  FROM big
+  WHERE EXISTS (
+    SELECT 1 FROM tokp c
+    WHERE c.doc_id = big.doc_id AND c.term = '{little}'
+      AND c.pos BETWEEN big.s AND big.y)
+  GROUP BY big.doc_id
+)"""
+    return _span_sql(ph, tuple(sorted({t0, t1, little})), k)
+
+
+def _span_within_sql(t0: str, t1: str, slop: int, little: str,
+                     k: int) -> str:
+    """SpanWithinQuery: source spans = the little side — freq counts
+    little positions contained in SOME big span (width 0 -> factor 1);
+    same both-sides idf as containing."""
+    ph = f"""{_big_near_cte(t0, t1, slop)},
+ph AS (
+  SELECT c.doc_id, CAST(count(*) AS REAL) AS freq
+  FROM tokp c
+  WHERE c.term = '{little}' AND EXISTS (
+    SELECT 1 FROM big
+    WHERE big.doc_id = c.doc_id AND big.s <= c.pos AND c.pos <= big.y)
+  GROUP BY c.doc_id
+)"""
+    return _span_sql(ph, tuple(sorted({t0, t1, little})), k)
+
+
+def _q_span_containing(spark, sf):
+    """spanContaining(big=spanNear([table, scan], 5, ordered),
+    little=big) (spans/SpanContainingQuery.java, ContainSpans.java)."""
+    from lucene_solr_spark.search.query import (
+        SpanContainingQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+    )
+
+    return _hits(
+        spark, sf,
+        SpanContainingQuery(
+            SpanNearQuery((SpanTermQuery("table"), SpanTermQuery("scan")),
+                          5, True),
+            SpanTermQuery("big"),
+        ),
+        K,
+    )
+
+
+def _q_span_within(spark, sf):
+    """spanWithin(big=spanNear([table, scan], 5, ordered), little=big)
+    (spans/SpanWithinQuery.java): the little occurrences inside a big
+    span, scored from the little side."""
+    from lucene_solr_spark.search.query import (
+        SpanNearQuery,
+        SpanTermQuery,
+        SpanWithinQuery,
+    )
+
+    return _hits(
+        spark, sf,
+        SpanWithinQuery(
+            SpanNearQuery((SpanTermQuery("table"), SpanTermQuery("scan")),
+                          5, True),
+            SpanTermQuery("big"),
+        ),
+        K,
+    )
+
+
 def _q_span_near_ordered(spark, sf):
     """spanNear([table, scan], slop=3, inOrder=true)
     (spans/SpanNearQuery.java, NearSpansOrdered.java)."""
@@ -2024,6 +2121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or_topk": _q_span_or,
         "span_first_topk": _q_span_first,
         "span_not_topk": _q_span_not,
+        "span_containing_topk": _q_span_containing,
+        "span_within_topk": _q_span_within,
         "dedup_keep_decisions": _op_dedup_representatives,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
@@ -2201,6 +2300,10 @@ def oracle_sql() -> dict[str, str]:
         "span_or_topk": _span_or_sql("merge", "sort", K),
         "span_first_topk": _span_first_sql("table", 10, K),
         "span_not_topk": _span_not_sql("scan", "table", 2, 2, K),
+        "span_containing_topk": _span_containing_sql(
+            "table", "scan", 5, "big", K
+        ),
+        "span_within_topk": _span_within_sql("table", "scan", 5, "big", K),
         "dedup_keep_decisions": _ops_oracles.dedup_representatives_sql(),
         "rerank_topk": _rerank_sql(
             ("table", "vector", "customer"), "scan", 100, 2.0, K
