@@ -1508,6 +1508,108 @@ FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+_LM_STATS_CTES = """
+cfs AS (SELECT term, count(*)::BIGINT AS cf FROM tok2 GROUP BY term),
+ftok AS (SELECT count(*)::BIGINT AS total FROM tok2),
+dl_lm AS (
+  SELECT doc_id,
+    CAST(CAST(1.0 AS REAL) / CAST(d315 * d315 AS REAL) AS REAL) AS dl
+  FROM quant WHERE d315 IS NOT NULL
+)"""
+
+
+def _lm_cp_sql(t: str) -> str:
+    """LMSimilarity collectionProbability: (cf + 1F)/(fieldTokens + 1F),
+    float division (functions/lm.py:collection_probability)."""
+    return (
+        f"CAST(CAST(COALESCE((SELECT cf FROM cfs WHERE term = '{t}'), 0)"
+        f" + 1 AS REAL) / CAST((SELECT total FROM ftok) + 1 AS REAL)"
+        f" AS REAL)"
+    )
+
+
+def _lm_dirichlet_sql(t0: str, t1: str, k: int) -> str:
+    """LMDirichletSimilarity (mu=2000) OR(t0, t1): leaf =
+    (float)(log(1 + freq/(mu*cp)) + log(mu/(docLen+mu))) clamped at 0,
+    f64-summed per doc, f32 cast (functions/lm.py:score_dirichlet)."""
+    leaves = []
+    for t in (t0, t1):
+        leaves.append(f"""
+  SELECT tf.doc_id,
+    CASE WHEN CAST(
+        ln(1 + CAST(CAST(CAST(tf.tf AS REAL)
+              / CAST(CAST(2000.0 AS REAL) * {_lm_cp_sql(t)} AS REAL)
+              AS REAL) AS DOUBLE))
+      + ln(CAST(CAST(CAST(2000.0 AS REAL)
+              / CAST(dl_lm.dl + CAST(2000.0 AS REAL) AS REAL)
+              AS REAL) AS DOUBLE)) AS REAL) > 0
+    THEN CAST(
+        ln(1 + CAST(CAST(CAST(tf.tf AS REAL)
+              / CAST(CAST(2000.0 AS REAL) * {_lm_cp_sql(t)} AS REAL)
+              AS REAL) AS DOUBLE))
+      + ln(CAST(CAST(CAST(2000.0 AS REAL)
+              / CAST(dl_lm.dl + CAST(2000.0 AS REAL) AS REAL)
+              AS REAL) AS DOUBLE)) AS REAL)
+    ELSE CAST(0 AS REAL) END AS s
+  FROM tf JOIN dl_lm USING (doc_id) WHERE tf.term = '{t}'""")
+    union = "\n  UNION ALL\n".join(leaves)
+    return f"""
+WITH {_BM25_CTES},
+{_LM_STATS_CTES},
+sc AS ({union})
+SELECT doc_id,
+  CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _lm_jm_sql(t0: str, t1: str, k: int) -> str:
+    """LMJelinekMercerSimilarity (lambda=0.1) OR(t0, t1): leaf =
+    (float)log(1 + ((1-lambda)*freq/docLen)/(lambda*cp))
+    (functions/lm.py:score_jm)."""
+    leaves = []
+    for t in (t0, t1):
+        leaves.append(f"""
+  SELECT tf.doc_id,
+    CAST(ln(1 + CAST(CAST(
+        CAST(CAST(CAST(CAST(1.0 AS REAL) - CAST(0.1 AS REAL) AS REAL)
+             * CAST(tf.tf AS REAL) AS REAL) / dl_lm.dl AS REAL)
+      / CAST(CAST(0.1 AS REAL) * {_lm_cp_sql(t)} AS REAL)
+      AS REAL) AS DOUBLE)) AS REAL) AS s
+  FROM tf JOIN dl_lm USING (doc_id) WHERE tf.term = '{t}'""")
+    union = "\n  UNION ALL\n".join(leaves)
+    return f"""
+WITH {_BM25_CTES},
+{_LM_STATS_CTES},
+sc AS ({union})
+SELECT doc_id,
+  CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _q_lm_dirichlet(spark, sf):
+    """LM Dirichlet mu=2000 disjunction
+    (similarities/LMDirichletSimilarity.java:55-60)."""
+    s = _searcher_for(spark, sf)
+    return s.search_lm(BooleanOr(("scan", "table")), k=K,
+                       model="dirichlet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_lm_jm(spark, sf):
+    """LM Jelinek-Mercer lambda=0.1 disjunction
+    (similarities/LMJelinekMercerSimilarity.java:49-53)."""
+    s = _searcher_for(spark, sf)
+    return s.search_lm(BooleanOr(("merge", "sort")), k=K,
+                       model="jm").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 Q_REQOPT = (("vector",), ("table", "scan"))
 Q_COMMON = ("dup", "table", "scan")
 Q_DISMAX = ("scan", "table")
@@ -2123,6 +2225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_topk": _q_span_not,
         "span_containing_topk": _q_span_containing,
         "span_within_topk": _q_span_within,
+        "lm_dirichlet_topk": _q_lm_dirichlet,
+        "lm_jm_topk": _q_lm_jm,
         "dedup_keep_decisions": _op_dedup_representatives,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
@@ -2304,6 +2408,8 @@ def oracle_sql() -> dict[str, str]:
             "table", "scan", 5, "big", K
         ),
         "span_within_topk": _span_within_sql("table", "scan", 5, "big", K),
+        "lm_dirichlet_topk": _lm_dirichlet_sql("scan", "table", K),
+        "lm_jm_topk": _lm_jm_sql("merge", "sort", K),
         "dedup_keep_decisions": _ops_oracles.dedup_representatives_sql(),
         "rerank_topk": _rerank_sql(
             ("table", "vector", "customer"), "scan", 100, 2.0, K

@@ -2274,6 +2274,130 @@ class IndexSearcher:
         ordered = per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
         return ordered if k is None else ordered.limit(k)
 
+    def search_lm(
+        self, query: Query, k: int | None = 10, model: str = "dirichlet",
+        mu: float = 2000.0, lam: float = 0.1,
+    ) -> DataFrame:
+        """Language-model search (similarities/LMDirichletSimilarity.java
+        mu=2000, LMJelinekMercerSimilarity.java lambda=0.1) behind the
+        same pluggable-similarity seam as search_classic. Reuses the
+        stored norm bytes (SimilarityBase.NORM_TABLE decodes the same
+        byte315(1/sqrt(len)) encoding to a quantized docLen) and the
+        dictionary's cf column (BasicStats.totalTermFreq); coord is
+        disabled (Similarity.coord() default 1), so boolean sums are
+        plain f64-accumulated f32 leaves like BM25. Supports
+        Term / BooleanAnd / BooleanOr over the default field."""
+        from lucene_solr_spark.functions import lm
+
+        if model not in ("dirichlet", "jm"):
+            raise ValueError("model must be 'dirichlet' or 'jm'")
+        q = rewrite(query)
+        spec = self._spec(q)
+        kind = spec["kind"]
+        if kind == "term":
+            clause_terms = list(spec["terms"])
+        elif kind == "and":
+            clause_terms = list(spec["must"])
+        elif kind == "or":
+            clause_terms = list(spec["terms"])
+        else:
+            raise ValueError(
+                "LM-similarity path supports term/and/or queries"
+            )
+        if any(FIELD_SEP in t for t in clause_terms):
+            raise ValueError("search_lm supports the default field only")
+        field_tokens = int(self._field_stats[self._default_field])
+        cf_rows = (
+            self._term_stats.where(
+                F.col("term").isin(sorted(set(clause_terms)))
+            )
+            .select("term", "cf")
+            .collect()
+        )
+        cfs = {r.term: int(r.cf) for r in cf_rows}
+        cps = {
+            t: lm.collection_probability(cfs.get(t, 0), field_tokens)
+            for t in clause_terms
+        }
+        matched, norms_side = self._cogroup_inputs(
+            self._matched(sorted(set(clause_terms)))
+        )
+        offsets = dict(self._doc_offsets)
+        default_field = self._default_field
+        codec = self._codec
+        leaf = (
+            (lambda tf, nb, cp: lm.score_dirichlet(tf, nb, mu, cp))
+            if model == "dirichlet"
+            else (lambda tf, nb, cp: lm.score_jm(tf, nb, lam, cp))
+        )
+
+        def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float32")}
+            )
+            if len(left) == 0 or len(nr) == 0:
+                return empty
+            base, norms_map, lt, _d, _ = _decode_shard(
+                left, nr, default_field, codec
+            )
+            nrm = norms_map[""]
+            off = offsets.get(int(left["shard"].iloc[0]), 0)
+            del_local = _local_deleted(nr, off)
+            if kind == "term":
+                t = clause_terms[0]
+                if t not in lt:
+                    return empty
+                d, tf_arr = lt.full(t)
+                docs = d
+                total = leaf(tf_arr, nrm[d - base], cps[t])
+            elif kind == "and":
+                if any(t not in lt for t in clause_terms):
+                    return empty
+                docs = reduce(
+                    lambda a, b: a[np.isin(a, b, assume_unique=True)],
+                    [lt.full(t)[0] for t in clause_terms],
+                )
+                if len(docs) == 0:
+                    return empty
+                acc64 = np.zeros(len(docs), np.float64)
+                for t in clause_terms:
+                    d, tf_arr = lt.full(t)
+                    idx = np.searchsorted(d, docs)
+                    s = leaf(tf_arr[idx], nrm[docs - base], cps[t])
+                    acc64 += s.astype(np.float64)
+                total = acc64.astype(np.float32)
+            else:  # or — sum over present clauses, NO coord
+                present = [t for t in clause_terms if t in lt]
+                if not present:
+                    return empty
+                docs = reduce(np.union1d, [lt.full(t)[0] for t in present])
+                acc64 = np.zeros(len(docs), np.float64)
+                for t in present:
+                    d, tf_arr = lt.full(t)
+                    s = leaf(tf_arr, nrm[d - base], cps[t])
+                    pos = np.searchsorted(docs, d)
+                    acc64[pos] += s.astype(np.float64)
+                total = acc64.astype(np.float32)
+            if del_local is not None and len(docs):
+                m = ~np.isin(docs, del_local)
+                docs, total = docs[m], total[m]
+            docs, total = _topk_arrays(docs, total, k)
+            out = pd.DataFrame(
+                {"doc_id": docs, "score": total.astype(np.float32)}
+            )
+            if off:
+                out["doc_id"] = out["doc_id"] + off
+            return out
+
+        per_shard = (
+            matched.groupBy("shard")
+            .cogroup(norms_side.groupBy("shard"))
+            .applyInPandas(score_group, "doc_id long, score float")
+        )
+        ordered = per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        return ordered if k is None else ordered.limit(k)
+
     def search_many(
         self, queries: dict[str, Query], k: int = 10, prune: bool = True
     ) -> DataFrame:

@@ -1,0 +1,116 @@
+"""LM Dirichlet / Jelinek-Mercer similarities (functions/lm.py,
+IndexSearcher.search_lm; reference similarities/LMDirichletSimilarity.java,
+LMJelinekMercerSimilarity.java). Brute-force f32 recomputation from raw
+token counts must match the engine bitwise."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.functions import lm
+from lucene_solr_spark.functions.smallfloat import encode_norm
+
+DOCS = [
+    (0, "table scan fast merge sort"),
+    (1, "scan table scan table scan"),
+    (2, "merge join sort merge batch"),
+    (3, "table big big big scan dup"),
+    (4, "sort sort sort table"),
+]
+
+
+def _stats():
+    toks = {d: t.split() for d, t in DOCS}
+    cf = {}
+    for ts in toks.values():
+        for t in ts:
+            cf[t] = cf.get(t, 0) + 1
+    total = sum(cf.values())
+    return toks, cf, total
+
+
+def _brute(term_groups, model, mu=2000.0, lam=0.1):
+    """Per-doc f64 sum of f32 leaves over the clause terms, f32 cast —
+    mirrors the boolean composition. term_groups: list of terms (OR)."""
+    toks, cf, total = _stats()
+    out = {}
+    for d, ts in toks.items():
+        nb = encode_norm(np.array([len(ts)]))
+        acc = np.float64(0.0)
+        hit = False
+        for t in term_groups:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            cp = lm.collection_probability(cf[t], total)
+            fn = lm.score_dirichlet if model == "dirichlet" else lm.score_jm
+            s = fn(np.array([tf]), nb, mu if model == "dirichlet" else lam,
+                   cp)
+            acc += np.float64(s[0])
+        if hit:
+            out[d] = np.float32(acc)
+    return out
+
+
+@pytest.fixture(scope="module")
+def lm_index(spark, tmp_path_factory):
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    out = str(tmp_path_factory.mktemp("lmix") / "ix")
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, docs, out, IndexConfig(n_shards=2, segs_per_shard=1))
+    return IndexSearcher(spark, out)
+
+
+@pytest.mark.parametrize("model", ["dirichlet", "jm"])
+def test_lm_term_bitwise(lm_index, model):
+    from lucene_solr_spark.search.query import TermQuery
+
+    got = {
+        r.doc_id: np.float32(r.score)
+        for r in lm_index.search_lm(TermQuery("table"), k=10,
+                                    model=model).collect()
+    }
+    assert got == _brute(["table"], model)
+
+
+@pytest.mark.parametrize("model", ["dirichlet", "jm"])
+def test_lm_or_bitwise(lm_index, model):
+    from lucene_solr_spark.search.query import BooleanOr
+
+    got = {
+        r.doc_id: np.float32(r.score)
+        for r in lm_index.search_lm(BooleanOr(("merge", "sort")), k=10,
+                                    model=model).collect()
+    }
+    assert got == _brute(["merge", "sort"], model)
+
+
+def test_lm_and_conjunction(lm_index):
+    from lucene_solr_spark.search.query import BooleanAnd
+
+    got = {
+        r.doc_id: np.float32(r.score)
+        for r in lm_index.search_lm(BooleanAnd(("table", "scan")),
+                                    k=10).collect()
+    }
+    # AND restricts to docs containing both; scores = sum of the leaves
+    exp = _brute(["table", "scan"], "dirichlet")
+    exp = {d: s for d, s in exp.items() if d in (0, 1, 3)}
+    assert got == exp
+
+
+def test_lm_dirichlet_clamps_negative():
+    # a long doc of common terms drives log(mu/(dl+mu)) negative past
+    # the tf term -> LMDirichletSimilarity clamps the leaf at 0
+    nb = encode_norm(np.array([10_000_000]))
+    cp = lm.collection_probability(999_999, 1_000_000)
+    s = lm.score_dirichlet(np.array([1]), nb, 2000.0, cp)
+    assert s[0] == np.float32(0.0)
+
+
+def test_lm_absent_term_empty(lm_index):
+    from lucene_solr_spark.search.query import TermQuery
+
+    assert lm_index.search_lm(TermQuery("zzz"), k=5).collect() == []
