@@ -1588,6 +1588,107 @@ FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _simbase_tfn_sql(t: str) -> str:
+    """NormalizationH2(c=1) tfn per posting row (functions/dfr.py:
+    tfn_h2): f32 ratio avg/docLen, f64 log2, f64 tf-multiply, f32
+    cast. Emits a derived table (doc_id, tfn) for term `t`."""
+    return f"""
+    SELECT tf.doc_id,
+      CAST(CAST(CAST(tf.tf AS REAL) AS DOUBLE)
+           * (ln(1 + CAST(CAST((SELECT av FROM avgl) / dl_lm.dl AS REAL)
+                          AS DOUBLE)) / ln(2.0)) AS REAL) AS tfn
+    FROM tf JOIN dl_lm USING (doc_id) WHERE tf.term = '{t}'"""
+
+
+_AVGL_CTE = """
+avgl AS (
+  SELECT CAST(CAST((SELECT total FROM ftok) AS REAL)
+              / CAST((SELECT n FROM a) AS REAL) AS REAL) AS av
+)"""
+
+
+def _dfr_inl2_sql(t0: str, t1: str, k: int) -> str:
+    """DFR I(n)L2 OR(t0, t1): leaf = tfn*(float)log2((N+1)/(df+0.5))
+    then * 1/(tfn+1), f32 products (functions/dfr.py:score_dfr_inl2)."""
+    leaves = []
+    for t in (t0, t1):
+        inf = (
+            f"CAST(ln(((SELECT n FROM a) + 1)"
+            f" / (COALESCE((SELECT df FROM dfs WHERE term = '{t}'), 0)"
+            f" + 0.5)) / ln(2.0) AS REAL)"
+        )
+        leaves.append(f"""
+  SELECT doc_id,
+    CAST(CAST(tfn * {inf} AS REAL)
+         * CAST(CAST(1.0 AS REAL)
+                / CAST(tfn + CAST(1.0 AS REAL) AS REAL) AS REAL)
+         AS REAL) AS s
+  FROM ({_simbase_tfn_sql(t)})""")
+    union = "\n  UNION ALL\n".join(leaves)
+    return f"""
+WITH {_BM25_CTES},
+{_LM_STATS_CTES},
+{_AVGL_CTE},
+sc AS ({union})
+SELECT doc_id,
+  CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _ib_spl_sql(t0: str, t1: str, k: int) -> str:
+    """IB SPL-DF-H2 OR(t0, t1): leaf = (float)-log((lam^(tfn/(tfn+1))
+    - lam)/(1 - lam)) with lam = f32 (df+1)/(N+1)
+    (functions/dfr.py:score_ib_spl)."""
+    leaves = []
+    for t in (t0, t1):
+        lam = (
+            f"(SELECT CASE WHEN l = CAST(1.0 AS REAL)"
+            f" THEN CAST(0.99 AS REAL) ELSE l END FROM"
+            f" (SELECT CAST(CAST(COALESCE((SELECT df FROM dfs"
+            f" WHERE term = '{t}'), 0) + 1 AS REAL)"
+            f" / CAST((SELECT n FROM a) + 1 AS REAL) AS REAL) AS l))"
+        )
+        leaves.append(f"""
+  SELECT doc_id,
+    CAST(-ln((pow(CAST({lam} AS DOUBLE),
+                  CAST(CAST(tfn / CAST(tfn + CAST(1.0 AS REAL) AS REAL)
+                            AS REAL) AS DOUBLE))
+              - CAST({lam} AS DOUBLE))
+             / (1 - CAST({lam} AS DOUBLE))) AS REAL) AS s
+  FROM ({_simbase_tfn_sql(t)})""")
+    union = "\n  UNION ALL\n".join(leaves)
+    return f"""
+WITH {_BM25_CTES},
+{_LM_STATS_CTES},
+{_AVGL_CTE},
+sc AS ({union})
+SELECT doc_id,
+  CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _q_dfr_inl2(spark, sf):
+    """DFR I(n)L2 disjunction (similarities/DFRSimilarity.java:110-114,
+    BasicModelIn + AfterEffectL + NormalizationH2)."""
+    s = _searcher_for(spark, sf)
+    return s.search_dfr(BooleanOr(("scan", "table")), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_ib_spl(spark, sf):
+    """IB SPL-DF-H2 disjunction (similarities/IBSimilarity.java:98-104,
+    DistributionSPL + LambdaDF + NormalizationH2)."""
+    s = _searcher_for(spark, sf)
+    return s.search_ib(BooleanOr(("merge", "sort")), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def _q_lm_dirichlet(spark, sf):
     """LM Dirichlet mu=2000 disjunction
     (similarities/LMDirichletSimilarity.java:55-60)."""
@@ -2227,6 +2328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_within_topk": _q_span_within,
         "lm_dirichlet_topk": _q_lm_dirichlet,
         "lm_jm_topk": _q_lm_jm,
+        "dfr_inl2_topk": _q_dfr_inl2,
+        "ib_spl_topk": _q_ib_spl,
         "dedup_keep_decisions": _op_dedup_representatives,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
@@ -2410,6 +2513,8 @@ def oracle_sql() -> dict[str, str]:
         "span_within_topk": _span_within_sql("table", "scan", 5, "big", K),
         "lm_dirichlet_topk": _lm_dirichlet_sql("scan", "table", K),
         "lm_jm_topk": _lm_jm_sql("merge", "sort", K),
+        "dfr_inl2_topk": _dfr_inl2_sql("scan", "table", K),
+        "ib_spl_topk": _ib_spl_sql("merge", "sort", K),
         "dedup_keep_decisions": _ops_oracles.dedup_representatives_sql(),
         "rerank_topk": _rerank_sql(
             ("table", "vector", "customer"), "scan", 100, 2.0, K

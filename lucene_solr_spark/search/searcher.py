@@ -2291,6 +2291,62 @@ class IndexSearcher:
 
         if model not in ("dirichlet", "jm"):
             raise ValueError("model must be 'dirichlet' or 'jm'")
+        field_tokens = int(self._field_stats[self._default_field])
+
+        def make_leaf(term, df, cf):
+            cp = lm.collection_probability(cf, field_tokens)
+            if model == "dirichlet":
+                return lambda tf, nb: lm.score_dirichlet(tf, nb, mu, cp)
+            return lambda tf, nb: lm.score_jm(tf, nb, lam, cp)
+
+        return self._search_simbase(query, k, make_leaf, "search_lm")
+
+    def search_dfr(
+        self, query: Query, k: int | None = 10, c: float = 1.0,
+    ) -> DataFrame:
+        """DFR I(n)L2 search (similarities/DFRSimilarity.java with
+        BasicModelIn + AfterEffectL + NormalizationH2(c)) — see
+        functions/dfr.py for the float discipline. Supports
+        Term / BooleanAnd / BooleanOr over the default field."""
+        from lucene_solr_spark.functions import dfr
+
+        avg = dfr.avg_field_length(
+            int(self._field_stats[self._default_field]), self.max_doc
+        )
+        n = self.max_doc
+
+        def make_leaf(term, df, cf):
+            return lambda tf, nb: dfr.score_dfr_inl2(tf, nb, df, n, avg, c)
+
+        return self._search_simbase(query, k, make_leaf, "search_dfr")
+
+    def search_ib(
+        self, query: Query, k: int | None = 10, c: float = 1.0,
+    ) -> DataFrame:
+        """IB SPL-DF-H2 search (similarities/IBSimilarity.java with
+        DistributionSPL + LambdaDF + NormalizationH2(c)) — see
+        functions/dfr.py. Supports Term / BooleanAnd / BooleanOr over
+        the default field."""
+        from lucene_solr_spark.functions import dfr
+
+        avg = dfr.avg_field_length(
+            int(self._field_stats[self._default_field]), self.max_doc
+        )
+        n = self.max_doc
+
+        def make_leaf(term, df, cf):
+            return lambda tf, nb: dfr.score_ib_spl(tf, nb, df, n, avg, c)
+
+        return self._search_simbase(query, k, make_leaf, "search_ib")
+
+    def _search_simbase(
+        self, query: Query, k: int | None, make_leaf, name: str,
+    ) -> DataFrame:
+        """Shared kernel for the SimilarityBase family (LM/DFR/IB):
+        per-term f32 leaf scorers built on the driver from dictionary
+        stats (BasicStats fill at createWeight time), f64-accumulated
+        boolean sums, one f32 cast — coord disabled
+        (SimilarityBase similarities leave Similarity.coord() at 1)."""
         q = rewrite(query)
         spec = self._spec(q)
         kind = spec["kind"]
@@ -2302,22 +2358,20 @@ class IndexSearcher:
             clause_terms = list(spec["terms"])
         else:
             raise ValueError(
-                "LM-similarity path supports term/and/or queries"
+                f"{name} supports term/and/or queries"
             )
         if any(FIELD_SEP in t for t in clause_terms):
-            raise ValueError("search_lm supports the default field only")
-        field_tokens = int(self._field_stats[self._default_field])
-        cf_rows = (
+            raise ValueError(f"{name} supports the default field only")
+        stat_rows = (
             self._term_stats.where(
                 F.col("term").isin(sorted(set(clause_terms)))
             )
-            .select("term", "cf")
+            .select("term", "df", "cf")
             .collect()
         )
-        cfs = {r.term: int(r.cf) for r in cf_rows}
-        cps = {
-            t: lm.collection_probability(cfs.get(t, 0), field_tokens)
-            for t in clause_terms
+        stats = {r.term: (int(r.df), int(r.cf)) for r in stat_rows}
+        leaves = {
+            t: make_leaf(t, *stats.get(t, (0, 0))) for t in clause_terms
         }
         matched, norms_side = self._cogroup_inputs(
             self._matched(sorted(set(clause_terms)))
@@ -2325,11 +2379,6 @@ class IndexSearcher:
         offsets = dict(self._doc_offsets)
         default_field = self._default_field
         codec = self._codec
-        leaf = (
-            (lambda tf, nb, cp: lm.score_dirichlet(tf, nb, mu, cp))
-            if model == "dirichlet"
-            else (lambda tf, nb, cp: lm.score_jm(tf, nb, lam, cp))
-        )
 
         def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame(
@@ -2350,7 +2399,7 @@ class IndexSearcher:
                     return empty
                 d, tf_arr = lt.full(t)
                 docs = d
-                total = leaf(tf_arr, nrm[d - base], cps[t])
+                total = leaves[t](tf_arr, nrm[d - base])
             elif kind == "and":
                 if any(t not in lt for t in clause_terms):
                     return empty
@@ -2364,7 +2413,7 @@ class IndexSearcher:
                 for t in clause_terms:
                     d, tf_arr = lt.full(t)
                     idx = np.searchsorted(d, docs)
-                    s = leaf(tf_arr[idx], nrm[docs - base], cps[t])
+                    s = leaves[t](tf_arr[idx], nrm[docs - base])
                     acc64 += s.astype(np.float64)
                 total = acc64.astype(np.float32)
             else:  # or — sum over present clauses, NO coord
@@ -2375,7 +2424,7 @@ class IndexSearcher:
                 acc64 = np.zeros(len(docs), np.float64)
                 for t in present:
                     d, tf_arr = lt.full(t)
-                    s = leaf(tf_arr, nrm[d - base], cps[t])
+                    s = leaves[t](tf_arr, nrm[d - base])
                     pos = np.searchsorted(docs, d)
                     acc64[pos] += s.astype(np.float64)
                 total = acc64.astype(np.float32)

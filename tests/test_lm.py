@@ -114,3 +114,83 @@ def test_lm_absent_term_empty(lm_index):
     from lucene_solr_spark.search.query import TermQuery
 
     assert lm_index.search_lm(TermQuery("zzz"), k=5).collect() == []
+
+
+def _brute_simbase(terms, fn):
+    """f64 sum of f32 leaves over clause terms (leaf = fn(tf, nb, df))."""
+    toks, cf, total = _stats()
+    n_docs = len(DOCS)
+    dfv = {t: sum(1 for ts in toks.values() if t in ts) for t in cf}
+    out = {}
+    for d, ts in toks.items():
+        nb = encode_norm(np.array([len(ts)]))
+        acc = np.float64(0.0)
+        hit = False
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            acc += np.float64(fn(np.array([tf]), nb, dfv[t])[0])
+        if hit:
+            out[d] = np.float32(acc)
+    return out
+
+
+def test_dfr_inl2_bitwise(lm_index):
+    from lucene_solr_spark.functions import dfr
+    from lucene_solr_spark.search.query import BooleanOr, TermQuery
+
+    toks, cf, total = _stats()
+    avg = dfr.avg_field_length(total, len(DOCS))
+
+    def leaf(tf, nb, df):
+        return dfr.score_dfr_inl2(tf, nb, df, len(DOCS), avg)
+
+    got = {
+        r.doc_id: np.float32(r.score)
+        for r in lm_index.search_dfr(TermQuery("table"), k=10).collect()
+    }
+    assert got == _brute_simbase(["table"], leaf)
+
+    got = {
+        r.doc_id: np.float32(r.score)
+        for r in lm_index.search_dfr(BooleanOr(("merge", "sort")),
+                                     k=10).collect()
+    }
+    assert got == _brute_simbase(["merge", "sort"], leaf)
+
+
+def test_ib_spl_bitwise(lm_index):
+    from lucene_solr_spark.functions import dfr
+    from lucene_solr_spark.search.query import BooleanAnd, TermQuery
+
+    toks, cf, total = _stats()
+    avg = dfr.avg_field_length(total, len(DOCS))
+
+    def leaf(tf, nb, df):
+        return dfr.score_ib_spl(tf, nb, df, len(DOCS), avg)
+
+    got = {
+        r.doc_id: np.float32(r.score)
+        for r in lm_index.search_ib(TermQuery("scan"), k=10).collect()
+    }
+    assert got == _brute_simbase(["scan"], leaf)
+
+    got = {
+        r.doc_id: np.float32(r.score)
+        for r in lm_index.search_ib(BooleanAnd(("table", "scan")),
+                                    k=10).collect()
+    }
+    exp = _brute_simbase(["table", "scan"], leaf)
+    exp = {d: s for d, s in exp.items() if d in (0, 1, 3)}
+    assert got == exp
+
+
+def test_ib_lambda_snap():
+    # df == N -> lambda == 1f snaps to 0.99f (DistributionSPL.java:35-37)
+    from lucene_solr_spark.functions import dfr
+
+    nb = encode_norm(np.array([5]))
+    s = dfr.score_ib_spl(np.array([2]), nb, 5, 5, np.float32(5.0))
+    assert np.isfinite(s[0]) and s[0] > 0
