@@ -2287,18 +2287,9 @@ class IndexSearcher:
         disabled (Similarity.coord() default 1), so boolean sums are
         plain f64-accumulated f32 leaves like BM25. Supports
         Term / BooleanAnd / BooleanOr over the default field."""
-        from lucene_solr_spark.functions import lm
-
         if model not in ("dirichlet", "jm"):
             raise ValueError("model must be 'dirichlet' or 'jm'")
-        field_tokens = int(self._field_stats[self._default_field])
-
-        def make_leaf(term, df, cf):
-            cp = lm.collection_probability(cf, field_tokens)
-            if model == "dirichlet":
-                return lambda tf, nb: lm.score_dirichlet(tf, nb, mu, cp)
-            return lambda tf, nb: lm.score_jm(tf, nb, lam, cp)
-
+        make_leaf, _ = self._simbase_conf(model, mu=mu, lam=lam)
         return self._search_simbase(query, k, make_leaf, "search_lm")
 
     def search_dfr(
@@ -2308,16 +2299,7 @@ class IndexSearcher:
         BasicModelIn + AfterEffectL + NormalizationH2(c)) — see
         functions/dfr.py for the float discipline. Supports
         Term / BooleanAnd / BooleanOr over the default field."""
-        from lucene_solr_spark.functions import dfr
-
-        avg = dfr.avg_field_length(
-            int(self._field_stats[self._default_field]), self.max_doc
-        )
-        n = self.max_doc
-
-        def make_leaf(term, df, cf):
-            return lambda tf, nb: dfr.score_dfr_inl2(tf, nb, df, n, avg, c)
-
+        make_leaf, _ = self._simbase_conf("dfr", c=c)
         return self._search_simbase(query, k, make_leaf, "search_dfr")
 
     def search_ib(
@@ -2327,17 +2309,177 @@ class IndexSearcher:
         DistributionSPL + LambdaDF + NormalizationH2(c)) — see
         functions/dfr.py. Supports Term / BooleanAnd / BooleanOr over
         the default field."""
-        from lucene_solr_spark.functions import dfr
-
-        avg = dfr.avg_field_length(
-            int(self._field_stats[self._default_field]), self.max_doc
-        )
-        n = self.max_doc
-
-        def make_leaf(term, df, cf):
-            return lambda tf, nb: dfr.score_ib_spl(tf, nb, df, n, avg, c)
-
+        make_leaf, _ = self._simbase_conf("ib", c=c)
         return self._search_simbase(query, k, make_leaf, "search_ib")
+
+    def _simbase_conf(
+        self, model: str, mu: float = 2000.0, lam: float = 0.1,
+        c: float = 1.0,
+    ):
+        """(make_leaf, detail) pair for a SimilarityBase flavor:
+        make_leaf(term, df, cf) -> f32 leaf scorer; detail(term, df,
+        cf) -> the Explanation stats the reference's
+        SimilarityBase.explain surfaces (BasicStats fill)."""
+        from lucene_solr_spark.functions import dfr, lm
+
+        field_tokens = int(self._field_stats[self._default_field])
+        n = self.max_doc
+        if model in ("dirichlet", "jm"):
+            def make_leaf(term, df, cf):
+                cp = lm.collection_probability(cf, field_tokens)
+                if model == "dirichlet":
+                    return lambda tf, nb: lm.score_dirichlet(tf, nb, mu, cp)
+                return lambda tf, nb: lm.score_jm(tf, nb, lam, cp)
+
+            def detail(term, df, cf):
+                d = {
+                    "cf": cf,
+                    "number_of_field_tokens": field_tokens,
+                    "collection_probability": float(
+                        lm.collection_probability(cf, field_tokens)
+                    ),
+                }
+                d["mu" if model == "dirichlet" else "lambda"] = (
+                    mu if model == "dirichlet" else lam
+                )
+                return d
+
+            return make_leaf, detail
+        avg = dfr.avg_field_length(field_tokens, n)
+        if model == "dfr":
+            def make_leaf(term, df, cf):
+                return lambda tf, nb: dfr.score_dfr_inl2(
+                    tf, nb, df, n, avg, c
+                )
+
+            def detail(term, df, cf):
+                return {"df": df, "number_of_documents": n,
+                        "avg_field_length": float(avg), "c": c,
+                        "basic_model": "In", "after_effect": "L",
+                        "normalization": "H2"}
+
+            return make_leaf, detail
+        if model == "ib":
+            def make_leaf(term, df, cf):
+                return lambda tf, nb: dfr.score_ib_spl(tf, nb, df, n, avg, c)
+
+            def detail(term, df, cf):
+                return {"df": df, "number_of_documents": n,
+                        "avg_field_length": float(avg), "c": c,
+                        "lambda_df": float(dfr.lambda_df(df, n)),
+                        "distribution": "SPL", "lambda": "DF",
+                        "normalization": "H2"}
+
+            return make_leaf, detail
+        raise ValueError(f"unknown SimilarityBase flavor {model!r}")
+
+    def explain_simbase(
+        self, query: Query, doc_id: int, model: str = "dirichlet",
+        mu: float = 2000.0, lam: float = 0.1, c: float = 1.0,
+    ) -> dict:
+        """Explain for the SimilarityBase family (SimilarityBase.java's
+        explain + the per-similarity subs, e.g.
+        LMDirichletSimilarity.explain:74-90): per-term leaf
+        decomposition — tf, norm byte, decoded docLen, the BasicStats
+        each flavor surfaces — with the root `score` recomposed through
+        the SAME leaf closures as search_lm/search_dfr/search_ib, so
+        it is bitwise the search score."""
+        from lucene_solr_spark.functions.lm import DOCLEN_TABLE
+
+        make_leaf, detail = self._simbase_conf(model, mu, lam, c)
+        q = rewrite(query)
+        spec = self._spec(q)
+        kind = spec["kind"]
+        if kind == "term":
+            clause_terms = list(spec["terms"])
+        elif kind == "and":
+            clause_terms = list(spec["must"])
+        elif kind == "or":
+            clause_terms = list(spec["terms"])
+        else:
+            raise ValueError("explain_simbase supports term/and/or queries")
+        if any(FIELD_SEP in t for t in clause_terms):
+            raise ValueError(
+                "explain_simbase supports the default field only"
+            )
+        no = {"doc_id": int(doc_id), "match": False, "score": 0.0,
+              "model": model, "terms": []}
+        dmr = self.doc_map().where(F.col("doc_id") == int(doc_id)).collect()
+        if not dmr:
+            return {**no, "description": "no such doc"}
+        shard = int(dmr[0].shard)
+        off = int(self._doc_offsets.get(shard, 0))
+        local = int(doc_id) - off
+        if self._has_tombstones():
+            if (
+                self.deleted_df()
+                .where(F.col("doc_id") == int(doc_id))
+                .count()
+            ):
+                return {**no, "description": "doc is deleted (liveDocs)"}
+        stat_rows = (
+            self._term_stats.where(
+                F.col("term").isin(sorted(set(clause_terms)))
+            )
+            .select("term", "df", "cf")
+            .collect()
+        )
+        stats = {r.term: (int(r.df), int(r.cf)) for r in stat_rows}
+        pdf = (
+            self._matched(sorted(set(clause_terms)))
+            .where(F.col("shard") == shard)
+            .drop("pos_enc")
+            .toPandas()
+        )
+        if len(pdf) == 0:
+            return {**no, "description": "no query term in this shard"}
+        nr = (
+            self._norms_for_query(None)
+            .where(F.col("shard") == shard)
+            .toPandas()
+        )
+        base, norms_map, lt, _dfs, _ = _decode_shard(
+            pdf, nr, self._default_field, self._codec
+        )
+        nrm = norms_map[""]
+        nb = np.array([nrm[local - base]], np.uint8)
+        nodes, acc = [], np.float64(0.0)
+        matched_terms = 0
+        for t in clause_terms:
+            df, cf = stats.get(t, (0, 0))
+            tf = 0
+            if t in lt:
+                d, tf_arr = lt.full(t)
+                p = int(np.searchsorted(d, local))
+                if p < len(d) and d[p] == local:
+                    tf = int(tf_arr[p])
+            node = {"term": t, "tf": tf, "norm_byte": int(nb[0]),
+                    "doc_len": float(DOCLEN_TABLE[nb[0]]),
+                    **detail(t, df, cf)}
+            if tf > 0:
+                s = make_leaf(t, df, cf)(np.array([tf]), nb)
+                node["leaf_score"] = float(s[0])
+                acc += np.float64(s[0])
+                matched_terms += 1
+            else:
+                node["leaf_score"] = 0.0
+            nodes.append(node)
+        hit = (
+            matched_terms == len(clause_terms)
+            if kind == "and" else matched_terms > 0
+        )
+        return {
+            "doc_id": int(doc_id),
+            "match": bool(hit),
+            "score": float(np.float32(acc)) if hit else 0.0,
+            "model": model,
+            "kind": kind,
+            "terms": nodes,
+            "description": (
+                "SimilarityBase: f64 sum of per-term f32 leaves, one "
+                "f32 cast (coord disabled)"
+            ),
+        }
 
     def _search_simbase(
         self, query: Query, k: int | None, make_leaf, name: str,

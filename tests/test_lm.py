@@ -194,3 +194,35 @@ def test_ib_lambda_snap():
     nb = encode_norm(np.array([5]))
     s = dfr.score_ib_spl(np.array([2]), nb, 5, 5, np.float32(5.0))
     assert np.isfinite(s[0]) and s[0] > 0
+
+
+@pytest.mark.parametrize("model,method", [
+    ("dirichlet", "search_lm"), ("jm", "search_lm"),
+    ("dfr", "search_dfr"), ("ib", "search_ib"),
+])
+def test_explain_simbase_bitwise(lm_index, model, method):
+    from lucene_solr_spark.search.query import BooleanOr
+
+    q = BooleanOr(("table", "scan"))
+    kw = {"model": model} if method == "search_lm" else {}
+    hits = getattr(lm_index, method)(q, k=10, **kw).collect()
+    assert hits
+    for r in hits:
+        ex = lm_index.explain_simbase(q, int(r.doc_id), model=model)
+        assert ex["match"] is True
+        assert np.float32(ex["score"]) == np.float32(r.score)
+        assert sum(1 for n in ex["terms"] if n["tf"] > 0) >= 1
+    # doc 2 has neither table nor scan
+    miss = lm_index.explain_simbase(q, 2, model=model)
+    assert miss["match"] is False and miss["score"] == 0.0
+
+
+def test_explain_simbase_and_requires_all(lm_index):
+    from lucene_solr_spark.search.query import BooleanAnd
+
+    q = BooleanAnd(("table", "merge"))
+    # doc 0 has both; doc 4 has table only
+    ex0 = lm_index.explain_simbase(q, 0, model="dirichlet")
+    assert ex0["match"] is True and ex0["score"] > 0
+    ex4 = lm_index.explain_simbase(q, 4, model="dirichlet")
+    assert ex4["match"] is False and ex4["score"] == 0.0
