@@ -1772,6 +1772,23 @@ def _q_sort_by_field(spark, sf):
     )
 
 
+def _q_sort_multi(spark, sf):
+    """Multi-SortField chain (search/Sort.java with SortField[] —
+    TopFieldCollector compares field-by-field): lang ASC, n_chars
+    DESC, doc_id tiebreak, over the Q_TERM match set."""
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(
+        F.col("doc_id").cast("long"), "lang", "n_chars"
+    )
+    return (
+        hits.join(docs, "doc_id")
+        .orderBy(F.asc("lang"), F.desc("n_chars"), F.asc("doc_id"))
+        .limit(K)
+        .select("doc_id", "lang", F.col("n_chars").cast("long"))
+    )
+
+
 def _q_rollup_events(spark, sf):
     """RollupStream analog over the events table (SURVEY §2.8)."""
     ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -2330,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jm_topk": _q_lm_jm,
         "dfr_inl2_topk": _q_dfr_inl2,
         "ib_spl_topk": _q_ib_spl,
+        "sort_multi_field_topk": _q_sort_multi,
         "dedup_keep_decisions": _op_dedup_representatives,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
@@ -2515,6 +2533,12 @@ def oracle_sql() -> dict[str, str]:
         "lm_jm_topk": _lm_jm_sql("merge", "sort", K),
         "dfr_inl2_topk": _dfr_inl2_sql("scan", "table", K),
         "ib_spl_topk": _ib_spl_sql("merge", "sort", K),
+        "sort_multi_field_topk": (
+            f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
+            "SELECT sc.doc_id, d.lang, d.n_chars::BIGINT AS n_chars "
+            "FROM sc JOIN documents d USING (doc_id) "
+            f"ORDER BY d.lang, d.n_chars DESC, sc.doc_id LIMIT {K}"
+        ),
         "dedup_keep_decisions": _ops_oracles.dedup_representatives_sql(),
         "rerank_topk": _rerank_sql(
             ("table", "vector", "customer"), "scan", 100, 2.0, K
