@@ -2373,6 +2373,120 @@ class IndexSearcher:
             return make_leaf, detail
         raise ValueError(f"unknown SimilarityBase flavor {model!r}")
 
+    def explain_classic(self, query: Query, doc_id: int) -> dict:
+        """Classic TF-IDF explain (TFIDFSimilarity.explainScore /
+        IDFStats — the 6.0 default similarity's Explanation tree):
+        per-term tf=sqrt(freq), idf, queryNorm-folded weightValue, the
+        decoded norm, and the coord factor; root `score` recomposed
+        through the SAME float chain as search_classic (f64 sum of f32
+        leaves, coord multiply, one f32 cast) — bitwise the search
+        score."""
+        from lucene_solr_spark.functions import tfidf
+
+        q = rewrite(query)
+        spec = self._spec(q)
+        kind = spec["kind"]
+        if kind == "term":
+            clause_terms = list(spec["terms"])
+        elif kind == "and":
+            clause_terms = list(spec["must"])
+        elif kind == "or":
+            clause_terms = list(spec["terms"])
+        else:
+            raise ValueError("explain_classic supports term/and/or queries")
+        if any(FIELD_SEP in t for t in clause_terms):
+            raise ValueError(
+                "explain_classic supports the default field only"
+            )
+        no = {"doc_id": int(doc_id), "match": False, "score": 0.0,
+              "similarity": "classic", "terms": []}
+        dmr = self.doc_map().where(F.col("doc_id") == int(doc_id)).collect()
+        if not dmr:
+            return {**no, "description": "no such doc"}
+        shard = int(dmr[0].shard)
+        off = int(self._doc_offsets.get(shard, 0))
+        local = int(doc_id) - off
+        if self._has_tombstones():
+            if (
+                self.deleted_df()
+                .where(F.col("doc_id") == int(doc_id))
+                .count()
+            ):
+                return {**no, "description": "doc is deleted (liveDocs)"}
+        dfs = self.term_dfs(sorted(set(clause_terms)))
+        idfs = [
+            tfidf.idf(dfs.get(t, 0), self.max_doc) for t in clause_terms
+        ]
+        values = tfidf.term_values(idfs)
+        vmap = {t: v for t, v in zip(clause_terms, values)}
+        imap = {t: i for t, i in zip(clause_terms, idfs)}
+        maxcoord = len(clause_terms)
+        pdf = (
+            self._matched(sorted(set(clause_terms)))
+            .where(F.col("shard") == shard)
+            .drop("pos_enc")
+            .toPandas()
+        )
+        if len(pdf) == 0:
+            return {**no, "description": "no query term in this shard"}
+        nr = (
+            self._norms_for_query(None)
+            .where(F.col("shard") == shard)
+            .toPandas()
+        )
+        base, norms_map, lt, _dfs, _ = _decode_shard(
+            pdf, nr, self._default_field, self._codec
+        )
+        nrm = norms_map[""]
+        nb = np.array([nrm[local - base]], np.uint8)
+        nodes, acc = [], np.float64(0.0)
+        matched_terms = 0
+        for t in clause_terms:
+            tf = 0
+            if t in lt:
+                d, tf_arr = lt.full(t)
+                p = int(np.searchsorted(d, local))
+                if p < len(d) and d[p] == local:
+                    tf = int(tf_arr[p])
+            node = {"term": t, "tf": tf, "df": dfs.get(t, 0),
+                    "idf": float(imap[t]),
+                    "weight_value": float(vmap[t]),
+                    "norm_byte": int(nb[0]),
+                    "decoded_norm": float(tfidf.DECODE[nb[0]])}
+            if tf > 0:
+                s = tfidf.score_term(np.array([tf]), nb, vmap[t])
+                node["leaf_score"] = float(s[0])
+                acc += np.float64(s[0])
+                matched_terms += 1
+            else:
+                node["leaf_score"] = 0.0
+            nodes.append(node)
+        hit = (
+            matched_terms == len(clause_terms)
+            if kind == "and" else matched_terms > 0
+        )
+        if kind == "or":
+            coord = np.float32(np.float32(matched_terms)
+                               / np.float32(maxcoord))
+            total = np.float32(np.float32(acc) * coord)
+        else:
+            coord = np.float32(1.0)
+            total = np.float32(acc)
+        return {
+            "doc_id": int(doc_id),
+            "match": bool(hit),
+            "score": float(total) if hit else 0.0,
+            "similarity": "classic",
+            "kind": kind,
+            "coord": float(coord),
+            "terms": nodes,
+            "description": (
+                "classic TF-IDF: sqrt(tf) * weightValue * decodeNorm "
+                "per term, f64 sum, coord = overlap/maxOverlap on "
+                "disjunctions (ClassicSimilarity)"
+            ),
+        }
+
     def explain_simbase(
         self, query: Query, doc_id: int, model: str = "dirichlet",
         mu: float = 2000.0, lam: float = 0.1, c: float = 1.0,

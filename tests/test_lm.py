@@ -226,3 +226,23 @@ def test_explain_simbase_and_requires_all(lm_index):
     assert ex0["match"] is True and ex0["score"] > 0
     ex4 = lm_index.explain_simbase(q, 4, model="dirichlet")
     assert ex4["match"] is False and ex4["score"] == 0.0
+
+
+def test_explain_classic_bitwise(lm_index):
+    from lucene_solr_spark.search.query import (BooleanAnd, BooleanOr,
+                                                TermQuery)
+
+    for q in (TermQuery("table"), BooleanOr(("table", "scan")),
+              BooleanAnd(("table", "scan"))):
+        hits = lm_index.search_classic(q, k=10).collect()
+        assert hits
+        for r in hits:
+            ex = lm_index.explain_classic(q, int(r.doc_id))
+            assert ex["match"] is True
+            assert np.float32(ex["score"]) == np.float32(r.score)
+    # coord shows up on partial disjunction matches: doc 2 has neither
+    miss = lm_index.explain_classic(BooleanOr(("table", "scan")), 2)
+    assert miss["match"] is False and miss["score"] == 0.0
+    # doc 4 ("sort sort sort table") matches 1 of 2 -> coord 0.5
+    ex4 = lm_index.explain_classic(BooleanOr(("table", "scan")), 4)
+    assert ex4["coord"] == 0.5
