@@ -1948,6 +1948,22 @@ def _q_suggest_prefix(spark, sf):
     )
 
 
+def _q_suggest_infix(spark, sf):
+    """AnalyzingInfixSuggester analog (suggest/analyzing/
+    AnalyzingInfixSuggester.java semantics: substring match against the
+    analyzed dictionary, popularity-ranked): terms CONTAINING the
+    fragment, df desc. At scale this is a pushed-down contains()
+    predicate over the tiny term dictionary — the suggester's own
+    internal Lucene index is the dictionary we already store."""
+    s = _searcher_for(spark, sf)
+    return (
+        s._term_stats.where(F.col("term").contains("or"))
+        .orderBy(F.desc("df"), "term")
+        .limit(10)
+        .select("term", F.col("df").cast("long"))
+    )
+
+
 def _q_match_all_count(spark, sf):
     """MatchAllDocsQuery + TotalHitCountCollector."""
     s = _searcher_for(spark, sf)
@@ -2348,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_inl2_topk": _q_dfr_inl2,
         "ib_spl_topk": _q_ib_spl,
         "sort_multi_field_topk": _q_sort_multi,
+        "suggest_infix": _q_suggest_infix,
         "dedup_keep_decisions": _op_dedup_representatives,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
@@ -2577,6 +2594,11 @@ def oracle_sql() -> dict[str, str]:
         "suggest_prefix": (
             f"WITH {_BM25_CTES} "
             "SELECT term, df FROM dfs WHERE term LIKE 's%' "
+            "ORDER BY df DESC, term LIMIT 10"
+        ),
+        "suggest_infix": (
+            f"WITH {_BM25_CTES} "
+            "SELECT term, df FROM dfs WHERE term LIKE '%or%' "
             "ORDER BY df DESC, term LIMIT 10"
         ),
         "regexp_constant_topk": (
