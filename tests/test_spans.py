@@ -381,3 +381,50 @@ def test_e2e_span_mtq_wrapper(span_index):
         k=10,
     ).collect()
     assert empty == []
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_containment_parity(seed):
+    """Containing/within over near([a,b], slop, ordered) + term c:
+    the greedy iterators must equal the closed-form existence
+    predicates (valid: ordered 2-term near spans have strictly
+    increasing starts and nondecreasing ends)."""
+    rng = np.random.default_rng(seed + 1000)
+    pool = rng.permutation(40)
+    na, nb, nc = rng.integers(1, 7, 3)
+    apos = np.sort(pool[:na]).astype(np.int64)
+    bpos = np.sort(pool[na:na + nb]).astype(np.int64)
+    cpos = np.sort(pool[na + nb:na + nb + nc]).astype(np.int64)
+    slop = int(rng.integers(0, 8))
+    posmap = {
+        "a": (np.zeros(len(apos), np.int64), apos),
+        "b": (np.zeros(len(bpos), np.int64), bpos),
+        "c": (np.zeros(len(cpos), np.int64), cpos),
+    }
+    near = {
+        "op": "near",
+        "clauses": [{"op": "term", "term": "a"}, {"op": "term", "term": "b"}],
+        "slop": slop, "in_order": True,
+    }
+    # closed-form big spans: (s=a, e=y+1) for minimal y > a, gap <= slop
+    bigs = []
+    for a in apos:
+        nxt = bpos[bpos > a]
+        if len(nxt) == 0:
+            break
+        if nxt[0] - a - 1 <= slop:
+            bigs.append((int(a), int(nxt[0])))
+    exp_cont = sum(
+        1.0 / (y - s)
+        for s, y in bigs
+        if np.any((cpos >= s) & (cpos <= y))
+    )
+    exp_with = float(sum(
+        1 for p in cpos if any(s <= p <= y for s, y in bigs)
+    ))
+    cont = {"op": "containing", "big": near,
+            "little": {"op": "term", "term": "c"}}
+    within = {"op": "within", "big": near,
+              "little": {"op": "term", "term": "c"}}
+    assert doc_freq_spans(cont, posmap, 0) == pytest.approx(exp_cont)
+    assert doc_freq_spans(within, posmap, 0) == pytest.approx(exp_with)
