@@ -2106,6 +2106,15 @@ def _op_quality(spark, sf):
     return quality_topk(_docs(spark, sf))
 
 
+def _op_repetition(spark, sf):
+    """Gopher/C4-style repetition quality filter features
+    (ops/textstats.py:repetition_topk): duplicate-token fraction +
+    top-2-gram dominance, most-repetitive docs first."""
+    from lucene_solr_spark.ops.textstats import repetition_topk
+
+    return repetition_topk(_docs(spark, sf))
+
+
 def _op_fingerprints(spark, sf):
     from lucene_solr_spark.ops.textstats import doc_fingerprints
 
@@ -2365,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ib_spl_topk": _q_ib_spl,
         "sort_multi_field_topk": _q_sort_multi,
         "suggest_infix": _q_suggest_infix,
+        "text_repetition_topk": _op_repetition,
         "dedup_keep_decisions": _op_dedup_representatives,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
@@ -2685,6 +2695,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": _ops_oracles.token_counts_sql(),
         "text_lang_id": _ops_oracles.lang_id_sql(),
         "text_quality_topk": _ops_oracles.quality_topk_sql(),
+        "text_repetition_topk": _ops_oracles.repetition_topk_sql(),
         "text_fingerprints": _ops_oracles.fingerprints_sql(),
         "multimodal_binary_len": _ops_oracles.multimodal_len_sql(),
     }

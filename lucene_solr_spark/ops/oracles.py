@@ -482,3 +482,38 @@ SELECT d.doc_id,
        (COALESCE(lab.cluster_id, d.doc_id) = d.doc_id) AS keep
 FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def repetition_topk_sql(k: int = 20) -> str:
+    """Oracle for textstats.repetition_topk: duplicate-token fraction
+    and top-2-gram dominance (Gopher/C4 repetition rules)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+    len(toks)::BIGINT AS n,
+    len(list_distinct(toks))::BIGINT AS ndist,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1])
+    ELSE [] END AS grams
+  FROM t
+),
+f AS (
+  SELECT doc_id, n, n - ndist AS dup_tokens,
+    round(CAST(n - ndist AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE), 6)
+      AS dup_token_frac,
+    greatest(n - 1, 0)::BIGINT AS n_2grams,
+    CASE WHEN n >= 2 THEN
+      list_max(list_transform(list_distinct(grams),
+                              g -> len(list_filter(grams, y -> y = g))))
+    ELSE 0 END::BIGINT AS top_2gram_count
+  FROM s
+)
+SELECT doc_id, n AS n_tokens, dup_tokens, dup_token_frac, n_2grams,
+       top_2gram_count
+FROM f ORDER BY dup_token_frac DESC, doc_id LIMIT {k}"""

@@ -160,3 +160,61 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", bag.alias("bag_fp"), roll.alias("roll_fp")
     ).orderBy("doc_id")
+
+
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Repetition features for web-corpus quality filtering (the
+    Gopher/C4-style duplicate-content rules: fraction of duplicate
+    token occurrences, dominance of the single most frequent 2-gram).
+    Pure integer/array arithmetic inside whole-stage codegen — no
+    Python, no shuffle beyond the final top-k."""
+    toks = F.filter(ws_tokens(text), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    ndist = F.size(F.array_distinct(toks))
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top2 = F.when(
+        n >= 2,
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.size(F.filter(grams, lambda y: y == g)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return {
+        "n_tokens": n.cast("long"),
+        "dup_tokens": (n - ndist).cast("long"),
+        "dup_token_frac": F.round(
+            (n - ndist).cast("double")
+            / F.greatest(n, F.lit(1)).cast("double"),
+            6,
+        ),
+        "n_2grams": F.greatest(n - 1, F.lit(0)).cast("long"),
+        "top_2gram_count": top2.cast("long"),
+    }
+
+
+def repetition_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k most repetitive docs (dup_token_frac desc, doc_id asc) —
+    the docs a Gopher-style repetition filter would drop first."""
+    c = repetition_cols(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            c["n_tokens"].alias("n_tokens"),
+            c["dup_tokens"].alias("dup_tokens"),
+            c["dup_token_frac"].alias("dup_token_frac"),
+            c["n_2grams"].alias("n_2grams"),
+            c["top_2gram_count"].alias("top_2gram_count"),
+        )
+        .orderBy(F.desc("dup_token_frac"), "doc_id")
+        .limit(k)
+    )

@@ -469,3 +469,29 @@ def test_dedup_representatives_keep_table(spark):
         41: (10, False),
         20: (20, True),
     }
+
+
+def test_repetition_features(spark):
+    """Gopher/C4-style repetition features: a fully repeated doc tops
+    the ranking; a distinct-token doc has zero dup fraction; the
+    dominant 2-gram count matches a hand count."""
+    from lucene_solr_spark.ops.textstats import repetition_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),
+            (1, "all tokens here are distinct"),
+            (2, "a b a b a b c"),
+            (3, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_topk(docs, k=10).collect()}
+    assert rows[0].dup_tokens == 3 and rows[0].top_2gram_count == 3
+    assert rows[1].dup_tokens == 0 and rows[1].dup_token_frac == 0.0
+    # doc2 2-grams: "a b" x3, "b a" x2, "b c" x1
+    assert rows[2].top_2gram_count == 3 and rows[2].n_2grams == 6
+    assert rows[3].n_2grams == 0 and rows[3].top_2gram_count == 0
+    # ranking: most repetitive first
+    order = [r.doc_id for r in repetition_topk(docs, k=10).collect()]
+    assert order[0] == 0
