@@ -2115,6 +2115,17 @@ def _op_repetition(spark, sf):
     return repetition_topk(_docs(spark, sf))
 
 
+def _op_contamination(spark, sf):
+    """Benchmark decontamination (ops/textstats.py:contamination_flags):
+    4-gram overlap against the deterministic doc_id % 97 == 0 eval
+    subset — eval n-grams broadcast, one corpus pass."""
+    from lucene_solr_spark.ops.textstats import contamination_flags
+
+    docs = _docs(spark, sf)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, ev, n=4, k=25)
+
+
 def _op_fingerprints(spark, sf):
     from lucene_solr_spark.ops.textstats import doc_fingerprints
 
@@ -2375,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_multi_field_topk": _q_sort_multi,
         "suggest_infix": _q_suggest_infix,
         "text_repetition_topk": _op_repetition,
+        "decontamination_flags": _op_contamination,
         "dedup_keep_decisions": _op_dedup_representatives,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
@@ -2696,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _ops_oracles.lang_id_sql(),
         "text_quality_topk": _ops_oracles.quality_topk_sql(),
         "text_repetition_topk": _ops_oracles.repetition_topk_sql(),
+        "decontamination_flags": _ops_oracles.contamination_sql(),
         "text_fingerprints": _ops_oracles.fingerprints_sql(),
         "multimodal_binary_len": _ops_oracles.multimodal_len_sql(),
     }

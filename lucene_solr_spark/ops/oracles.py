@@ -517,3 +517,35 @@ f AS (
 SELECT doc_id, n AS n_tokens, dup_tokens, dup_token_frac, n_2grams,
        top_2gram_count
 FROM f ORDER BY dup_token_frac DESC, doc_id LIMIT {k}"""
+
+
+def contamination_sql(k: int = 25, mod: int = 97) -> str:
+    """Oracle for textstats.contamination_flags with n=4 and the
+    deterministic eval set doc_id % mod == 0: distinct corpus 4-grams
+    matched against the eval set's distinct 4-gram pool."""
+    return f"""
+WITH tkarr AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS arr FROM documents
+),
+tk AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM tkarr
+),
+g4 AS (
+  SELECT DISTINCT a.doc_id,
+    a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term AS gram
+  FROM tk a
+  JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  JOIN tk d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+),
+ev AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % {mod} = 0),
+m AS (
+  SELECT g4.doc_id, count(*) AS matched
+  FROM g4 JOIN ev USING (gram) GROUP BY g4.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(m.matched, 0)::BIGINT AS matched_ngrams,
+  COALESCE(m.matched, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+ORDER BY matched_ngrams DESC, d.doc_id LIMIT {k}"""

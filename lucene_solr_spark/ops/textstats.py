@@ -218,3 +218,39 @@ def repetition_topk(docs: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("dup_token_frac"), "doc_id")
         .limit(k)
     )
+
+
+def contamination_flags(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 4, k: int = 25,
+) -> DataFrame:
+    """Benchmark decontamination (the standard training-pipeline step:
+    drop corpus docs sharing a word n-gram with an eval/benchmark set
+    — the GPT-3/PaLM 13-gram rule, here n parameterized).
+
+    Plan shape for 100 TB: the eval set is SMALL (benchmarks are a few
+    thousand docs), so its distinct n-gram set is built once and
+    BROADCAST to the corpus scan; per-corpus-doc matching is an
+    array_intersect inside whole-stage codegen — one pass over the
+    corpus, no shuffle of corpus rows, the final top-k is a
+    TakeOrderedAndProject. Returns the k most-contaminated docs
+    (matched n-gram count desc, doc_id asc) with the flag column."""
+    from lucene_solr_spark.ops.dedup import shingles
+
+    ev = (
+        eval_docs.select(
+            F.explode(shingles(F.col("text"), n)).alias("gram")
+        )
+        .distinct()
+        .agg(F.array_sort(F.collect_set("gram")).alias("grams"))
+    )
+    out = (
+        docs.crossJoin(F.broadcast(ev))
+        .select(
+            "doc_id",
+            F.size(
+                F.array_intersect(shingles(F.col("text"), n), F.col("grams"))
+            ).cast("long").alias("matched_ngrams"),
+        )
+        .withColumn("contaminated", F.col("matched_ngrams") > 0)
+    )
+    return out.orderBy(F.desc("matched_ngrams"), "doc_id").limit(k)

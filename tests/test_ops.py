@@ -495,3 +495,32 @@ def test_repetition_features(spark):
     # ranking: most repetitive first
     order = [r.doc_id for r in repetition_topk(docs, k=10).collect()]
     assert order[0] == 0
+
+
+def test_contamination_flags(spark):
+    """Decontamination: a doc sharing a 4-gram with the eval set is
+    flagged; unrelated docs are not; the eval-gram side is BROADCAST
+    (plan-asserted — the corpus never shuffles)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.ops.textstats import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "completely different words in this one here"),
+            (2, "we also say quick brown fox jumps loudly"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = docs.where(F.col("doc_id") == 0)
+    out = contamination_flags(docs, ev, n=4, k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].contaminated is True          # eval doc matches itself
+    assert rows[2].contaminated is True          # "quick brown fox jumps"
+    assert rows[2].matched_ngrams == 1
+    assert rows[1].contaminated is False
+    assert rows[3].matched_ngrams == 0           # < n tokens -> no grams
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
