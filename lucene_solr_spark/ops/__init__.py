@@ -49,4 +49,13 @@ def bench_ops(spark, sf_dir: str) -> dict[str, float]:
     textstats.token_counts_by_lang(docs).collect()
     out["op_token_counts"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    textstats.repetition_topk(docs).collect()
+    out["op_repetition"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    textstats.contamination_flags(docs, ev, n=4, k=25).collect()
+    out["op_decontaminate"] = time.perf_counter() - t0
+
     return out

@@ -162,58 +162,69 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def repetition_cols(text: Column) -> dict[str, Column]:
+def repetition_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     """Repetition features for web-corpus quality filtering (the
     Gopher/C4-style duplicate-content rules: fraction of duplicate
-    token occurrences, dominance of the single most frequent 2-gram).
-    Pure integer/array arithmetic inside whole-stage codegen — no
-    Python, no shuffle beyond the final top-k."""
-    toks = F.filter(ws_tokens(text), lambda t: t != F.lit(""))
-    n = F.size(toks)
-    ndist = F.size(F.array_distinct(toks))
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    top2 = F.when(
-        n >= 2,
-        F.array_max(
-            F.transform(
-                F.array_distinct(grams),
-                lambda g: F.size(F.filter(grams, lambda y: y == g)),
-            )
-        ),
-    ).otherwise(F.lit(0))
-    return {
-        "n_tokens": n.cast("long"),
-        "dup_tokens": (n - ndist).cast("long"),
-        "dup_token_frac": F.round(
-            (n - ndist).cast("double")
-            / F.greatest(n, F.lit(1)).cast("double"),
-            6,
-        ),
-        "n_2grams": F.greatest(n - 1, F.lit(0)).cast("long"),
-        "top_2gram_count": top2.cast("long"),
-    }
+    token occurrences, dominance of the single most frequent 2-gram);
+    top-k most repetitive docs (dup_token_frac desc, doc_id asc) —
+    the docs a Gopher-style repetition filter would drop first.
 
-
-def repetition_topk(docs: DataFrame, k: int = 20) -> DataFrame:
-    """Top-k most repetitive docs (dup_token_frac desc, doc_id asc) —
-    the docs a Gopher-style repetition filter would drop first."""
-    c = repetition_cols(F.col("text"))
+    Built in STAGED columns: each intermediate array (tokens, 2-grams,
+    the distinct sets) is a named projection computed once per row.
+    The naive nested-lambda formulation — array_max(transform(
+    array_distinct(grams), g -> size(filter(grams, ...)))) over an
+    inline `grams` expression — duplicates the whole gram-building
+    subtree into every lambda and measured ~80x slower (41 s vs 0.5 s
+    for 500 docs at sf0.01). One corpus pass, no shuffle beyond the
+    final TakeOrderedAndProject."""
+    toks = F.filter(ws_tokens(F.col("text")), lambda t: t != F.lit(""))
+    staged = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn("ndist", F.size(F.array_distinct("toks")))
+        .withColumn(
+            "grams",
+            F.when(
+                F.col("n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn("gdist", F.array_distinct("grams"))
+        .withColumn(
+            "top2",
+            F.when(
+                F.col("n") >= 2,
+                F.array_max(
+                    F.transform(
+                        F.col("gdist"),
+                        lambda g: F.size(
+                            F.filter(F.col("grams"), lambda y: y == g)
+                        ),
+                    )
+                ),
+            ).otherwise(F.lit(0)),
+        )
+    )
     return (
-        docs.select(
+        staged.select(
             "doc_id",
-            c["n_tokens"].alias("n_tokens"),
-            c["dup_tokens"].alias("dup_tokens"),
-            c["dup_token_frac"].alias("dup_token_frac"),
-            c["n_2grams"].alias("n_2grams"),
-            c["top_2gram_count"].alias("top_2gram_count"),
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.col("n") - F.col("ndist")).cast("long").alias("dup_tokens"),
+            F.round(
+                (F.col("n") - F.col("ndist")).cast("double")
+                / F.greatest(F.col("n"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+            F.greatest(F.col("n") - 1, F.lit(0)).cast("long")
+            .alias("n_2grams"),
+            F.col("top2").cast("long").alias("top_2gram_count"),
         )
         .orderBy(F.desc("dup_token_frac"), "doc_id")
         .limit(k)
