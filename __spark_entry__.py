@@ -1669,6 +1669,65 @@ FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _lm_dir_leaf_select(t: str, boost: float) -> str:
+    """One LM-Dirichlet leaf as (doc_id, s) with the boost folded
+    inside the similarity's float chain (score = boost * (float)(logs),
+    clamped at 0 — functions/lm.py:score_dirichlet)."""
+    raw = f"""CAST(
+        ln(1 + CAST(CAST(CAST(tf.tf AS REAL)
+              / CAST(CAST(2000.0 AS REAL) * {_lm_cp_sql(t)} AS REAL)
+              AS REAL) AS DOUBLE))
+      + ln(CAST(CAST(CAST(2000.0 AS REAL)
+              / CAST(dl_lm.dl + CAST(2000.0 AS REAL) AS REAL)
+              AS REAL) AS DOUBLE)) AS REAL)"""
+    boosted = (
+        raw if boost == 1.0
+        else f"CAST(CAST({boost} AS REAL) * {raw} AS REAL)"
+    )
+    return f"""
+  SELECT tf.doc_id,
+    CASE WHEN {boosted} > 0 THEN {boosted} ELSE CAST(0 AS REAL) END AS s
+  FROM tf JOIN dl_lm USING (doc_id) WHERE tf.term = '{t}'"""
+
+
+def _lm_tree_sql(k: int) -> str:
+    """Oracle for the nested tree '+table (scan merge^2.0) -dup' under
+    LM Dirichlet: req = the MUST leaf (f32), opt = f32 of the f64 sum
+    of present SHOULD leaves, total = f32(req + opt)
+    (BooleanWeight composition, searcher._eval_tree bool tail)."""
+    return f"""
+WITH {_BM25_CTES},
+{_LM_STATS_CTES},
+lt AS ({_lm_dir_leaf_select("table", 1.0)}),
+ls AS ({_lm_dir_leaf_select("scan", 1.0)}),
+m2 AS ({_lm_dir_leaf_select("merge", 2.0)})
+SELECT lt.doc_id,
+  CAST(CAST(lt.s
+    + CAST(COALESCE(CAST(ls.s AS DOUBLE), 0)
+           + COALESCE(CAST(m2.s AS DOUBLE), 0) AS REAL)
+    AS REAL) AS DOUBLE) AS score
+FROM lt
+LEFT JOIN ls ON lt.doc_id = ls.doc_id
+LEFT JOIN m2 ON lt.doc_id = m2.doc_id
+WHERE lt.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+ORDER BY score DESC, lt.doc_id LIMIT {k}"""
+
+
+def _q_lm_tree(spark, sf):
+    """Nested boolean tree under LM Dirichlet — the pluggable-leaf
+    _eval_tree path (searcher._search_simbase_tree): MUST + boosted
+    SHOULD + MUST_NOT, boosts folding into stats.getTotalBoost()."""
+    from lucene_solr_spark.search.parser import parse_query
+
+    s = _searcher_for(spark, sf)
+    return s.search_lm(
+        parse_query("+table (scan merge^2.0) -dup"), k=K
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def _q_dfr_inl2(spark, sf):
     """DFR I(n)L2 disjunction (similarities/DFRSimilarity.java:110-114,
     BasicModelIn + AfterEffectL + NormalizationH2)."""
@@ -2383,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jm_topk": _q_lm_jm,
         "dfr_inl2_topk": _q_dfr_inl2,
         "ib_spl_topk": _q_ib_spl,
+        "lm_tree_topk": _q_lm_tree,
         "sort_multi_field_topk": _q_sort_multi,
         "suggest_infix": _q_suggest_infix,
         "text_repetition_topk": _op_repetition,
@@ -2572,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_jm_topk": _lm_jm_sql("merge", "sort", K),
         "dfr_inl2_topk": _dfr_inl2_sql("scan", "table", K),
         "ib_spl_topk": _ib_spl_sql("merge", "sort", K),
+        "lm_tree_topk": _lm_tree_sql(K),
         "sort_multi_field_topk": (
             f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
             "SELECT sc.doc_id, d.lang, d.n_chars::BIGINT AS n_chars "

@@ -865,6 +865,7 @@ def _eval_tree(
     pboost: float = 1.0,
     prune: bool = False,
     cand: np.ndarray | None = None,
+    leaf_fn=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Recursive nested-query evaluation -> (sorted docs, f32 scores).
 
@@ -902,10 +903,21 @@ def _eval_tree(
         if len(d) == 0:
             return E
         nrm, cch = _nc(t, norms_map, caches)
-        s = bm25.score_term(tf, nrm[d - base], idfs[t], cch, boost=boost)
+        if leaf_fn is not None:
+            # pluggable SimilarityBase leaf (boost folds INSIDE the
+            # similarity's float chain — stats.getTotalBoost())
+            s = leaf_fn(t, tf, nrm[d - base], boost)
+        else:
+            s = bm25.score_term(tf, nrm[d - base], idfs[t], cch,
+                                boost=boost)
         return d, s.astype(np.float32)
 
     if kind == "phrase":
+        if leaf_fn is not None:
+            raise ValueError(
+                "phrase leaves are BM25-only (pluggable-similarity "
+                "trees support term/const/dismax/bool nodes)"
+            )
         # positions path decodes fully (two-phase verification needs
         # the whole occurrence stream); rare in MUST position
         return _eval_phrase(
@@ -932,7 +944,7 @@ def _eval_tree(
     if kind == "constwrap":
         d, _ = _eval_tree(
             node["query"], lt, base, norms_map, idfs, caches, 1.0,
-            prune=prune, cand=cand,
+            prune=prune, cand=cand, leaf_fn=leaf_fn,
         )
         return d, np.full(len(d), boost, np.float32)
 
@@ -950,7 +962,7 @@ def _eval_tree(
     if kind == "dismax":
         subs = [
             _eval_tree(sub, lt, base, norms_map, idfs, caches, boost,
-                       prune=prune, cand=cand)
+                       prune=prune, cand=cand, leaf_fn=leaf_fn)
             for sub in node["clauses"]
         ]
         subs = [(d, s) for d, s in subs if len(d)]
@@ -989,7 +1001,7 @@ def _eval_tree(
             for i, _occ, sub in order:
                 sub_cand = (docs if docs is not None else cand) if prune else None
                 r = _eval_tree(sub, lt, base, norms_map, idfs, caches,
-                               boost, prune=prune, cand=sub_cand)
+                               boost, prune=prune, cand=sub_cand, leaf_fn=leaf_fn)
                 results[i] = r
                 if docs is None:
                     docs = (
@@ -1006,7 +1018,7 @@ def _eval_tree(
                     continue
                 nd, _ = _eval_tree(sub, lt, base, norms_map, idfs, caches,
                                    boost, prune=prune,
-                                   cand=docs if prune else None)
+                                   cand=docs if prune else None, leaf_fn=leaf_fn)
                 if len(nd):
                     docs = docs[~np.isin(docs, nd, assume_unique=True)]
             if len(docs) == 0:
@@ -1029,7 +1041,7 @@ def _eval_tree(
                     continue
                 d, s = _eval_tree(sub, lt, base, norms_map, idfs, caches,
                                   boost, prune=prune,
-                                  cand=docs if prune else None)
+                                  cand=docs if prune else None, leaf_fn=leaf_fn)
                 if len(d) == 0:
                     continue
                 pos = np.searchsorted(d, docs)
@@ -1051,7 +1063,7 @@ def _eval_tree(
             if occ != "SHOULD":
                 continue
             r = _eval_tree(sub, lt, base, norms_map, idfs, caches, boost,
-                           prune=prune, cand=cand)
+                           prune=prune, cand=cand, leaf_fn=leaf_fn)
             if len(r[0]):
                 live.append(r)
         if not live:
@@ -1069,7 +1081,7 @@ def _eval_tree(
                 continue
             nd, _ = _eval_tree(sub, lt, base, norms_map, idfs, caches,
                                boost, prune=prune,
-                               cand=union if prune else None)
+                               cand=union if prune else None, leaf_fn=leaf_fn)
             if len(nd):
                 keep &= ~np.isin(union, nd)
         if msm > 1:
@@ -2312,6 +2324,81 @@ class IndexSearcher:
         make_leaf, _ = self._simbase_conf("ib", c=c)
         return self._search_simbase(query, k, make_leaf, "search_ib")
 
+    def _search_simbase_tree(
+        self, spec: dict, k: int | None, make_leaf, name: str,
+    ) -> DataFrame:
+        """Nested-tree execution for the SimilarityBase family: the
+        SAME candidate-threaded _eval_tree kernel as BM25 trees
+        (BooleanWeight composition, boosts folding down the tree into
+        stats.getTotalBoost()), with the per-term leaf scorer swapped
+        via leaf_fn. Phrase leaves stay BM25-only (SimilarityBase
+        phrase stats need MultiStats averaging — out of scope) and
+        raise loudly."""
+        tree = spec["tree"]
+        terms = sorted(set(spec["terms"]))
+        if any(FIELD_SEP in t for t in terms):
+            raise ValueError(f"{name} supports the default field only")
+        if _tree_has_phrase(tree):
+            raise ValueError(
+                "phrase leaves are BM25-only (pluggable-similarity "
+                "trees support term/const/dismax/bool nodes)"
+            )
+        stat_rows = (
+            self._term_stats.where(F.col("term").isin(terms))
+            .select("term", "df", "cf")
+            .collect()
+        )
+        stats = {r.term: (int(r.df), int(r.cf)) for r in stat_rows}
+        leaves = {t: make_leaf(t, *stats.get(t, (0, 0))) for t in terms}
+
+        def leaf_fn(t, tf, nb, boost):
+            return leaves[t](tf, nb, float(boost))
+
+        matched, norms_side = self._cogroup_inputs(
+            self._matched(terms).drop("pos_enc")
+        )
+        offsets = dict(self._doc_offsets)
+        default_field = self._default_field
+        codec = self._codec
+        caches = dict(self._caches)
+
+        def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float32")}
+            )
+            if len(left) == 0 or len(nr) == 0:
+                return empty
+            base, norms_map, lt, _d, _ = _decode_shard(
+                left, nr, default_field, codec
+            )
+            off = offsets.get(int(left["shard"].iloc[0]), 0)
+            del_local = _local_deleted(nr, off)
+            d, sc = _eval_tree(
+                tree, lt, base, norms_map, {}, caches, prune=True,
+                leaf_fn=leaf_fn,
+            )
+            if len(d) == 0:
+                return empty
+            if del_local is not None:
+                m = ~np.isin(d, del_local)
+                d, sc = d[m], sc[m]
+            d, sc = _topk_arrays(d, sc, k)
+            out = pd.DataFrame(
+                {"doc_id": d, "score": sc.astype(np.float32)}
+            )
+            if off:
+                out["doc_id"] = out["doc_id"] + off
+            return out
+
+        per_shard = (
+            matched.groupBy("shard")
+            .cogroup(norms_side.groupBy("shard"))
+            .applyInPandas(score_group, "doc_id long, score float")
+        )
+        ordered = per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        return ordered if k is None else ordered.limit(k)
+
     def _simbase_conf(
         self, model: str, mu: float = 2000.0, lam: float = 0.1,
         c: float = 1.0,
@@ -2328,8 +2415,12 @@ class IndexSearcher:
             def make_leaf(term, df, cf):
                 cp = lm.collection_probability(cf, field_tokens)
                 if model == "dirichlet":
-                    return lambda tf, nb: lm.score_dirichlet(tf, nb, mu, cp)
-                return lambda tf, nb: lm.score_jm(tf, nb, lam, cp)
+                    return lambda tf, nb, boost=1.0: lm.score_dirichlet(
+                        tf, nb, mu, cp, boost
+                    )
+                return lambda tf, nb, boost=1.0: lm.score_jm(
+                    tf, nb, lam, cp, boost
+                )
 
             def detail(term, df, cf):
                 d = {
@@ -2348,8 +2439,8 @@ class IndexSearcher:
         avg = dfr.avg_field_length(field_tokens, n)
         if model == "dfr":
             def make_leaf(term, df, cf):
-                return lambda tf, nb: dfr.score_dfr_inl2(
-                    tf, nb, df, n, avg, c
+                return lambda tf, nb, boost=1.0: dfr.score_dfr_inl2(
+                    tf, nb, df, n, avg, c, boost
                 )
 
             def detail(term, df, cf):
@@ -2361,7 +2452,9 @@ class IndexSearcher:
             return make_leaf, detail
         if model == "ib":
             def make_leaf(term, df, cf):
-                return lambda tf, nb: dfr.score_ib_spl(tf, nb, df, n, avg, c)
+                return lambda tf, nb, boost=1.0: dfr.score_ib_spl(
+                    tf, nb, df, n, avg, c, boost
+                )
 
             def detail(term, df, cf):
                 return {"df": df, "number_of_documents": n,
@@ -2606,6 +2699,8 @@ class IndexSearcher:
         q = rewrite(query)
         spec = self._spec(q)
         kind = spec["kind"]
+        if kind == "tree":
+            return self._search_simbase_tree(spec, k, make_leaf, name)
         if kind == "term":
             clause_terms = list(spec["terms"])
         elif kind == "and":
@@ -2614,7 +2709,7 @@ class IndexSearcher:
             clause_terms = list(spec["terms"])
         else:
             raise ValueError(
-                f"{name} supports term/and/or queries"
+                f"{name} supports term/and/or and nested boolean queries"
             )
         if any(FIELD_SEP in t for t in clause_terms):
             raise ValueError(f"{name} supports the default field only")

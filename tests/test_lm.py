@@ -246,3 +246,66 @@ def test_explain_classic_bitwise(lm_index):
     # doc 4 ("sort sort sort table") matches 1 of 2 -> coord 0.5
     ex4 = lm_index.explain_classic(BooleanOr(("table", "scan")), 4)
     assert ex4["coord"] == 0.5
+
+
+@pytest.mark.parametrize("model,method", [
+    ("dirichlet", "search_lm"), ("jm", "search_lm"),
+    ("dfr", "search_dfr"), ("ib", "search_ib"),
+])
+def test_simbase_nested_tree_bitwise(lm_index, model, method):
+    """Pluggable-leaf _eval_tree: '+table (scan merge^2) -dup' under
+    every SimilarityBase flavor equals the hand-computed BooleanWeight
+    composition f32(req32 + f32(opt64))."""
+    from lucene_solr_spark.functions import dfr as dfrmod
+    from lucene_solr_spark.functions import lm
+    from lucene_solr_spark.search.parser import parse_query
+
+    toks, cf, total = _stats()
+    n_docs = len(DOCS)
+    dfv = {t: sum(1 for ts in toks.values() if t in ts) for t in cf}
+    avg = dfrmod.avg_field_length(total, n_docs)
+
+    def leaf(t, d, boost):
+        tf = toks[d].count(t)
+        if tf == 0:
+            return None
+        nb = encode_norm(np.array([len(toks[d])]))
+        a = np.array([tf])
+        if model == "dirichlet":
+            cp = lm.collection_probability(cf[t], total)
+            return lm.score_dirichlet(a, nb, 2000.0, cp, boost)[0]
+        if model == "jm":
+            cp = lm.collection_probability(cf[t], total)
+            return lm.score_jm(a, nb, 0.1, cp, boost)[0]
+        if model == "dfr":
+            return dfrmod.score_dfr_inl2(a, nb, dfv[t], n_docs, avg,
+                                         1.0, boost)[0]
+        return dfrmod.score_ib_spl(a, nb, dfv[t], n_docs, avg, 1.0,
+                                   boost)[0]
+
+    exp = {}
+    for d, ts in toks.items():
+        if "table" not in ts or "dup" in ts:
+            continue
+        req = np.float32(np.float64(leaf("table", d, 1.0)))
+        opt64 = np.float64(0.0)
+        for t, b in (("scan", 1.0), ("merge", 2.0)):
+            v = leaf(t, d, b)
+            if v is not None:
+                opt64 += np.float64(v)
+        exp[d] = np.float32(req + np.float32(opt64))
+
+    q = parse_query("+table (scan merge^2.0) -dup")
+    kw = {"model": model} if method == "search_lm" else {}
+    got = {
+        r.doc_id: np.float32(r.score)
+        for r in getattr(lm_index, method)(q, k=10, **kw).collect()
+    }
+    assert got == exp
+
+
+def test_simbase_tree_rejects_phrase(lm_index):
+    from lucene_solr_spark.search.parser import parse_query
+
+    with pytest.raises(ValueError, match="BM25-only"):
+        lm_index.search_lm(parse_query('+table "table scan"'), k=5)
