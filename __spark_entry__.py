@@ -1713,6 +1713,44 @@ WHERE lt.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
 ORDER BY score DESC, lt.doc_id LIMIT {k}"""
 
 
+def _q_batch_search(spark, sf):
+    """Batched multi-query serving (IndexSearcher.search_many — ONE
+    Spark job decodes each matched posting list once and scores every
+    query; the Solr query-result-cache economy): three query shapes,
+    per-query top-k, (qid, doc_id, score) rows."""
+    s = _searcher_for(spark, sf)
+    out = s.search_many(
+        {
+            "q_term": TermQuery(Q_TERM),
+            "q_and": BooleanAnd(Q_AND),
+            "q_or": BooleanOr(Q_OR),
+        },
+        k=10,
+    )
+    return out.select(
+        "qid",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    ).orderBy("qid", F.desc("score"), "doc_id")
+
+
+def _batch_search_sql(k: int) -> str:
+    """UNION ALL of the three per-query oracles with qid literals."""
+    parts = []
+    for qid, sql in (
+        ("q_term", _term_sql(Q_TERM, k)),
+        ("q_and", _and_sql(Q_AND, k)),
+        ("q_or", _or_sql(Q_OR, k)),
+    ):
+        parts.append(
+            f"SELECT '{qid}' AS qid, doc_id, score FROM ({sql})"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT qid, doc_id, score FROM ({union})
+ORDER BY qid, score DESC, doc_id"""
+
+
 def _q_lm_tree(spark, sf):
     """Nested boolean tree under LM Dirichlet — the pluggable-leaf
     _eval_tree path (searcher._search_simbase_tree): MUST + boosted
@@ -2443,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_inl2_topk": _q_dfr_inl2,
         "ib_spl_topk": _q_ib_spl,
         "lm_tree_topk": _q_lm_tree,
+        "batch_search_rows": _q_batch_search,
         "sort_multi_field_topk": _q_sort_multi,
         "suggest_infix": _q_suggest_infix,
         "text_repetition_topk": _op_repetition,
@@ -2633,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
         "dfr_inl2_topk": _dfr_inl2_sql("scan", "table", K),
         "ib_spl_topk": _ib_spl_sql("merge", "sort", K),
         "lm_tree_topk": _lm_tree_sql(K),
+        "batch_search_rows": _batch_search_sql(10),
         "sort_multi_field_topk": (
             f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
             "SELECT sc.doc_id, d.lang, d.n_chars::BIGINT AS n_chars "
