@@ -1751,6 +1751,30 @@ SELECT qid, doc_id, score FROM ({union})
 ORDER BY qid, score DESC, doc_id"""
 
 
+def _q_explain_score(spark, sf):
+    """IndexSearcher.explain driver check: explain the top-1 doc of
+    the AND query and emit its recomposed score — must be BITWISE the
+    ranked score (IndexSearcher.java:561-588 Explanation contract)."""
+    s = _searcher_for(spark, sf)
+    q = BooleanAnd(Q_AND)
+    top = s.search(q, k=1).collect()[0]
+    ex = s.explain(q, int(top.doc_id))
+    return spark.createDataFrame(
+        [(int(top.doc_id), bool(ex["match"]), float(ex["score"]))],
+        "doc_id long, match boolean, score double",
+    )
+
+
+def _explain_score_sql(terms: tuple[str, ...]) -> str:
+    return (
+        f"WITH {_BM25_CTES}, {_sc_cte(terms)} "
+        f"SELECT doc_id, TRUE AS match, "
+        f"CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score "
+        f"FROM sc GROUP BY doc_id HAVING count(*) = {len(terms)} "
+        f"ORDER BY score DESC, doc_id LIMIT 1"
+    )
+
+
 def _q_lm_tree(spark, sf):
     """Nested boolean tree under LM Dirichlet — the pluggable-leaf
     _eval_tree path (searcher._search_simbase_tree): MUST + boosted
@@ -2482,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ib_spl_topk": _q_ib_spl,
         "lm_tree_topk": _q_lm_tree,
         "batch_search_rows": _q_batch_search,
+        "explain_score_row": _q_explain_score,
         "sort_multi_field_topk": _q_sort_multi,
         "suggest_infix": _q_suggest_infix,
         "text_repetition_topk": _op_repetition,
@@ -2673,6 +2698,7 @@ def oracle_sql() -> dict[str, str]:
         "ib_spl_topk": _ib_spl_sql("merge", "sort", K),
         "lm_tree_topk": _lm_tree_sql(K),
         "batch_search_rows": _batch_search_sql(10),
+        "explain_score_row": _explain_score_sql(Q_AND),
         "sort_multi_field_topk": (
             f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
             "SELECT sc.doc_id, d.lang, d.n_chars::BIGINT AS n_chars "
