@@ -1775,6 +1775,32 @@ def _explain_score_sql(terms: tuple[str, ...]) -> str:
     )
 
 
+def _q_deletes_live(spark, sf):
+    """Delete-by-key live-docs semantics (index/deletes.py — the
+    Lucene50LiveDocsFormat sidecar model): builds a PRIVATE index,
+    tombstones doc_id < 100, then searches. Collection stats (maxDoc,
+    df, avgdl) still include the deleted docs until a merge — the
+    surviving docs' scores are bit-unchanged; only membership
+    filters."""
+    import tempfile
+
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.index.deletes import delete_by_keys
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    out = tempfile.mkdtemp(prefix="lss_del_") + "/ix"
+    docs = _docs(spark, sf)
+    build_index(
+        spark, docs, out, IndexConfig(n_shards=4, segs_per_shard=2)
+    )
+    delete_by_keys(spark, out, list(range(100)))
+    s = IndexSearcher(spark, out)
+    return s.search(TermQuery(Q_TERM), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def _q_lm_tree(spark, sf):
     """Nested boolean tree under LM Dirichlet — the pluggable-leaf
     _eval_tree path (searcher._search_simbase_tree): MUST + boosted
@@ -2507,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_tree_topk": _q_lm_tree,
         "batch_search_rows": _q_batch_search,
         "explain_score_row": _q_explain_score,
+        "deletes_live_topk": _q_deletes_live,
         "sort_multi_field_topk": _q_sort_multi,
         "suggest_infix": _q_suggest_infix,
         "text_repetition_topk": _op_repetition,
@@ -2699,6 +2726,11 @@ def oracle_sql() -> dict[str, str]:
         "lm_tree_topk": _lm_tree_sql(K),
         "batch_search_rows": _batch_search_sql(10),
         "explain_score_row": _explain_score_sql(Q_AND),
+        "deletes_live_topk": (
+            f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
+            "SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
+            f"WHERE doc_id >= 100 ORDER BY s DESC, doc_id LIMIT {K}"
+        ),
         "sort_multi_field_topk": (
             f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
             "SELECT sc.doc_id, d.lang, d.n_chars::BIGINT AS n_chars "
