@@ -1801,6 +1801,39 @@ def _q_deletes_live(spark, sf):
     )
 
 
+def _q_compact_roundtrip(spark, sf):
+    """Delete -> compact -> search round-trip (index/compact.py — the
+    merge-rewrites-segments semantic): after compaction the deleted
+    docs are PHYSICALLY gone, so collection stats (maxDoc, df, avgdl)
+    are recomputed over survivors — unlike the live-docs entry where
+    stats still include tombstoned docs. Full match set keyed by the
+    stable id column (compaction renumbers internal docIDs)."""
+    import tempfile
+
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.index.compact import compact
+    from lucene_solr_spark.index.deletes import delete_by_keys
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    base = tempfile.mkdtemp(prefix="lss_cpt_")
+    ix, cix = base + "/ix", base + "/cix"
+    docs = _docs(spark, sf)
+    build_index(
+        spark, docs, ix, IndexConfig(n_shards=4, segs_per_shard=2)
+    )
+    delete_by_keys(spark, ix, list(range(100)))
+    compact(spark, ix, cix)
+    s = IndexSearcher(spark, cix)
+    return (
+        s.search_with_keys(TermQuery(Q_TERM), k=None)
+        .select(
+            F.col("key").cast("long").alias("key"),
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy("key")
+    )
+
+
 def _q_lm_tree(spark, sf):
     """Nested boolean tree under LM Dirichlet — the pluggable-leaf
     _eval_tree path (searcher._search_simbase_tree): MUST + boosted
@@ -2534,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_search_rows": _q_batch_search,
         "explain_score_row": _q_explain_score,
         "deletes_live_topk": _q_deletes_live,
+        "compact_roundtrip_scores": _q_compact_roundtrip,
         "sort_multi_field_topk": _q_sort_multi,
         "suggest_infix": _q_suggest_infix,
         "text_repetition_topk": _op_repetition,
@@ -2730,6 +2764,17 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
             "SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
             f"WHERE doc_id >= 100 ORDER BY s DESC, doc_id LIMIT {K}"
+        ),
+        "compact_roundtrip_scores": (
+            "WITH "
+            + _BM25_CTES.lstrip().replace(
+                "FROM documents",
+                "FROM (SELECT * FROM documents WHERE doc_id >= 100)",
+            )
+            + ", "
+            + _sc_cte((Q_TERM,))
+            + " SELECT doc_id AS key, CAST(s AS DOUBLE) AS score FROM sc "
+            "ORDER BY key"
         ),
         "sort_multi_field_topk": (
             f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
