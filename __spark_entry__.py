@@ -1834,6 +1834,41 @@ def _q_compact_roundtrip(spark, sf):
     )
 
 
+def _q_nrt_append(spark, sf):
+    """NRT incremental indexing (streaming/nrt.py append_batch — the
+    DirectoryReader.openIfChanged delta-generation model): base index
+    over doc_id >= 100, two micro-batch appends for the rest, then a
+    multi-generation search. Stats sum across generations, so scores
+    equal a single full build's."""
+    import tempfile
+
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+    from lucene_solr_spark.streaming.nrt import append_batch
+
+    ix = tempfile.mkdtemp(prefix="lss_nrt_") + "/ix"
+    docs = _docs(spark, sf)
+    build_index(
+        spark, docs.where(F.col("doc_id") >= 100), ix,
+        IndexConfig(n_shards=4, segs_per_shard=2),
+    )
+    append_batch(spark, docs.where(F.col("doc_id") < 50), ix, 0)
+    append_batch(
+        spark,
+        docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)),
+        ix, 1,
+    )
+    s = IndexSearcher.open(spark, ix)  # multi-generation reader
+    return (
+        s.search_with_keys(TermQuery(Q_TERM), k=None)
+        .select(
+            F.col("key").cast("long").alias("key"),
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy("key")
+    )
+
+
 def _q_lm_tree(spark, sf):
     """Nested boolean tree under LM Dirichlet — the pluggable-leaf
     _eval_tree path (searcher._search_simbase_tree): MUST + boosted
@@ -2568,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score_row": _q_explain_score,
         "deletes_live_topk": _q_deletes_live,
         "compact_roundtrip_scores": _q_compact_roundtrip,
+        "nrt_append_scores": _q_nrt_append,
         "sort_multi_field_topk": _q_sort_multi,
         "suggest_infix": _q_suggest_infix,
         "text_repetition_topk": _op_repetition,
@@ -2764,6 +2800,11 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
             "SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
             f"WHERE doc_id >= 100 ORDER BY s DESC, doc_id LIMIT {K}"
+        ),
+        "nrt_append_scores": (
+            f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
+            "SELECT doc_id AS key, CAST(s AS DOUBLE) AS score FROM sc "
+            "ORDER BY key"
         ),
         "compact_roundtrip_scores": (
             "WITH "
