@@ -1869,6 +1869,62 @@ def _q_nrt_append(spark, sf):
     )
 
 
+def _q_update_docs(spark, sf):
+    """updateDocument semantics (index/deletes.py:update_documents =
+    delete-by-key + NRT append, IndexWriter.java:1456-1473): replace
+    doc_id < 50 with a constant text, then search. Stats count BOTH
+    the tombstoned old versions and the appended new ones until a
+    merge (maxDoc 500 -> 550 at sf0.01); results carry the NEW
+    versions only, keyed by the stable id."""
+    import tempfile
+
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.index.deletes import update_documents
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    ix = tempfile.mkdtemp(prefix="lss_upd_") + "/ix"
+    docs = _docs(spark, sf)
+    build_index(
+        spark, docs, ix, IndexConfig(n_shards=4, segs_per_shard=2)
+    )
+    batch = docs.where(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.lit("replacement table scan document").alias("text"),
+    )
+    update_documents(spark, ix, batch, 0)
+    s = IndexSearcher.open(spark, ix)
+    return (
+        s.search_with_keys(TermQuery(Q_TERM), k=None)
+        .select(
+            F.col("key").cast("long").alias("key"),
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy("key")
+    )
+
+
+def _update_docs_sql() -> str:
+    """Oracle: corpus = documents UNION ALL the 50 replacement rows
+    (offset ids keep internal identity distinct); stats over the
+    union (tombstoned versions still count); results exclude only the
+    old versions of updated keys."""
+    ctes = _BM25_CTES.lstrip().replace("FROM documents", "FROM all_docs")
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'replacement table scan document' AS text
+  FROM documents WHERE doc_id < 50
+),
+{ctes}, {_sc_cte((Q_TERM,))}
+SELECT CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+       ELSE doc_id END AS key,
+       CAST(s AS DOUBLE) AS score
+FROM sc WHERE doc_id >= 50
+ORDER BY key"""
+
+
 def _q_lm_tree(spark, sf):
     """Nested boolean tree under LM Dirichlet — the pluggable-leaf
     _eval_tree path (searcher._search_simbase_tree): MUST + boosted
@@ -2604,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deletes_live_topk": _q_deletes_live,
         "compact_roundtrip_scores": _q_compact_roundtrip,
         "nrt_append_scores": _q_nrt_append,
+        "update_docs_scores": _q_update_docs,
         "sort_multi_field_topk": _q_sort_multi,
         "suggest_infix": _q_suggest_infix,
         "text_repetition_topk": _op_repetition,
@@ -2806,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS key, CAST(s AS DOUBLE) AS score FROM sc "
             "ORDER BY key"
         ),
+        "update_docs_scores": _update_docs_sql(),
         "compact_roundtrip_scores": (
             "WITH "
             + _BM25_CTES.lstrip().replace(
