@@ -1925,6 +1925,36 @@ FROM sc WHERE doc_id >= 50
 ORDER BY key"""
 
 
+def _q_split_union(spark, sf):
+    """Index split (index/compact.py:split_index, one source pass for
+    all outputs — the IndexSplitter analog): the two splits' match
+    sets for Q_TERM must partition the original's. Hash routing isn't
+    SQL-reproducible, so the oracle checks the UNION of keys (each
+    split's per-split BM25 stats differ by design — membership is the
+    invariant)."""
+    import tempfile
+
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.index.compact import split_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    base = tempfile.mkdtemp(prefix="lss_spl_")
+    ix = base + "/ix"
+    outs = [base + "/s0", base + "/s1"]
+    docs = _docs(spark, sf)
+    build_index(
+        spark, docs, ix, IndexConfig(n_shards=4, segs_per_shard=2)
+    )
+    split_index(spark, ix, outs)
+    parts = [
+        IndexSearcher(spark, o)
+        .search_with_keys(TermQuery(Q_TERM), k=None)
+        .select(F.col("key").cast("long").alias("key"))
+        for o in outs
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("key")
+
+
 def _q_lm_tree(spark, sf):
     """Nested boolean tree under LM Dirichlet — the pluggable-leaf
     _eval_tree path (searcher._search_simbase_tree): MUST + boosted
@@ -2661,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip_scores": _q_compact_roundtrip,
         "nrt_append_scores": _q_nrt_append,
         "update_docs_scores": _q_update_docs,
+        "split_union_keys": _q_split_union,
         "sort_multi_field_topk": _q_sort_multi,
         "suggest_infix": _q_suggest_infix,
         "text_repetition_topk": _op_repetition,
@@ -2864,6 +2895,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY key"
         ),
         "update_docs_scores": _update_docs_sql(),
+        "split_union_keys": (
+            f"WITH {_BM25_CTES} "
+            f"SELECT DISTINCT doc_id AS key FROM tf "
+            f"WHERE term = '{Q_TERM}' ORDER BY key"
+        ),
         "compact_roundtrip_scores": (
             "WITH "
             + _BM25_CTES.lstrip().replace(
