@@ -1955,6 +1955,26 @@ def _q_split_union(spark, sf):
     return parts[0].unionByName(parts[1]).orderBy("key")
 
 
+def _q_checkindex(spark, sf):
+    """Distributed CheckIndex (index/check.py — per-shard applyInPandas
+    invariant aggregation, CheckIndex.java's checkFields/checkNorms
+    analog) on the serving index: zero violations, plus the
+    dictionary-vs-source postings identity Σ df == |distinct
+    (doc, term)| cross-checked against the raw documents table."""
+    from lucene_solr_spark.index.check import check_index
+
+    s = _searcher_for(spark, sf)
+    metrics = check_index(spark, s.index_dir)  # raises on violations
+    violations = int(metrics.get("violations", 0))
+    total_df = int(
+        s._term_stats.agg(F.sum("df").alias("d")).collect()[0]["d"]
+    )
+    return spark.createDataFrame(
+        [(total_df, violations)],
+        "total_postings long, violations long",
+    )
+
+
 def _q_lm_tree(spark, sf):
     """Nested boolean tree under LM Dirichlet — the pluggable-leaf
     _eval_tree path (searcher._search_simbase_tree): MUST + boosted
@@ -2692,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nrt_append_scores": _q_nrt_append,
         "update_docs_scores": _q_update_docs,
         "split_union_keys": _q_split_union,
+        "checkindex_invariants": _q_checkindex,
         "sort_multi_field_topk": _q_sort_multi,
         "suggest_infix": _q_suggest_infix,
         "text_repetition_topk": _op_repetition,
@@ -2899,6 +2920,11 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_BM25_CTES} "
             f"SELECT DISTINCT doc_id AS key FROM tf "
             f"WHERE term = '{Q_TERM}' ORDER BY key"
+        ),
+        "checkindex_invariants": (
+            f"WITH {_BM25_CTES} "
+            "SELECT count(*)::BIGINT AS total_postings, "
+            "0::BIGINT AS violations FROM tf"
         ),
         "compact_roundtrip_scores": (
             "WITH "
