@@ -2678,14 +2678,18 @@ def _wildcard_capped_sql(k: int) -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract. ORDER MATTERS: the driver's CORRECTNESS check
     covers the FIRST 50 entries only, so entries are ranked by
-    verification need (round-3 verdict #4): (1) entries NEW this round,
-    (2) the 20 entries the r03 driver window skipped (judge-verified
-    only — bm25_phrase/fuzzy/wildcard lead since their execution paths
-    changed in r3), (3) entries whose engine path changed THIS round
-    (unordered sloppy phrase, ranked highlight passages, 64-bit
-    SimHash, multi-probe LSH, materialized IVF, restricted MinHash
-    verify join, field-scoped MTQ expansion), then the rest (r03-green
-    on unchanged paths)."""
+    verification need (round-3 verdict #4). The first 50 are EXACTLY
+    the entries with no prior driver-green row: (1) round-4 additions
+    — parser ranges, fielded MTQ, stemming/synonyms, the Spans family
+    incl. containing/within, the SimilarityBase family (LM/DFR/IB,
+    flat + nested tree), batched search_many, explain recomposition,
+    the index lifecycle (deletes / compact / NRT append / update /
+    split / CheckIndex), multi-SortField, infix suggest, repetition +
+    decontamination ops; (2) the 20 entries the r03 driver window
+    skipped (judge-verified only — bm25_phrase/fuzzy/wildcard lead
+    since their execution paths changed in r3). Every entry past
+    position 50 has a green driver row in r01/r02/r03 on an unchanged
+    path (asserted during round 4)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "query_parser_range_topk": _q_parser_range,
