@@ -221,6 +221,66 @@ def tokenize_keyword_with_positions(texts: pd.Series) -> pd.Series:
     return texts.fillna("").map(lambda t: [(t, 0)] if t else [])
 
 
+# UAX29URLEmailTokenizer analog (analysis/common/.../standard/
+# UAX29URLEmailTokenizer.java + UAX29URLEmailTokenizerImpl.jflex):
+# StandardTokenizer grammar EXTENDED with <URL> and <EMAIL> token types
+# recognized as single tokens. The reference grammar is the full RFC
+# 3986 / RFC 5321 production set (the generated JFlex DFA is ~3k LoC);
+# we implement the web-text subset — scheme URLs (http/https/ftp with
+# host[:port][/path][?query]), www.-prefixed hosts, and mailbox@domain
+# emails — and pin fixture vectors. Alternation order EMAIL | URL |
+# word: at equal start offsets the longer typed token wins, exactly as
+# the JFlex longest-match rule resolves it for these inputs.
+#
+# The chain lowercases the TEXT before tokenizing (the JVM standard
+# path does the same; for the URL/EMAIL grammar this also makes the
+# scheme match case-insensitively, like the reference's
+# case-insensitive scheme production).
+_EMAIL_PAT = (
+    r"[a-z0-9][a-z0-9._%+-]*@[a-z0-9](?:[a-z0-9-]*[a-z0-9])?"
+    r"(?:\.[a-z0-9](?:[a-z0-9-]*[a-z0-9])?)+"
+)
+_URL_PAT = (
+    r"(?:https?|ftp)://[a-z0-9.-]+(?::[0-9]+)?(?:/[a-z0-9._%/+-]*)?"
+    r"(?:\?[a-z0-9._%/+=&-]*)?"
+    r"|www\.[a-z0-9.-]+(?:/[a-z0-9._%/+-]*)?"
+)
+_WORD_PAT = r"[^\W_]+(?:['’][^\W_]+)*"
+URL_EMAIL_PAT = f"{_EMAIL_PAT}|{_URL_PAT}|{_WORD_PAT}"
+_URL_EMAIL_RE = re.compile(URL_EMAIL_PAT, re.UNICODE)
+
+
+def tokenize_url_email(texts: pd.Series) -> pd.Series:
+    """UAX29URLEmailAnalyzer analog: URL/email-aware tokens of the
+    lowercased text, then the standard >255-drop + stop filter."""
+    return texts.fillna("").str.lower().str.findall(_URL_EMAIL_RE).map(
+        lambda ts: [
+            t
+            for t in ts
+            if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS
+        ]
+    )
+
+
+def tokenize_url_email_with_positions(texts: pd.Series) -> pd.Series:
+    """URL/email analog with positions (dropped/stopped tokens advance
+    the position counter, FilteringTokenFilter.java:49-62)."""
+
+    def finish(toks: list[str]) -> list[tuple[str, int]]:
+        out = []
+        pos = -1
+        for t in toks:
+            pos += 1
+            if len(t) > MAX_TOKEN_LENGTH or t in ENGLISH_STOP_WORDS:
+                continue
+            out.append((t, pos))
+        return out
+
+    return (
+        texts.fillna("").str.lower().str.findall(_URL_EMAIL_RE).map(finish)
+    )
+
+
 def _english_analyzers():
     from lucene_solr_spark.analysis.stem import minimal_stem_en, porter_stem
 
@@ -241,6 +301,7 @@ ANALYZERS = {
     "simple": tokenize_simple,
     "stop": tokenize_stop,
     "keyword": tokenize_keyword,
+    "uax29_url_email": tokenize_url_email,
     **_EN,
 }
 
@@ -250,6 +311,7 @@ ANALYZERS_POS = {
     "simple": tokenize_simple_with_positions,
     "stop": tokenize_stop_with_positions,
     "keyword": tokenize_keyword_with_positions,
+    "uax29_url_email": tokenize_url_email_with_positions,
     **_EN_POS,
 }
 

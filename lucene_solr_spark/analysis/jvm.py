@@ -188,12 +188,56 @@ def english_tokens_pos_col(text: Column) -> Column:
     )
 
 
+# UAX29URLEmailTokenizer analog (see analyzers.URL_EMAIL_PAT for the
+# grammar-subset notes). The pattern body is ASCII classes plus the
+# standard word production; (?U) makes the word part's \W
+# Unicode-aware like the Python re.UNICODE engine.
+URL_EMAIL_RE_JAVA = (
+    "(?U)"
+    "[a-z0-9][a-z0-9._%+-]*@[a-z0-9](?:[a-z0-9-]*[a-z0-9])?"
+    "(?:\\.[a-z0-9](?:[a-z0-9-]*[a-z0-9])?)+"
+    "|(?:https?|ftp)://[a-z0-9.-]+(?::[0-9]+)?(?:/[a-z0-9._%/+-]*)?"
+    "(?:\\?[a-z0-9._%/+=&-]*)?"
+    "|www\\.[a-z0-9.-]+(?:/[a-z0-9._%/+-]*)?"
+    "|[^\\W_]+(?:['’][^\\W_]+)*"
+)
+
+
+def url_email_tokens_col(text: Column) -> Column:
+    """UAX29URLEmailAnalyzer analog: URL/email-aware tokens of the
+    lowercased text + standard >255-drop + stop filter."""
+    toks = F.regexp_extract_all(
+        F.lower(text), F.lit(URL_EMAIL_RE_JAVA), F.lit(0)
+    )
+    return F.filter(
+        toks,
+        lambda t: (F.length(t) <= MAX_TOKEN_LENGTH)
+        & ~F.array_contains(_STOP_ARR, t),
+    )
+
+
+def url_email_tokens_pos_col(text: Column) -> Column:
+    """Dropped/stopped tokens advance positions without being emitted."""
+    toks = F.regexp_extract_all(
+        F.lower(text), F.lit(URL_EMAIL_RE_JAVA), F.lit(0)
+    )
+    pairs = F.transform(
+        toks, lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos"))
+    )
+    return F.filter(
+        pairs,
+        lambda s: (F.length(s["term"]) <= MAX_TOKEN_LENGTH)
+        & ~F.array_contains(_STOP_ARR, s["term"]),
+    )
+
+
 JVM_ANALYZERS = {
     "standard": standard_tokens_col,
     "whitespace": whitespace_tokens_col,
     "simple": simple_tokens_col,
     "stop": stop_tokens_col,
     "keyword": keyword_tokens_col,
+    "uax29_url_email": url_email_tokens_col,
     "english": english_tokens_col,
     "english_minimal": english_tokens_col,
 }
@@ -203,6 +247,7 @@ JVM_ANALYZERS_POS = {
     "simple": simple_tokens_pos_col,
     "stop": stop_tokens_pos_col,
     "keyword": keyword_tokens_pos_col,
+    "uax29_url_email": url_email_tokens_pos_col,
     "english": english_tokens_pos_col,
     "english_minimal": english_tokens_pos_col,
 }

@@ -73,3 +73,55 @@ def test_vectorized_matches_per_row():
     batch = tokenize_standard(texts)
     single = [tokenize_standard(pd.Series([t])).iloc[0] for t in texts]
     assert list(batch) == single
+
+
+# ----------------------------------------------------------------------
+# UAX29URLEmailTokenizer analog (standard/UAX29URLEmailTokenizer.java:
+# the StandardTokenizer grammar extended with <URL>/<EMAIL> typed
+# tokens; we implement the web-text subset — scheme URLs, www. hosts,
+# mailbox@domain emails — and pin these vectors)
+# ----------------------------------------------------------------------
+
+from lucene_solr_spark.analysis.analyzers import (  # noqa: E402
+    tokenize_url_email,
+    tokenize_url_email_with_positions,
+)
+
+
+def utoks(text: str) -> list[str]:
+    return tokenize_url_email(pd.Series([text])).iloc[0]
+
+
+def test_url_email_email_is_one_token():
+    assert utoks("Contact John.Doe+spam@Mail.Example.COM today") == [
+        "contact", "john.doe+spam@mail.example.com", "today"
+    ]
+    # the standard chain shatters the same mailbox
+    assert toks("Contact John.Doe+spam@Mail.Example.COM today") == [
+        "contact", "john", "doe", "spam", "mail", "example", "com", "today"
+    ]
+
+
+def test_url_email_scheme_urls_and_www():
+    assert utoks("see HTTPS://WWW2.Example.org/p-1?q=a&b=2 or www.foo-bar.com/baz") == [
+        "see", "https://www2.example.org/p-1?q=a&b=2", "www.foo-bar.com/baz"
+    ]
+    assert utoks("ftp://h0st:21/dir/file.txt") == ["ftp://h0st:21/dir/file.txt"]
+
+
+def test_url_email_plain_words_unchanged_and_stops_advance():
+    # non-URL/email text tokenizes exactly like the standard chain,
+    # stopped/dropped tokens still advance positions
+    assert utoks("The Quick O'Neil's fox") == toks("The Quick O'Neil's fox")
+    out = tokenize_url_email_with_positions(
+        pd.Series(["the u3@m.example.com the fox"])
+    ).iloc[0]
+    assert out == [("u3@m.example.com", 1), ("fox", 3)]
+
+
+def test_url_email_subset_edges():
+    # no dotted TLD -> not an email (documented subset); trailing
+    # sentence period not consumed; broken scheme falls back to words
+    assert utoks("user@localhost") == ["user", "localhost"]
+    assert utoks("mail u3@m.example.com.") == ["mail", "u3@m.example.com"]
+    assert utoks("http:/broken") == ["http", "broken"]

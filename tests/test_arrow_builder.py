@@ -23,6 +23,9 @@ EDGE_TEXTS = [
     "don’t stop me",
     "中文 mixed with ascii",
     "tab\tnewline\nsplit",
+    "Contact John.Doe+spam@Mail.Example.COM or HTTPS://WWW2.Example.org/p-1?q=a&b=2",
+    "see www.foo-bar.com/baz_x and ftp://h0st:21/dir/file.txt now",
+    "edge user@localhost @nope http:/broken trailing. u3@m.example.com.",
 ]
 
 
@@ -108,7 +111,7 @@ def test_arrow_engine_url_keys(spark, tmp_path):
     assert results["pandas"] == results["arrow"]
 
 
-@pytest.mark.parametrize("name", ["simple", "stop", "keyword"])
+@pytest.mark.parametrize("name", ["simple", "stop", "keyword", "uax29_url_email"])
 def test_jvm_extra_analyzers_match_pandas(spark, name):
     """core/SimpleAnalyzer, core/StopAnalyzer, core/KeywordAnalyzer
     analogs: JVM expression == pandas engine token-for-token and
