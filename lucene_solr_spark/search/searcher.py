@@ -2175,6 +2175,166 @@ class IndexSearcher:
         ordered = per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
         return ordered if k is None else ordered.limit(k)
 
+    def early_terminated_frame(
+        self, query: Query, max_docs_per_shard: int
+    ) -> DataFrame:
+        """Solr EarlyTerminatingCollector analog (solr/.../search/
+        EarlyTerminatingCollector.java:33-78): collection proceeds in
+        docID order and STOPS once `max_docs_per_shard` live matches
+        have been collected — only the collected docs are scored.
+
+        The reference's collector is one sequential scan over segments
+        with a global budget; the distributed analog applies the
+        budget PER SHARD (each shard is this engine's leaf-reader
+        sequence), which keeps the result deterministic at every
+        cluster size — the collected set is a pure function of
+        (query, budget, sharding), never of task timing. Like the
+        reference (and EarlyTerminatingSortingCollector.java:47-53's
+        NOTE), hit counts are lower bounds: when the index order IS
+        the requested order, the collected prefix is exact; for
+        score-ranked queries the budget trades recall for a hard
+        per-shard work bound (Solr's timeAllowed/partialResults
+        trade, made deterministic).
+
+        Returns the raw per-shard frame
+        (doc_id, score, shard, n_collected, n_scanned) where the
+        counters follow EarlyTerminatingCollectorException.java:29-57:
+        n_scanned = docID position reached when the budget hit (last
+        collected local docID + 1), or the shard's maxDoc when the
+        shard was exhausted. Scores are bitwise the normal engine's
+        (same f32 per-term kernels, f64 boolean accumulation).
+
+        Flat term/and/or kinds (the shapes Solr's collector wraps in
+        practice); deleted docs never consume budget (the delegate
+        only sees live docs)."""
+        if max_docs_per_shard <= 0:
+            raise ValueError("max_docs_per_shard must be > 0")
+        q = rewrite(query)
+        spec = self._spec(q)
+        kind = spec["kind"]
+        if kind == "term":
+            clause_terms = list(spec["terms"])
+        elif kind == "and":
+            clause_terms = list(spec["must"])
+        elif kind == "or":
+            clause_terms = list(spec["terms"])
+        else:
+            raise ValueError(
+                "early-terminated collection supports term/and/or queries"
+            )
+        msm = int(spec.get("min_should_match", 1)) if kind == "or" else 1
+        terms = sorted(set(clause_terms))
+        matched, norms_side = self._cogroup_inputs(
+            self._matched(terms).drop(
+                *( ["pos_enc"] if "pos_enc" in self._postings.columns else [])
+            )
+        )
+        caches = dict(self._caches)
+        default_field = self._default_field
+        codec = self._codec
+        max_doc = self.max_doc
+        offsets = dict(self._doc_offsets)
+        budget = int(max_docs_per_shard)
+
+        def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float32"),
+                 "shard": pd.Series(dtype="int32"),
+                 "n_collected": pd.Series(dtype="int64"),
+                 "n_scanned": pd.Series(dtype="int64")}
+            )
+            if len(left) == 0 or len(nr) == 0:
+                return empty
+            decoded = _decode_shard(left, nr, default_field, codec)
+            base, norms_map, lt, dfs, _ = decoded
+            idfs = {t: bm25.idf(d, max_doc) for t, d in dfs.items()}
+            shard = int(nr["shard"].iloc[0])
+            off = offsets.get(shard, 0)
+            deleted = _local_deleted(nr, off)
+            # match set in docID order (the collect order of the
+            # reference's leaf walk)
+            if kind == "term":
+                t = clause_terms[0]
+                if t not in lt:
+                    return empty
+                docs = lt.full(t)[0]
+            elif kind == "and":
+                if any(t not in lt for t in clause_terms):
+                    return empty
+                docs, _src = _leapfrog(lt, clause_terms, False)
+            else:
+                present = [t for t in clause_terms if t in lt]
+                if len(present) < msm:
+                    return empty
+                docs = reduce(np.union1d, [lt.full(t)[0] for t in present])
+                if msm > 1:
+                    # MinShouldMatchSumScorer membership: the delegate
+                    # only sees docs matching >= msm clauses, so only
+                    # those consume collection budget.
+                    cnt = np.zeros(len(docs), np.int64)
+                    for t in present:
+                        cnt += np.isin(docs, lt.full(t)[0],
+                                       assume_unique=True)
+                    docs = docs[cnt >= msm]
+            docs = _alive(docs, deleted)
+            if len(docs) == 0:
+                return empty
+            truncated = len(docs) > budget
+            cut = docs[:budget]
+            n_collected = len(cut)
+            n_scanned = (
+                int(cut[-1]) - base + 1
+                if truncated
+                else len(norms_map[""])
+            )
+            # score ONLY the collected docs (clause order, f64 -> f32)
+            acc64 = np.zeros(len(cut), np.float64)
+            for t in clause_terms:
+                if t not in lt:
+                    continue
+                d, tf_arr = lt.full(t)
+                pos = np.searchsorted(d, cut)
+                pos = np.minimum(pos, len(d) - 1)
+                hit = d[pos] == cut
+                if not hit.any():
+                    continue
+                nrm, cch = _nc(t, norms_map, caches)
+                s = bm25.score_term(
+                    tf_arr[pos[hit]], nrm[cut[hit] - base], idfs[t], cch
+                )
+                acc64[hit] += s.astype(np.float64)
+            return pd.DataFrame(
+                {"doc_id": cut + off,
+                 "score": acc64.astype(np.float32),
+                 "shard": np.full(len(cut), shard, np.int32),
+                 "n_collected": np.full(len(cut), n_collected, np.int64),
+                 "n_scanned": np.full(len(cut), n_scanned, np.int64)}
+            )
+
+        return (
+            matched.groupBy("shard")
+            .cogroup(norms_side.groupBy("shard"))
+            .applyInPandas(
+                score_group,
+                "doc_id long, score float, shard int, "
+                "n_collected long, n_scanned long",
+            )
+        )
+
+    def search_early_terminated(
+        self, query: Query, k: int = 10, max_docs_per_shard: int = 1000
+    ) -> DataFrame:
+        """Top-k over the early-terminated collected set (see
+        early_terminated_frame): global merge of the per-shard
+        docID-order prefixes, ordered score desc / doc_id asc."""
+        raw = self.early_terminated_frame(query, max_docs_per_shard)
+        return (
+            raw.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_classic(self, query: Query, k: int | None = 10) -> DataFrame:
         """Classic TF-IDF search — the 6.0 snapshot's DEFAULT similarity
         (IndexSearcher.java:145, DefaultSimilarity.java:45), behind the
