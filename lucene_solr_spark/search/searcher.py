@@ -1528,11 +1528,17 @@ class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str):
         from lucene_solr_spark.session import ensure_on_workers
 
+        from lucene_solr_spark.index.storage import resolve_io
+
         self.spark = spark
         self.index_dir = index_dir
         ensure_on_workers(spark)
-        with open(os.path.join(index_dir, "manifest.json")) as fh:
-            self.manifest = json.load(fh)
+        # storage seam: filesystem path -> ParquetIO, iceberg://cat.db.ix
+        # -> IcebergIO catalog tables (index/storage.py). Everything the
+        # searcher reads goes through it; NRT delta generations are the
+        # one directory-only feature (published snapshots fold them in).
+        self._io = resolve_io(spark, index_dir)
+        self.manifest = self._io.read_manifest()
         self.max_doc = self.manifest["max_doc"]
         self.avgdl = bm25.avgdl(self.manifest["sum_total_term_freq"], self.max_doc)
         self.cache = bm25.norm_cache(self.avgdl)
@@ -1544,14 +1550,19 @@ class IndexSearcher:
             or {self._default_field: self.manifest["sum_total_term_freq"]}
         )
         self._rebuild_caches()
-        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-        self._norms = spark.read.parquet(os.path.join(index_dir, "norms"))
-        self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        self._postings = self._io.read("postings")
+        self._norms = self._io.read("norms")
+        self._term_stats = self._io.read("term_stats")
         self._doc_map = None
         # multi-generation state (NRT delta segments; see streaming/nrt.py):
         # global shard id -> doc_id offset of its generation, and
-        # (dir, shard_offset, doc_offset) per extra generation
-        self._doc_offsets: dict[int, int] = {}
+        # (dir, shard_offset, doc_offset) per extra generation. A
+        # published snapshot (storage.publish_index) bakes the offsets
+        # into its manifest instead of carrying generation dirs.
+        self._doc_offsets: dict[int, int] = {
+            int(k): int(v)
+            for k, v in (self.manifest.get("doc_offsets") or {}).items()
+        }
         self._gens: list[tuple[str, int, int]] = []
         self._deleted: np.ndarray | None = None  # lazy tombstone resolve
         # total shard count of the point-in-time view (query-stage
@@ -1674,7 +1685,7 @@ class IndexSearcher:
 
     def doc_map(self) -> DataFrame:
         if self._doc_map is None:
-            dm = self.spark.read.parquet(os.path.join(self.index_dir, "doc_map"))
+            dm = self._io.read("doc_map")
             parts = [dm]
             for gdir, shard_off, doc_off in self._gens:
                 gdm = self.spark.read.parquet(os.path.join(gdir, "doc_map"))
@@ -1706,7 +1717,7 @@ class IndexSearcher:
         return self._deleted
 
     def _has_tombstones(self) -> bool:
-        return os.path.isdir(os.path.join(self.index_dir, "tombstones"))
+        return self._io.exists("tombstones")
 
     def deleted_df(self) -> DataFrame:
         """(shard, doc_id) of tombstoned docs, resolved DISTRIBUTIVELY
@@ -1715,9 +1726,7 @@ class IndexSearcher:
         kills only doc versions below its watermark (delGen
         semantics, see index/deletes.py)."""
         tombs = (
-            self.spark.read.parquet(
-                os.path.join(self.index_dir, "tombstones")
-            )
+            self._io.read("tombstones")
             .groupBy("key")
             .agg(F.max("wm").alias("wm"))
         )

@@ -1,0 +1,161 @@
+"""Storage-seam tests (index/storage.py): TableIO resolution, the
+Iceberg error path, and publish_index snapshot semantics.
+
+Reference contract being mirrored: IndexWriter's two-phase commit
+writes every segment file before the segments_N commit point
+(lucene/core/.../index/IndexWriter.java:178-186,2876-2913), and Solr
+replication copies the committed segment set then the commit point
+(solr/core/.../handler/IndexFetcher.java). Here: every table lands
+through TableIO before write_manifest, and a published copy is
+rank- and score-identical to the source point-in-time view.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def small_index(spark, tmp_path):
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+
+    out = str(tmp_path / "pub_src")
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet").where(
+        F.col("doc_id") < 300
+    )
+    build_index(
+        spark,
+        src,
+        out,
+        IndexConfig(n_shards=2, segs_per_shard=2, id_col="doc_id",
+                    text_col="text", sharding="hash"),
+    )
+    return out
+
+
+def _top(searcher, term, k=20):
+    from lucene_solr_spark.search.query import TermQuery
+
+    return [
+        (r.doc_id, r.score)
+        for r in searcher.search(TermQuery(term), k=k).collect()
+    ]
+
+
+def test_resolve_io_dispatch(spark, tmp_path):
+    from lucene_solr_spark.index.storage import ParquetIO, resolve_io
+
+    io = resolve_io(spark, str(tmp_path))
+    assert isinstance(io, ParquetIO)
+
+
+def test_iceberg_requires_catalog_conf(spark):
+    """No Iceberg jar/catalog in the sandbox: the spec must fail fast
+    and name the missing conf (not die later inside a write)."""
+    from lucene_solr_spark.index.storage import resolve_io
+
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.lake"):
+        resolve_io(spark, "iceberg://lake.db.myindex")
+
+
+def test_parquet_io_roundtrip(spark, tmp_path):
+    from lucene_solr_spark.index.storage import ParquetIO
+
+    io = ParquetIO(spark, str(tmp_path / "t"))
+    import os
+
+    os.makedirs(str(tmp_path / "t"), exist_ok=True)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    io.write(df, "tbl")
+    assert io.exists("tbl")
+    assert not io.exists("other")
+    assert sorted(r.v for r in io.read("tbl").collect()) == ["a", "b"]
+    io.write_manifest({"max_doc": 7})
+    assert io.read_manifest() == {"max_doc": 7}
+
+
+def test_publish_base_index_identical(spark, small_index, tmp_path):
+    from lucene_solr_spark.index.storage import publish_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    dest = str(tmp_path / "pub_dst")
+    m = publish_index(spark, small_index, dest)
+    assert "delta_generations" not in m
+    src = IndexSearcher.open(spark, small_index)
+    dst = IndexSearcher.open(spark, dest)
+    assert dst.max_doc == src.max_doc
+    for term in ("the", "of", "data"):
+        assert _top(dst, term) == _top(src, term)
+
+
+def test_publish_folds_nrt_and_deletes(spark, small_index, tmp_path):
+    """Base + two NRT generations + a delete fold into one snapshot
+    whose results are bitwise those of the multi-generation view."""
+    from lucene_solr_spark.index.deletes import delete_by_keys
+    from lucene_solr_spark.index.storage import publish_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+    from lucene_solr_spark.streaming.nrt import append_batch
+
+    b1 = spark.createDataFrame(
+        [(90_001, "pubterm alpha beta"), (90_002, "pubterm pubterm gamma")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(90_003, "pubterm delta the of")], "doc_id long, text string"
+    )
+    append_batch(spark, b1, small_index, batch_id=0)
+    append_batch(spark, b2, small_index, batch_id=1)
+    delete_by_keys(spark, small_index, [90_002])
+
+    dest = str(tmp_path / "pub_dst2")
+    m = publish_index(spark, small_index, dest)
+    assert "delta_generations" not in m and m["doc_offsets"]
+
+    src = IndexSearcher.open(spark, small_index)
+    dst = IndexSearcher.open(spark, dest)
+    assert dst.max_doc == src.max_doc
+    assert dst._doc_offsets == src._doc_offsets
+    for term in ("pubterm", "the", "of"):
+        got, want = _top(dst, term), _top(src, term)
+        assert got == want, term
+    # the tombstoned doc stays dead in the published copy
+    assert len(_top(dst, "pubterm")) == 2
+
+
+def test_publish_writes_manifest_last(spark, small_index, tmp_path, monkeypatch):
+    """Commit-point-last ordering: every data table lands through the
+    seam before write_manifest (the segments_N contract)."""
+    from lucene_solr_spark.index import storage
+
+    calls: list[str] = []
+    real_resolve = storage.resolve_io
+    dest = str(tmp_path / "pub_dst3")
+
+    class Recording(storage.ParquetIO):
+        def write(self, df, name, mode="overwrite", partition_by=()):
+            calls.append(name)
+            super().write(df, name, mode, partition_by)
+
+        def write_manifest(self, manifest):
+            calls.append("__manifest__")
+            super().write_manifest(manifest)
+
+    def fake_resolve(spark_, out):
+        if out == dest:
+            return Recording(spark_, out)
+        return real_resolve(spark_, out)
+
+    monkeypatch.setattr(storage, "resolve_io", fake_resolve)
+    storage.publish_index(spark, small_index, dest)
+    assert calls[-1] == "__manifest__"
+    assert set(calls[:-1]) >= {"doc_map", "norms", "postings", "term_stats"}
+
+
+def test_publish_refuses_source_dir(spark, small_index):
+    from lucene_solr_spark.index.storage import publish_index
+
+    with pytest.raises(ValueError, match="destination equals"):
+        publish_index(spark, small_index, small_index)
