@@ -47,6 +47,13 @@ def main() -> None:
     ap.add_argument("--positions", action="store_true")
     ap.add_argument("--engine", default="arrow", choices=["arrow", "pandas"])
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--publish",
+        default=None,
+        help="after the build, fold the index into one snapshot at this "
+        "destination — a directory or iceberg://cat.db.name (each table "
+        "one atomic snapshot commit, manifest last; see index/storage.py)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,6 +80,10 @@ def main() -> None:
         ),
         resume=not args.no_resume,
     )
+    if args.publish:
+        from lucene_solr_spark.index.storage import publish_index
+
+        publish_index(spark, args.output, args.publish)
     json.dump(
         {
             "max_doc": manifest["max_doc"],
