@@ -3597,6 +3597,65 @@ class IndexSearcher:
             return self._empty()
         return self.search(BooleanOr(tuple(sorted(terms))), k)
 
+    def term_vectors(
+        self,
+        query: Query,
+        docs: DataFrame,
+        k: int = 10,
+        text_col: str | None = None,
+        id_col: str | None = None,
+        prune: bool = True,
+    ) -> DataFrame:
+        """Per-document term vectors for the query's top-k hits —
+        TermVectorComponent analog (solr/core/.../handler/component/
+        TermVectorComponent.java; Lucene persists a forward doc->terms
+        index, TermVectorsFormat). Here the stored-fields table IS the
+        forward store: the top-k docs' stored text is re-analyzed with
+        the SAME JVM analyzer chain (+ synonym expansion) the index was
+        built with, tf comes from one hash-aggregate over the exploded
+        tokens, and df joins from the index's term dictionary — so the
+        vector is exactly what the inverted index holds for those docs.
+        Returns (doc_id, term, tf, df) ordered by (doc_id, term)."""
+        from lucene_solr_spark.analysis.jvm import JVM_ANALYZERS
+
+        cfg = self.manifest["config"]
+        text_col = text_col or self._default_field
+        id_col = id_col or cfg.get("id_col", "doc_id")
+        hits = self.search(query, k, prune)
+        dm = self.doc_map().select("doc_id", "key")
+        hk = hits.join(dm, "doc_id")
+        toks_expr = JVM_ANALYZERS[cfg["analyzer"]](F.col(text_col))
+        if cfg.get("synonyms"):
+            from lucene_solr_spark.analysis.synonyms import expand_tokens_col
+
+            toks_expr = expand_tokens_col(toks_expr, cfg["synonyms"])
+        key_type = dm.schema["key"].dataType
+        stored = docs.select(
+            F.col(id_col).cast(key_type).alias("key"),
+            toks_expr.alias("_toks"),
+        )
+        tv = (
+            hk.join(stored, "key")
+            .select("doc_id", F.explode("_toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        # never broadcast the full dictionary: semi-restrict it to the
+        # k docs' terms first (tv is k x terms-per-doc — tiny), THEN
+        # broadcast the restricted stats into the left join
+        stats = (
+            self._term_stats.select(
+                "term", F.col("df").cast("long").alias("df")
+            )
+            .join(
+                F.broadcast(tv.select("term").distinct()), "term", "left_semi"
+            )
+        )
+        tv = tv.join(F.broadcast(stats), "term", "left")
+        return tv.select("doc_id", "term", "tf", "df").orderBy(
+            "doc_id", "term"
+        )
+
     def search_with_keys(self, query: Query, k: int = 10, prune: bool = True) -> DataFrame:
         """Top-k joined back to the source key (stored-fields fetch analog,
         phase 2 of Solr's distributed search — SURVEY.md §3.3)."""
