@@ -3597,6 +3597,30 @@ class IndexSearcher:
             return self._empty()
         return self.search(BooleanOr(tuple(sorted(terms))), k)
 
+    def get_by_keys(self, keys: list) -> DataFrame:
+        """Realtime get — RealTimeGetHandler analog (solr/core/.../
+        handler/RealTimeGetHandler.java + UpdateLog lookup: fetch the
+        CURRENT version of docs by unique key, seeing uncommitted NRT
+        appends and deletes without waiting for a commit). Here the
+        point-in-time view opened by IndexSearcher.open already spans
+        every delta generation (the tlog analog), so realtime get is a
+        broadcast semi-join of the probe keys against the doc_map with
+        tombstoned versions anti-joined away: an updated key returns
+        only its newest live row, a deleted key returns nothing.
+        Returns doc_map rows (doc_id, key, shard, g, doc_len, norm)
+        ordered by key."""
+        kind = self.manifest.get("key_kind", "l")
+        ktype = "string" if kind == "s" else "long"
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], f"key {ktype}"
+        )
+        dm = self.doc_map().join(F.broadcast(kdf), "key", "left_semi")
+        if self._has_tombstones():
+            dm = dm.join(
+                self.deleted_df(), ["shard", "doc_id"], "left_anti"
+            )
+        return dm.orderBy("key")
+
     def term_vectors(
         self,
         query: Query,
