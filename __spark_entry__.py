@@ -2705,6 +2705,34 @@ def _op_fingerprints(spark, sf):
     return doc_fingerprints(_docs(spark, sf))
 
 
+def _op_line_dedup(spark, sf):
+    """CCNet/RefinedWeb-style line-level dedup
+    (ops/textstats.py:line_dedup_topk): corpus-wide chunk-hash counts,
+    per-doc duplicated-line fraction, most-duplicated docs first."""
+    from lucene_solr_spark.ops.textstats import line_dedup_topk
+
+    return line_dedup_topk(_docs(spark, sf))
+
+
+def _op_unigram_logprob(spark, sf):
+    """KenLM-perplexity-filter analog
+    (ops/textstats.py:unigram_logprob_topk): per-doc mean token
+    log-prob under the corpus unigram MLE, lowest (most OOD) first."""
+    from lucene_solr_spark.ops.textstats import unigram_logprob_topk
+
+    return unigram_logprob_topk(_docs(spark, sf))
+
+
+def _op_source_balance(spark, sf):
+    """Training-mixture source rebalancing
+    (ops/textstats.py:source_balance_sample): deterministic hash-rank
+    cap of 10 docs per source (binds at sf0.01: 20 sources x 25 docs
+    -> 200 kept of 500)."""
+    from lucene_solr_spark.ops.textstats import source_balance_sample
+
+    return source_balance_sample(_docs(spark, sf), cap=10)
+
+
 def _op_multimodal_len(spark, sf):
     from lucene_solr_spark.ops.multimodal import binary_length_stats
 
@@ -2992,6 +3020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_infix": _q_suggest_infix,
         "text_repetition_topk": _op_repetition,
         "decontamination_flags": _op_contamination,
+        "line_dedup_topk": _op_line_dedup,
+        "unigram_logprob_topk": _op_unigram_logprob,
+        "source_balance_sample": _op_source_balance,
         "dedup_keep_decisions": _op_dedup_representatives,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
@@ -3414,6 +3445,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_topk": _ops_oracles.quality_topk_sql(),
         "text_repetition_topk": _ops_oracles.repetition_topk_sql(),
         "decontamination_flags": _ops_oracles.contamination_sql(),
+        "line_dedup_topk": _ops_oracles.line_dedup_sql(),
+        "unigram_logprob_topk": _ops_oracles.unigram_logprob_sql(),
+        "source_balance_sample": _ops_oracles.source_balance_sql(cap=10),
         "text_fingerprints": _ops_oracles.fingerprints_sql(),
         "multimodal_binary_len": _ops_oracles.multimodal_len_sql(),
     }

@@ -58,4 +58,12 @@ def bench_ops(spark, sf_dir: str) -> dict[str, float]:
     textstats.contamination_flags(docs, ev, n=4, k=25).collect()
     out["op_decontaminate"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    textstats.line_dedup_topk(docs).collect()
+    out["op_line_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    textstats.unigram_logprob_topk(docs).collect()
+    out["op_unigram_logprob"] = time.perf_counter() - t0
+
     return out

@@ -549,3 +549,78 @@ SELECT d.doc_id,
   COALESCE(m.matched, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
 ORDER BY matched_ngrams DESC, d.doc_id LIMIT {k}"""
+
+
+def line_dedup_sql(width: int = 10, k: int = 20) -> str:
+    """Oracle for textstats.line_dedup_topk: fixed width-token chunk
+    hashes counted corpus-wide; per-doc duplicated-chunk fraction."""
+    from lucene_solr_spark.ops.hashing import h32_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 1 THEN
+      list_transform(range(0, CAST((len(toks) + {width - 1}) // {width} AS INT)),
+        i -> array_to_string(toks[i * {width} + 1 : i * {width} + {width}], ' '))
+    ELSE [] END AS chunks
+  FROM t
+),
+l AS (
+  SELECT doc_id, {h32_sql('unnest(chunks)')} AS lh FROM c
+),
+f AS (SELECT lh, count(*) AS cnt FROM l GROUP BY lh),
+p AS (
+  SELECT l.doc_id,
+    count(*)::BIGINT AS n_lines,
+    sum(CASE WHEN f.cnt >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_lines
+  FROM l JOIN f USING (lh) GROUP BY l.doc_id
+)
+SELECT doc_id, n_lines, dup_lines,
+  round(CAST(dup_lines AS DOUBLE) / CAST(greatest(n_lines, 1) AS DOUBLE), 6)
+    AS dup_line_frac
+FROM p ORDER BY dup_line_frac DESC, doc_id LIMIT {k}"""
+
+
+def unigram_logprob_sql(k: int = 20) -> str:
+    """Oracle for textstats.unigram_logprob_topk: corpus unigram MLE,
+    per-doc mean token log-probability, k lowest."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+vocab AS (SELECT term, count(*) AS tc FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(tc) AS DOUBLE) AS total FROM vocab),
+p AS (
+  SELECT tok.doc_id,
+    count(*)::BIGINT AS n_tokens,
+    sum(ln(CAST(vocab.tc AS DOUBLE))) AS sum_ln
+  FROM tok JOIN vocab USING (term) GROUP BY tok.doc_id
+)
+SELECT doc_id, n_tokens,
+  round(sum_ln / CAST(n_tokens AS DOUBLE) - ln(total), 6) AS mean_logprob
+FROM p, tot ORDER BY mean_logprob, doc_id LIMIT {k}"""
+
+
+def source_balance_sql(cap: int = 25) -> str:
+    """Oracle for textstats.source_balance_sample: per-source hash-rank
+    downsample to `cap` docs."""
+    from lucene_solr_spark.ops.hashing import h32_sql
+
+    h = h32_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH r AS (
+  SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id)::BIGINT
+      AS rnk
+  FROM documents
+)
+SELECT source, doc_id, rnk FROM r WHERE rnk <= {cap}
+ORDER BY source, rnk"""

@@ -265,3 +265,150 @@ def contamination_flags(
         .withColumn("contaminated", F.col("matched_ngrams") > 0)
     )
     return out.orderBy(F.desc("matched_ngrams"), "doc_id").limit(k)
+
+
+def line_dedup_topk(docs: DataFrame, width: int = 10, k: int = 20) -> DataFrame:
+    """Cross-corpus line/paragraph-level dedup statistics (the CCNet /
+    RefinedWeb curation step: hash every paragraph, count occurrences
+    ACROSS the corpus, score each doc by its duplicated-paragraph
+    fraction). The synthetic corpus is single-line, so a "paragraph"
+    here is a fixed `width`-token chunk of the whitespace token stream
+    (the boundary rule is irrelevant to the plan shape — swap the
+    chunker for split('\\n\\n') on real web text).
+
+    Plan shape for 100 TB: one corpus pass explodes (doc_id, h32(chunk))
+    rows; chunk-frequency is ONE hash-aggregate shuffled on the 32-bit
+    chunk hash (partial map-side combine absorbs the hot boilerplate
+    chunks, so skew stays bounded); the count joins back to the
+    exploded rows co-partitioned on that same hash (no second exchange
+    of the big side); per-doc rollup is one doc_id shuffle; the k cut
+    is a TakeOrderedAndProject. No driver state, no broadcast of
+    anything corpus-sized.
+
+    Returns top-k docs by dup_line_frac desc (doc_id asc tiebreak):
+    (doc_id, n_lines, dup_lines, dup_line_frac) where a line counts as
+    duplicated when its hash occurs >= 2 times corpus-wide (within-doc
+    repeats count — CCNet's hash multiset semantics).
+    """
+    from lucene_solr_spark.ops.hashing import h32
+
+    toks = F.filter(ws_tokens(F.col("text")), lambda t: t != F.lit(""))
+    chunked = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "chunks",
+            F.when(
+                F.col("n") >= 1,
+                F.transform(
+                    F.expr(f"sequence(0, ((n + {width - 1}) div {width}) - 1)"),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i * width + 1, width)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    lines = chunked.select(
+        "doc_id", F.explode("chunks").alias("chunk")
+    ).select("doc_id", h32(F.col("chunk")).alias("lh"))
+    counts = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        lines.join(counts, "lh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_lines"),
+        )
+        .withColumn(
+            "dup_line_frac",
+            F.round(
+                F.col("dup_lines").cast("double")
+                / F.greatest(F.col("n_lines"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+    )
+    return per_doc.orderBy(F.desc("dup_line_frac"), "doc_id").limit(k)
+
+
+def unigram_logprob_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Unigram language-model quality score (the KenLM-perplexity-filter
+    analog used by CCNet/LLaMA data pipelines, reduced to its unigram
+    core so the oracle is closed-form): score every doc by the mean
+    log-probability of its tokens under the corpus's own unigram MLE
+    p(t) = count(t) / total_tokens, and return the k LOWEST-scoring
+    (most out-of-distribution) docs — the ones a perplexity filter
+    drops first.
+
+    mean_logprob = (1/n) * sum_t ln(count(t)) - ln(total), rounded to
+    6 dp (double summation order varies between engines at ~1 ulp).
+
+    Plan shape for 100 TB: token explode -> ONE term-keyed
+    hash-aggregate for the vocabulary counts (map-side combine bounds
+    hot-term skew) -> the exploded stream joins the vocab co-partitioned
+    on term (vocab is Zipf-bounded but NOT broadcast — at web scale it
+    is billions of terms) -> per-doc rollup on doc_id -> top-k. The
+    total-token scalar rides as a one-row cross join (broadcast of one
+    row). No Python in the pipeline; everything is whole-stage codegen.
+    """
+    toks = F.filter(ws_tokens(F.col("text")), lambda t: t != F.lit(""))
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = vocab.agg(F.sum("tc").cast("double").alias("total"))
+    per_doc = (
+        tok.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.log(F.col("tc").cast("double"))).alias("sum_ln"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("sum_ln") / F.col("n_tokens").cast("double")
+                - F.log(F.col("total")),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+    return per_doc.orderBy("mean_logprob", "doc_id").limit(k)
+
+
+def source_balance_sample(docs: DataFrame, cap: int = 25) -> DataFrame:
+    """Deterministic per-source downsampling (training-mixture control:
+    cap every source/domain at `cap` docs, chosen by content-free
+    hash order so the sample is reproducible and unbiased — the
+    standard domain-rebalancing step before mixing web + curated
+    sources).
+
+    Selection rule: within each source, rank docs by
+    (h32(doc_id), doc_id) and keep rank <= cap.
+
+    Plan shape for 100 TB: this sandbox-exact form is one window over
+    a source-keyed shuffle — correct but source-skewed (a giant crawl
+    source lands in one partition). At scale, run the documented
+    two-phase variant: (1) per-source counts (tiny) decide a hash
+    THRESHOLD keep-if h32(doc_id) < cap/total * 2^32 that prunes ~all
+    rows in the scan with no shuffle, (2) the exact-rank window runs
+    over the ~cap survivors per source. Phase 1 is a strict filter of
+    phase 2's input, so the result is identical; only survivors
+    shuffle.
+    """
+    from pyspark.sql import Window
+
+    from lucene_solr_spark.ops.hashing import h32
+
+    hcol = h32(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(hcol.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", hcol.alias("h"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= cap)
+        .select("source", "doc_id", "rnk")
+        .orderBy("source", "rnk")
+    )

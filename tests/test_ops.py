@@ -524,3 +524,79 @@ def test_contamination_flags(spark):
     assert rows[3].matched_ngrams == 0           # < n tokens -> no grams
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_line_dedup_flags_shared_chunks(spark):
+    """Two docs sharing an identical 10-token chunk are both flagged;
+    a unique doc has dup_line_frac 0."""
+    from lucene_solr_spark.ops.textstats import line_dedup_topk
+
+    chunk = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, chunk + " " + uniq_a),
+            (2, chunk + " " + uniq_b),
+            (3, uniq_c),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in line_dedup_topk(df, width=10, k=10).collect()}
+    assert rows[1].n_lines == 2 and rows[1].dup_lines == 1
+    assert rows[2].n_lines == 2 and rows[2].dup_lines == 1
+    assert rows[3].dup_lines == 0 and rows[3].dup_line_frac == 0.0
+
+
+def test_line_dedup_counts_within_doc_repeats(spark):
+    """A doc that repeats its own chunk counts as duplicated (hash
+    multiset semantics, like CCNet paragraph hashing)."""
+    from lucene_solr_spark.ops.textstats import line_dedup_topk
+
+    chunk = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, chunk + " " + chunk)], "doc_id long, text string"
+    )
+    r = line_dedup_topk(df, width=10, k=1).collect()[0]
+    assert r.n_lines == 2 and r.dup_lines == 2 and r.dup_line_frac == 1.0
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    """A doc of hapax tokens scores below a doc of corpus-dominant
+    tokens, and the mean matches the closed form."""
+    import math
+
+    from lucene_solr_spark.ops.textstats import unigram_logprob_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),
+            (2, "zzq qqz zqq qzz"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_topk(df, k=10).collect()}
+    assert rows[2].mean_logprob < rows[1].mean_logprob
+    # doc 1: every token count 4, total 8 -> ln(4) - ln(8)
+    assert rows[1].mean_logprob == round(math.log(4) - math.log(8), 6)
+    # doc 2: hapaxes -> ln(1) - ln(8)
+    assert rows[2].mean_logprob == round(0.0 - math.log(8), 6)
+
+
+def test_source_balance_sample_caps_and_is_deterministic(docs):
+    from lucene_solr_spark.ops.textstats import source_balance_sample
+
+    out = source_balance_sample(docs, cap=10)
+    rows = out.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.rnk)
+    n_src = docs.select("source").distinct().count()
+    assert len(per_src) == n_src
+    for src, rnks in per_src.items():
+        assert sorted(rnks) == list(range(1, min(10, len(rnks)) + 1))
+        assert max(rnks) <= 10
+    # deterministic: second run returns the identical kept set
+    again = {(r.source, r.doc_id) for r in source_balance_sample(docs, cap=10).collect()}
+    assert again == {(r.source, r.doc_id) for r in rows}
