@@ -2733,6 +2733,63 @@ def _op_source_balance(spark, sf):
     return source_balance_sample(_docs(spark, sf), cap=10)
 
 
+def _q_significant_terms(spark, sf):
+    """Significant terms of the 'table' result set
+    (searcher.significant_terms — SignificantTermsQParserPlugin
+    analog): fg/bg document-frequency lift, top-15."""
+    s = _searcher_for(spark, sf)
+    return s.significant_terms(TermQuery(Q_TERM), _docs(spark, sf), k=15)
+
+
+def _q_elevation(spark, sf):
+    """QueryElevationComponent analog (searcher.search_elevated):
+    docs 7 and 3 pinned in config order (7 does NOT match 'table'
+    organically — it surfaces with score 0.0, the forceElevation
+    semantics), organic top hit 0 excluded, k=10."""
+    s = _searcher_for(spark, sf)
+    out = s.search_elevated(
+        TermQuery(Q_TERM), elevated=(7, 3), excluded=(0,), k=10
+    )
+    return out.select(
+        "rank", "doc_id", "elevated", F.col("score").cast("double").alias("score")
+    )
+
+
+def _q_interval_facet(spark, sf):
+    """Interval facets on n_chars (solr/core/.../request/
+    IntervalFacets.java — arbitrary, possibly OVERLAPPING intervals,
+    unlike range facets' uniform gap): one pass, one sum(CASE) per
+    interval, stacked to (interval, cnt) rows."""
+    d = _docs(spark, sf)
+    agg = d.agg(
+        F.sum(F.when((F.col("n_chars") >= 0) & (F.col("n_chars") <= 150), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when((F.col("n_chars") > 150) & (F.col("n_chars") <= 300), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(F.col("n_chars") >= 250, 1).otherwise(0)).cast("long").alias("c"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, '[0,150]', a, '(150,300]', b, '[250,*)', c) "
+            "AS (interval, cnt)"
+        )
+    ).orderBy("interval")
+
+
+def _q_stats_percentiles(spark, sf):
+    """StatsComponent percentiles on n_chars (solr/core/.../handler/
+    component/StatsValuesFactory.java percentiles — Solr estimates via
+    t-digest; here EXACT type-7 interpolated percentiles so the result
+    is deterministic and oracle-portable, the documented swap)."""
+    d = _docs(spark, sf)
+    return d.agg(
+        F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.99D))").alias("p")
+    ).select(
+        F.round(F.element_at("p", 1), 6).alias("p25"),
+        F.round(F.element_at("p", 2), 6).alias("p50"),
+        F.round(F.element_at("p", 3), 6).alias("p75"),
+        F.round(F.element_at("p", 4), 6).alias("p99"),
+    )
+
+
 def _op_multimodal_len(spark, sf):
     from lucene_solr_spark.ops.multimodal import binary_length_stats
 
@@ -3023,6 +3080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_topk": _op_line_dedup,
         "unigram_logprob_topk": _op_unigram_logprob,
         "source_balance_sample": _op_source_balance,
+        "significant_terms_top15": _q_significant_terms,
+        "elevation_topk": _q_elevation,
+        "interval_facet_nchars": _q_interval_facet,
+        "stats_percentiles": _q_stats_percentiles,
         "dedup_keep_decisions": _op_dedup_representatives,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
@@ -3448,6 +3509,53 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_topk": _ops_oracles.line_dedup_sql(),
         "unigram_logprob_topk": _ops_oracles.unigram_logprob_sql(),
         "source_balance_sample": _ops_oracles.source_balance_sql(cap=10),
+        "significant_terms_top15": (
+            f"WITH {_BM25_CTES}, "
+            f"fgdocs AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_TERM}'), "
+            "fsize AS (SELECT count(*)::DOUBLE AS f FROM fgdocs), "
+            "n AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+            "fgt AS (SELECT tf.term, count(DISTINCT tf.doc_id)::BIGINT AS fg_df "
+            "FROM tf JOIN fgdocs USING (doc_id) GROUP BY tf.term "
+            "HAVING count(DISTINCT tf.doc_id) >= 2) "
+            "SELECT fgt.term, fgt.fg_df, dfs.df::BIGINT AS bg_df, "
+            "round((fgt.fg_df / (SELECT f FROM fsize)) "
+            "/ (dfs.df / (SELECT n FROM n)), 6) AS score "
+            "FROM fgt JOIN dfs USING (term) "
+            "ORDER BY score DESC, fg_df DESC, term LIMIT 15"
+        ),
+        "elevation_topk": (
+            f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))}, "
+            "hits AS (SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc), "
+            "elev(doc_id, elev_ord) AS (VALUES (7, 0), (3, 1)), "
+            "elevr AS (SELECT e.doc_id, COALESCE(h.score, 0.0) AS score, "
+            "e.elev_ord FROM elev e LEFT JOIN hits h USING (doc_id)), "
+            "org AS (SELECT doc_id, score FROM hits "
+            "WHERE doc_id NOT IN (7, 3, 0) "
+            "ORDER BY score DESC, doc_id LIMIT 8), "
+            "merged AS (SELECT doc_id, score, elev_ord FROM elevr "
+            "UNION ALL SELECT doc_id, score, NULL FROM org), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY "
+            "CASE WHEN elev_ord IS NOT NULL THEN 0 ELSE 1 END, "
+            "COALESCE(elev_ord, 0), score DESC, doc_id)::BIGINT AS rank "
+            "FROM merged) "
+            "SELECT rank, doc_id, elev_ord IS NOT NULL AS elevated, score "
+            "FROM r WHERE rank <= 10 ORDER BY rank"
+        ),
+        "interval_facet_nchars": (
+            "SELECT '(150,300]' AS interval, count(*) FILTER "
+            "(n_chars > 150 AND n_chars <= 300)::BIGINT AS cnt FROM documents "
+            "UNION ALL SELECT '[0,150]', count(*) FILTER "
+            "(n_chars >= 0 AND n_chars <= 150)::BIGINT FROM documents "
+            "UNION ALL SELECT '[250,*)', count(*) FILTER "
+            "(n_chars >= 250)::BIGINT FROM documents "
+            "ORDER BY interval"
+        ),
+        "stats_percentiles": (
+            "SELECT round(q[1], 6) AS p25, round(q[2], 6) AS p50, "
+            "round(q[3], 6) AS p75, round(q[4], 6) AS p99 FROM "
+            "(SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.99]) AS q "
+            "FROM documents)"
+        ),
         "text_fingerprints": _ops_oracles.fingerprints_sql(),
         "multimodal_binary_len": _ops_oracles.multimodal_len_sql(),
     }

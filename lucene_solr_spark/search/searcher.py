@@ -3680,6 +3680,154 @@ class IndexSearcher:
             "doc_id", "term"
         )
 
+    def significant_terms(
+        self,
+        query: Query,
+        docs: DataFrame,
+        k: int = 15,
+        min_fg: int = 2,
+        text_col: str | None = None,
+        id_col: str | None = None,
+    ) -> DataFrame:
+        """Significant-terms analysis over the query's FULL match set —
+        SignificantTermsQParserPlugin analog (solr/core/.../search/
+        SignificantTermsQParserPlugin.java: for each term in the
+        foreground result set, report foreground df, background df and
+        a relatedness score; ES calls it significant_terms).
+
+        Score here is the relative-document-frequency lift
+        (fg_df/|F|) / (bg_df/N), rounded to 6 dp — the plugin's
+        numerator/denominator pair, collapsed to one deterministic
+        ratio.
+
+        Plan shape for 100 TB: the foreground doc set streams from the
+        /export path (no driver collect); its docs' terms come from
+        re-analyzing the stored fields with the index's own analyzer
+        chain (the TermVectors forward-index analog, exactly like
+        term_vectors()); fg_df is one (term)-keyed hash-aggregate;
+        background df joins from the term dictionary CO-PARTITIONED on
+        term (never broadcast — the dictionary is vocabulary-sized);
+        |F| rides as a one-row broadcast. Output: top-k terms by
+        (score desc, fg_df desc, term asc) as
+        (term, fg_df, bg_df, score)."""
+        from lucene_solr_spark.analysis.jvm import JVM_ANALYZERS
+
+        cfg = self.manifest["config"]
+        text_col = text_col or self._default_field
+        id_col = id_col or cfg.get("id_col", "doc_id")
+        fg = self.search(query, k=None)
+        dm = self.doc_map().select("doc_id", "key")
+        fg_keys = fg.join(dm, "doc_id").select("key")
+        toks_expr = JVM_ANALYZERS[cfg["analyzer"]](F.col(text_col))
+        if cfg.get("synonyms"):
+            from lucene_solr_spark.analysis.synonyms import expand_tokens_col
+
+            toks_expr = expand_tokens_col(toks_expr, cfg["synonyms"])
+        key_type = dm.schema["key"].dataType
+        stored = docs.select(
+            F.col(id_col).cast(key_type).alias("key"),
+            toks_expr.alias("_toks"),
+        )
+        fg_terms = (
+            fg_keys.join(stored, "key")
+            .select("key", F.explode(F.array_distinct("_toks")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+            .where(F.col("fg_df") >= min_fg)
+        )
+        fsize = fg.agg(F.count(F.lit(1)).cast("double").alias("fsize"))
+        stats = self._term_stats.select(
+            "term", F.col("df").cast("long").alias("bg_df")
+        )
+        out = (
+            fg_terms.join(stats, "term")
+            .crossJoin(F.broadcast(fsize))
+            .select(
+                "term",
+                "fg_df",
+                "bg_df",
+                F.round(
+                    (F.col("fg_df").cast("double") / F.col("fsize"))
+                    / (
+                        F.col("bg_df").cast("double")
+                        / F.lit(float(self.max_doc))
+                    ),
+                    6,
+                ).alias("score"),
+            )
+        )
+        return out.orderBy(
+            F.desc("score"), F.desc("fg_df"), "term"
+        ).limit(k)
+
+    def search_elevated(
+        self,
+        query: Query,
+        elevated: tuple[int, ...],
+        excluded: tuple[int, ...] = (),
+        k: int = 10,
+    ) -> DataFrame:
+        """QueryElevationComponent analog (solr/core/.../handler/
+        component/QueryElevationComponent.java: editorially pin
+        configured docs to the top of a query's results in config
+        order, drop excluded docs). Like the component's elevation
+        BooleanQuery OR-clause, elevated docs appear even when they do
+        not match the organic query (score 0.0 then; matching elevated
+        docs keep their BM25 score).
+
+        Plan: the elevated docs' organic scores come from the /export
+        stream (k=None — they must be exact wherever they rank) via a
+        broadcast semi-join of the request-sized elevation list; the
+        organic tail is an ordinary top-k cut (TakeOrderedAndProject —
+        never a global single-partition window over the full hit set);
+        final ranking happens on the <= k + |elevated| surviving rows.
+        Output: (rank, doc_id, elevated, score) with elevated docs
+        first in config order, then organic order (score desc, doc_id
+        asc), truncated to k after exclusions."""
+        from pyspark.sql import Window
+
+        drop = {int(d) for d in excluded}
+        elev_ids = [int(d) for d in elevated if int(d) not in drop]
+        hits = self.search(query, k=None)
+        elev = self.spark.createDataFrame(
+            [(d, i) for i, d in enumerate(elev_ids)],
+            "doc_id long, elev_ord int",
+        )
+        elev_rows = elev.join(hits, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("score"), F.lit(0.0).cast("float")).alias("score"),
+            "elev_ord",
+        )
+        organic = hits.where(
+            ~F.col("doc_id").isin(sorted(drop | set(elev_ids)))
+            if (drop or elev_ids)
+            else F.lit(True)
+        )
+        n_tail = max(k - len(elev_ids), 0)
+        organic = organic.orderBy(F.desc("score"), "doc_id").limit(n_tail)
+        merged = elev_rows.unionByName(
+            organic.select(
+                "doc_id", "score", F.lit(None).cast("int").alias("elev_ord")
+            )
+        )
+        w = Window.orderBy(
+            F.when(F.col("elev_ord").isNotNull(), 0).otherwise(1),
+            F.coalesce(F.col("elev_ord"), F.lit(0)),
+            F.desc("score"),
+            F.col("doc_id"),
+        )
+        return (
+            merged.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(
+                "rank",
+                "doc_id",
+                F.col("elev_ord").isNotNull().alias("elevated"),
+                "score",
+            )
+            .orderBy("rank")
+        )
+
     def search_with_keys(self, query: Query, k: int = 10, prune: bool = True) -> DataFrame:
         """Top-k joined back to the source key (stored-fields fetch analog,
         phase 2 of Solr's distributed search — SURVEY.md §3.3)."""
