@@ -1,0 +1,162 @@
+"""Event-time streaming analytics: windowed aggs + sessionization.
+
+Pins (1) the batch sessionizer against a plain-python reference, (2)
+the applyInPandasWithState streaming sessionizer against the batch one
+(run as a REAL streaming query — parquet source, availableNow trigger,
+memory sink, event-time timeout flushed by a max-ts sentinel), and (3)
+the watermarked streaming windowed agg against its batch twin.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from lucene_solr_spark.streaming.analytics import (
+    run_sessionize_stream,
+    sessionize,
+    windowed_counts,
+    windowed_counts_batch,
+)
+
+from tests.conftest import SF_MID
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+GAP_MIN = 60
+
+
+def _events_subset(spark, n_users: int = 12):
+    return (
+        spark.read.parquet(f"{SF_MID}/events.parquet")
+        .where(F.col("user_id") < n_users)
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+
+def _sessions_ref(pdf: pd.DataFrame, gap_minutes: int) -> pd.DataFrame:
+    """Plain-python gap sessionizer (the semantic oracle)."""
+    gap = dt.timedelta(minutes=gap_minutes)
+    out = []
+    for uid, g in pdf.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        cur = None
+        for _, r in g.iterrows():
+            if cur is None or r["ts"] - cur["end"] > gap:
+                if cur is not None:
+                    out.append((uid, cur["start"], cur["end"], cur["n"], cur["s"]))
+                cur = {"start": r["ts"], "end": r["ts"], "n": 1, "s": r["value"]}
+            else:
+                cur["end"] = r["ts"]
+                cur["n"] += 1
+                cur["s"] += r["value"]
+        if cur is not None:
+            out.append((uid, cur["start"], cur["end"], cur["n"], cur["s"]))
+    return pd.DataFrame(
+        out, columns=["user_id", "session_start", "session_end", "n_events", "sv"]
+    )
+
+
+def test_sessionize_batch_matches_reference(spark):
+    ev = _events_subset(spark, n_users=12)
+    got = (
+        sessionize(ev, gap_minutes=GAP_MIN)
+        .orderBy("user_id", "session_no")
+        .toPandas()
+    )
+    ref = _sessions_ref(ev.toPandas(), GAP_MIN)
+    assert len(got) == len(ref)
+    # session_no must be dense 0..k per user
+    for _, g in got.groupby("user_id"):
+        assert list(g["session_no"]) == list(range(len(g)))
+    for col in ("user_id", "session_start", "session_end", "n_events"):
+        assert list(got[col]) == list(ref[col]), col
+    assert got["sum_value"].to_numpy() == pytest.approx(
+        ref["sv"].round(4).to_numpy(), abs=1e-3
+    )
+
+
+def test_sessionize_stateful_stream_parity(spark, tmp_path):
+    ev = _events_subset(spark, n_users=12)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # Sentinel: one far-future event advances the watermark past every
+    # real session's (end + gap), so EventTimeTimeout flushes all state
+    # before the availableNow query terminates.
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=365), -1, 0.0)], EVENT_SCHEMA
+    )
+    src = tmp_path / "events_src"
+    ev.select("user_id", "ts", "event_id", "value").unionByName(sentinel).coalesce(
+        2
+    ).write.parquet(str(src))
+
+    got = (
+        run_sessionize_stream(
+            spark, str(src), EVENT_SCHEMA, gap_minutes=GAP_MIN, query_name="sess_t"
+        )
+        .where(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+        .toPandas()
+    )
+    want = (
+        sessionize(ev, gap_minutes=GAP_MIN)
+        .orderBy("user_id", "session_start")
+        .toPandas()
+    )
+    assert len(got) == len(want)
+    for col in ("user_id", "session_start", "session_end", "n_events"):
+        assert list(got[col]) == list(want[col]), col
+    assert got["sum_value"].to_numpy() == pytest.approx(
+        want["sum_value"].to_numpy(), abs=1e-3
+    )
+
+
+def test_windowed_counts_stream_parity(spark, tmp_path):
+    ev = _events_subset(spark, n_users=20)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=365), -1, 0.0)], EVENT_SCHEMA
+    )
+    src = tmp_path / "wc_src"
+    ev.unionByName(sentinel).coalesce(2).write.parquet(str(src))
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+    q = (
+        windowed_counts(stream, window="1 hour", watermark="2 hours")
+        .select(F.col("w.start").alias("win_start"), "cnt", "sum_value")
+        .writeStream.format("memory")
+        .queryName("wc_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("wc_t")
+        .where(F.col("win_start") <= max_ts)  # sentinel's own window excluded
+        .orderBy("win_start")
+        .toPandas()
+    )
+    want = windowed_counts_batch(ev, window="1 hour").toPandas()
+    assert list(got["win_start"]) == list(want["win_start"])
+    assert list(got["cnt"]) == list(want["cnt"])
+    assert got["sum_value"].to_numpy() == pytest.approx(
+        want["sum_value"].to_numpy(), abs=1e-3
+    )
