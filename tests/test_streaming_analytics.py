@@ -128,6 +128,45 @@ def test_sessionize_stateful_stream_parity(spark, tmp_path):
     )
 
 
+def test_sessionize_plan_single_exchange(spark):
+    """The 100 TB shape: ONE hash exchange on user_id feeds both window
+    functions AND the (user_id, session_no) aggregate — Catalyst must
+    recognize the partitioning subset, and the scan must prune to the
+    4 referenced columns (no props/event_type)."""
+    ev = spark.read.parquet(f"{SF_MID}/events.parquet")
+    plan = sessionize(ev, gap_minutes=GAP_MIN)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "props" not in plan and "event_type" not in plan
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """Cross-validation against Spark's built-in session_window
+    primitive: same gap => same (start, end, count) per user-session.
+    (We keep the window-function form as the primary path because it
+    also yields the dense per-user session_no the contract exposes.)"""
+    ev = _events_subset(spark, n_users=12)
+    ours = (
+        sessionize(ev, gap_minutes=GAP_MIN)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+        .collect()
+    )
+    native = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{GAP_MIN} minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select("user_id", "sw", "n_events")
+        .orderBy("user_id", "sw.start")
+        .collect()
+    )
+    assert len(ours) == len(native)
+    for a, b in zip(ours, native):
+        assert a["user_id"] == b["user_id"]
+        assert a["session_start"] == b["sw"]["start"]
+        assert a["n_events"] == b["n_events"]
+
+
 def test_windowed_counts_stream_parity(spark, tmp_path):
     ev = _events_subset(spark, n_users=20)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
