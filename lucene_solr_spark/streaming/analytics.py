@@ -250,6 +250,34 @@ def sessionize_stateful(
     )
 
 
+def dedup_pages_stream(
+    pages_stream: DataFrame,
+    watermark: str = "24 hours",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Streaming URL-level dedup of a crawl feed.
+
+    Canonicalizes each page's URL (ops/urls.py — RFC 3986 syntax
+    normalization + tracking-param removal, pure built-in expressions)
+    and keeps the FIRST capture per canonical URL seen within the
+    watermark horizon, via dropDuplicatesWithinWatermark — the
+    streaming twin of `dedup_by_canonical_url`. State is one key per
+    distinct canonical URL inside the watermark window and is evicted
+    as event time advances, so the query runs indefinitely; re-crawls
+    farther apart than the watermark are NOT deduped (that's the
+    documented horizon trade — widen the watermark or run the batch
+    op over the sink to fold the tail).
+    """
+    from lucene_solr_spark.ops.urls import canonical_url
+
+    return (
+        pages_stream.withColumn("canonical_url", canonical_url(F.col(url_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+
+
 def run_sessionize_stream(
     spark: SparkSession,
     source_dir: str,

@@ -199,3 +199,51 @@ def test_windowed_counts_stream_parity(spark, tmp_path):
     assert got["sum_value"].to_numpy() == pytest.approx(
         want["sum_value"].to_numpy(), abs=1e-3
     )
+
+
+def test_dedup_pages_stream(spark, tmp_path):
+    """Streaming URL dedup: canonical dupes collapse to the first
+    capture within the watermark; distinct canonicals all survive."""
+    import pandas as pd
+
+    from pyspark.sql.types import StringType
+
+    from lucene_solr_spark.streaming.analytics import dedup_pages_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("https://example.com/p?b=2&a=1", t0),
+        ("https://Example.com/p/?a=1&b=2&utm_source=x", t0 + dt.timedelta(hours=1)),
+        ("HTTPS://EXAMPLE.COM:443/p?a=1&b=2", t0 + dt.timedelta(hours=2)),
+        ("https://example.com/q", t0 + dt.timedelta(hours=1)),
+        ("https://example.com/q?utm_source=y", t0 + dt.timedelta(hours=3)),
+        ("https://example.com/r", t0 + dt.timedelta(hours=2)),
+    ]
+    schema = StructType(
+        [StructField("url", StringType()), StructField("warc_ts", TimestampType())]
+    )
+    src = tmp_path / "pages_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        dedup_pages_stream(stream, watermark="24 hours")
+        .writeStream.format("memory")
+        .queryName("pdedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("pdedup_t").toPandas().sort_values("canonical_url")
+    assert list(got["canonical_url"]) == [
+        "https://example.com/p?a=1&b=2",
+        "https://example.com/q",
+        "https://example.com/r",
+    ]
+    # first capture per canonical survives (single-batch: min-ts row wins
+    # is NOT guaranteed by dropDuplicatesWithinWatermark ordering — it
+    # keeps the first row ENCOUNTERED; with one input file written in
+    # row order that is the earliest here)
+    p = got[got["canonical_url"] == "https://example.com/p?a=1&b=2"].iloc[0]
+    assert p["url"] == "https://example.com/p?b=2&a=1"
