@@ -4,10 +4,15 @@ Reference chain (analysis/common/.../standard/StandardAnalyzer.java:83-97):
 StandardTokenizer -> StandardFilter(no-op) -> LowerCaseFilter -> StopFilter.
 
 Semantics reproduced:
-- UAX#29 word-break subset for web text: ALPHANUM/NUM runs, apostrophe
-  joining (O'Neil's stays one token) — StandardTokenizerImpl.jflex grammar;
-  hyphens split tokens. (Full JFlex DFA is 818 generated LoC; we implement
-  the English/Latin subset and pin fixture vectors, SURVEY.md §7.2.)
+- UAX#29 word-break for web text: ALPHANUM/NUM runs with apostrophe
+  joining (O'Neil's stays one token), hyphens split tokens, PLUS the
+  CJK/Southeast-Asian token types of StandardTokenizerImpl.jflex:
+  IDEOGRAPHIC (Han) and HIRAGANA emit one token per character,
+  KATAKANA / HANGUL / SOUTHEAST_ASIAN (Thai, Lao, Myanmar, Khmer)
+  emit script runs (StandardTokenizer.java:34-52 type constants).
+  BMP ranges only (supplementary CJK-B+ planes out of scope); fixture
+  vectors pinned in tests/test_analyzer.py, cross-engine parity with
+  the JVM expressions pinned there too.
 - Tokens longer than maxTokenLength=255 are DROPPED but still advance the
   position counter (StandardTokenizer.java:155-177, default 255 at
   StandardAnalyzer.java:39).
@@ -40,9 +45,28 @@ ENGLISH_STOP_WORDS = frozenset(
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:39
 
-# ALPHANUM/NUM runs with apostrophe joining; underscore excluded (UAX#29
-# treats '_' as ExtendNumLet join which we approximate by splitting).
-_TOKEN_RE = re.compile(r"[^\W_]+(?:['’][^\W_]+)*", re.UNICODE)
+# UAX#29 token-type alternation (StandardTokenizer.java:34-52 type
+# constants; StandardTokenizerImpl.jflex grammar). The reference emits:
+#   HANGUL    — Hangul syllable/jamo RUNS as one token
+#   KATAKANA  — Katakana RUNS as one token
+#   SOUTHEAST_ASIAN — Thai/Lao/Myanmar/Khmer RUNS (no dictionary split)
+#   IDEOGRAPHIC / HIRAGANA — ONE TOKEN PER CHARACTER
+#   ALPHANUM/NUM — letter/digit runs with apostrophe joining;
+#     underscore excluded (UAX#29 ExtendNumLet approximated by split)
+# The ALPHANUM class must EXCLUDE the CJK/SEA scripts or a mixed-script
+# run like "abc東" would swallow the ideograph. BMP ranges only (the
+# supplementary CJK-B+ planes are out of scope, documented subset).
+_HAN = "一-鿿㐀-䶿豈-﫿"
+_HIRA = "぀-ゟ"
+_KATA = "゠-ヿㇰ-ㇿ"
+_HANGUL = "가-힣ᄀ-ᇿ㄰-㆏ꥠ-꥿ힰ-퟿"
+_SEASIAN = "฀-໿က-႟ក-៿"
+_CJK_ALL = _HAN + _HIRA + _KATA + _HANGUL + _SEASIAN
+_WORD_CORE = rf"[^\W_{_CJK_ALL}]+(?:['’][^\W_{_CJK_ALL}]+)*"
+TOKEN_PAT = (
+    rf"[{_HANGUL}]+|[{_KATA}]+|[{_SEASIAN}]+|[{_HIRA}]|[{_HAN}]|{_WORD_CORE}"
+)
+_TOKEN_RE = re.compile(TOKEN_PAT, re.UNICODE)
 
 
 def tokenize_standard(texts: pd.Series) -> pd.Series:
@@ -245,8 +269,7 @@ _URL_PAT = (
     r"(?:\?[a-z0-9._%/+=&-]*)?"
     r"|www\.[a-z0-9.-]+(?:/[a-z0-9._%/+-]*)?"
 )
-_WORD_PAT = r"[^\W_]+(?:['’][^\W_]+)*"
-URL_EMAIL_PAT = f"{_EMAIL_PAT}|{_URL_PAT}|{_WORD_PAT}"
+URL_EMAIL_PAT = f"{_EMAIL_PAT}|{_URL_PAT}|{TOKEN_PAT}"
 _URL_EMAIL_RE = re.compile(URL_EMAIL_PAT, re.UNICODE)
 
 

@@ -21,10 +21,16 @@ from pyspark.sql import functions as F
 from lucene_solr_spark.analysis.analyzers import (
     ENGLISH_STOP_WORDS,
     MAX_TOKEN_LENGTH,
+    TOKEN_PAT,
+    URL_EMAIL_PAT,
 )
 
-# Java regex equivalent of analyzers._TOKEN_RE ((?U) = UNICODE_CHARACTER_CLASS)
-TOKEN_RE_JAVA = "(?U)[^\\W_]+(?:['’][^\\W_]+)*"
+# Java regex equivalent of analyzers._TOKEN_RE: the SAME pattern source
+# (UAX#29 type alternation incl. CJK/SEA classes), with (?U) =
+# UNICODE_CHARACTER_CLASS so \W is Unicode-aware like Python's
+# re.UNICODE. Building from one source string keeps the two engines
+# drift-proof by construction.
+TOKEN_RE_JAVA = "(?U)" + TOKEN_PAT
 
 _STOP_ARR = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
 
@@ -189,18 +195,11 @@ def english_tokens_pos_col(text: Column) -> Column:
 
 
 # UAX29URLEmailTokenizer analog (see analyzers.URL_EMAIL_PAT for the
-# grammar-subset notes). The pattern body is ASCII classes plus the
-# standard word production; (?U) makes the word part's \W
-# Unicode-aware like the Python re.UNICODE engine.
-URL_EMAIL_RE_JAVA = (
-    "(?U)"
-    "[a-z0-9][a-z0-9._%+-]*@[a-z0-9](?:[a-z0-9-]*[a-z0-9])?"
-    "(?:\\.[a-z0-9](?:[a-z0-9-]*[a-z0-9])?)+"
-    "|(?:https?|ftp)://[a-z0-9.-]+(?::[0-9]+)?(?:/[a-z0-9._%/+-]*)?"
-    "(?:\\?[a-z0-9._%/+=&-]*)?"
-    "|www\\.[a-z0-9.-]+(?:/[a-z0-9._%/+-]*)?"
-    "|[^\\W_]+(?:['’][^\\W_]+)*"
-)
+# grammar-subset notes). The SAME pattern source as the pandas engine
+# (ASCII URL/email classes + the UAX#29 word alternation — Python's re
+# and Java's with (?U) agree on every construct used: literal classes,
+# ranges, alternation, non-capturing groups).
+URL_EMAIL_RE_JAVA = "(?U)" + URL_EMAIL_PAT
 
 
 def url_email_tokens_col(text: Column) -> Column:

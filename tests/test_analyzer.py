@@ -125,3 +125,82 @@ def test_url_email_subset_edges():
     assert utoks("user@localhost") == ["user", "localhost"]
     assert utoks("mail u3@m.example.com.") == ["mail", "u3@m.example.com"]
     assert utoks("http:/broken") == ["http", "broken"]
+
+
+# --- UAX#29 CJK / Southeast-Asian token types (StandardTokenizer.java:
+# 34-52 type constants: IDEOGRAPHIC and HIRAGANA emit one token PER
+# CHARACTER; KATAKANA, HANGUL, and SOUTHEAST_ASIAN emit script RUNS) ---
+
+
+def test_ideographic_one_token_per_char():
+    assert toks("中文处理") == ["中", "文", "处", "理"]
+    assert toks("Spark入門") == ["spark", "入", "門"]  # mixed-script split
+
+
+def test_hiragana_single_katakana_runs():
+    assert toks("ひらがな") == ["ひ", "ら", "が", "な"]
+    assert toks("東京タワー") == ["東", "京", "タワー"]
+
+
+def test_hangul_and_seasian_runs():
+    assert toks("한국어 테스트") == ["한국어", "테스트"]
+    assert toks("สวัสดีครับ") == ["สวัสดีครับ"]  # Thai run, no dictionary split
+
+
+def test_cjk_positions_advance_per_token():
+    assert toks_pos("the 中文 fox") == [("中", 1), ("文", 2), ("fox", 3)]
+
+
+def test_cjk_jvm_engine_parity(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.jvm import (
+        standard_tokens_col,
+        standard_tokens_pos_col,
+        url_email_tokens_col,
+    )
+    from lucene_solr_spark.analysis.analyzers import tokenize_url_email
+
+    texts = [
+        "Spark入門 東京タワー 한국어 테스트 ひらがな日本語 สวัสดีครับ abc_def O'Neil's",
+        "カタカナＡＢＣ 中文处理 ㄱㄴ the a https://Example.com/x?a=1 bob@x.org",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    jvm = [r[0] for r in df.select(standard_tokens_col(F.col("text"))).collect()]
+    pdv = list(tokenize_standard(pd.Series(texts)))
+    assert jvm == pdv
+    jvm_p = [
+        [(s["term"], s["pos"]) for s in r[0]]
+        for r in df.select(standard_tokens_pos_col(F.col("text"))).collect()
+    ]
+    pdv_p = list(tokenize_standard_with_positions(pd.Series(texts)))
+    assert jvm_p == pdv_p
+    jvm_u = [r[0] for r in df.select(url_email_tokens_col(F.col("text"))).collect()]
+    assert jvm_u == list(tokenize_url_email(pd.Series(texts)))
+
+
+def test_cjk_end_to_end_index_and_search(spark, tmp_path):
+    """CJK terms flow through the full build->search path: ideographs
+    index as single-char terms, katakana/hangul as runs; BM25 ranks the
+    doc with higher tf first."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+    from lucene_solr_spark.search.query import BooleanAnd, TermQuery
+
+    rows = [
+        (0, "東京 タワー visit 東京"),
+        (1, "東京 one mention"),
+        (2, "大阪 タワー only"),
+        (3, "한국어 문서"),
+    ]
+    src = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = str(tmp_path / "cjk_ix")
+    build_index(spark, src, out, IndexConfig(n_shards=2, segs_per_shard=2))
+    s = IndexSearcher(spark, out)
+    hits = s.search(TermQuery("東"), k=5).collect()
+    assert [r.doc_id for r in hits] == [0, 1]  # tf=2 beats tf=1
+    assert [r.doc_id for r in s.search(TermQuery("タワー"), k=5).collect()] == [2, 0] or \
+           [r.doc_id for r in s.search(TermQuery("タワー"), k=5).collect()] == [0, 2]
+    assert [r.doc_id for r in s.search(BooleanAnd(("東", "タワー")), k=5).collect()] == [0]
+    assert [r.doc_id for r in s.search(TermQuery("한국어"), k=5).collect()] == [3]
