@@ -304,6 +304,59 @@ def tokenize_url_email_with_positions(texts: pd.Series) -> pd.Series:
     )
 
 
+# ASCIIFoldingFilter analog (analysis/common/.../miscellaneous/
+# ASCIIFoldingFilter.java): fold accented Latin to ASCII. The reference
+# table covers ~2000 codepoints across many blocks; we implement the
+# Latin-1 Supplement + Latin Extended-A subset web text actually uses
+# (the reference's own mappings for these ranges, incl. the multi-char
+# expansions AE/ae, TH/th, ss, OE/oe), generated from NFKD decomposition
+# plus the explicit non-decomposable cases — one table drives BOTH
+# engines (pandas str.translate here; translate()+replace() chain in
+# jvm.py), so they cannot drift.
+
+
+def _build_fold_table() -> dict[int, str]:
+    import unicodedata
+
+    specials = {
+        "Æ": "AE", "æ": "ae", "Ð": "D", "ð": "d", "Ø": "O", "ø": "o",
+        "Þ": "TH", "þ": "th", "ß": "ss", "Đ": "D", "đ": "d", "Ħ": "H",
+        "ħ": "h", "ı": "i", "ĸ": "q", "Ł": "L", "ł": "l", "Ŋ": "N",
+        "ŋ": "n", "Œ": "OE", "œ": "oe", "Ŧ": "T", "ŧ": "t", "ſ": "s",
+    }
+    table: dict[int, str] = {}
+    for cp in range(0xC0, 0x180):
+        ch = chr(cp)
+        if ch in specials:
+            table[cp] = specials[ch]
+            continue
+        folded = "".join(
+            c for c in unicodedata.normalize("NFKD", ch) if ord(c) < 128
+        )
+        if folded and folded != ch:
+            table[cp] = folded
+    return table
+
+
+FOLD_TABLE = _build_fold_table()
+
+
+def fold_ascii(texts: pd.Series) -> pd.Series:
+    return texts.str.translate(FOLD_TABLE)
+
+
+def tokenize_standard_folding(texts: pd.Series) -> pd.Series:
+    """StandardAnalyzer + ASCIIFoldingFilter ('text_general folding'
+    style chain). Folding is letter-to-letter, so applying it to the
+    raw text cannot move UAX#29 token boundaries — pre-tokenization
+    folding is equivalent to the reference's per-token filter here."""
+    return tokenize_standard(fold_ascii(texts.fillna("")))
+
+
+def tokenize_standard_folding_with_positions(texts: pd.Series) -> pd.Series:
+    return tokenize_standard_with_positions(fold_ascii(texts.fillna("")))
+
+
 def _english_analyzers():
     from lucene_solr_spark.analysis.stem import minimal_stem_en, porter_stem
 
@@ -325,6 +378,7 @@ ANALYZERS = {
     "stop": tokenize_stop,
     "keyword": tokenize_keyword,
     "uax29_url_email": tokenize_url_email,
+    "standard_folding": tokenize_standard_folding,
     **_EN,
 }
 
@@ -335,6 +389,7 @@ ANALYZERS_POS = {
     "stop": tokenize_stop_with_positions,
     "keyword": tokenize_keyword_with_positions,
     "uax29_url_email": tokenize_url_email_with_positions,
+    "standard_folding": tokenize_standard_folding_with_positions,
     **_EN_POS,
 }
 

@@ -230,6 +230,31 @@ def url_email_tokens_pos_col(text: Column) -> Column:
     )
 
 
+# ASCIIFoldingFilter analog: driven by the SAME analyzers.FOLD_TABLE —
+# 1:1 codepoint folds compile to ONE translate() call; the handful of
+# multi-char expansions (AE/ae, TH/th, ss, OE/oe) chain replace()
+# calls. All codegen'd string ops, applied to the text BEFORE
+# tokenization (letter-to-letter, cannot move UAX#29 boundaries).
+def _fold_col(text: Column) -> Column:
+    from lucene_solr_spark.analysis.analyzers import FOLD_TABLE
+
+    ones_src = "".join(chr(cp) for cp, r in sorted(FOLD_TABLE.items()) if len(r) == 1)
+    ones_dst = "".join(r for _, r in sorted(FOLD_TABLE.items()) if len(r) == 1)
+    out = F.translate(text, ones_src, ones_dst)
+    for cp, r in sorted(FOLD_TABLE.items()):
+        if len(r) > 1:
+            out = F.replace(out, F.lit(chr(cp)), F.lit(r))
+    return out
+
+
+def standard_folding_tokens_col(text: Column) -> Column:
+    return standard_tokens_col(_fold_col(text))
+
+
+def standard_folding_tokens_pos_col(text: Column) -> Column:
+    return standard_tokens_pos_col(_fold_col(text))
+
+
 JVM_ANALYZERS = {
     "standard": standard_tokens_col,
     "whitespace": whitespace_tokens_col,
@@ -237,6 +262,7 @@ JVM_ANALYZERS = {
     "stop": stop_tokens_col,
     "keyword": keyword_tokens_col,
     "uax29_url_email": url_email_tokens_col,
+    "standard_folding": standard_folding_tokens_col,
     "english": english_tokens_col,
     "english_minimal": english_tokens_col,
 }
@@ -247,6 +273,7 @@ JVM_ANALYZERS_POS = {
     "stop": stop_tokens_pos_col,
     "keyword": keyword_tokens_pos_col,
     "uax29_url_email": url_email_tokens_pos_col,
+    "standard_folding": standard_folding_tokens_pos_col,
     "english": english_tokens_pos_col,
     "english_minimal": english_tokens_pos_col,
 }

@@ -204,3 +204,66 @@ def test_cjk_end_to_end_index_and_search(spark, tmp_path):
            [r.doc_id for r in s.search(TermQuery("タワー"), k=5).collect()] == [0, 2]
     assert [r.doc_id for r in s.search(BooleanAnd(("東", "タワー")), k=5).collect()] == [0]
     assert [r.doc_id for r in s.search(TermQuery("한국어"), k=5).collect()] == [3]
+
+
+# --- ASCIIFoldingFilter analog (standard_folding chain) ---
+
+
+def test_fold_ascii_cases():
+    from lucene_solr_spark.analysis.analyzers import tokenize_standard_folding
+
+    def ftoks(text):
+        return tokenize_standard_folding(pd.Series([text])).iloc[0]
+
+    assert ftoks("Café naïve RÉSUMÉ") == ["cafe", "naive", "resume"]
+    assert ftoks("Æther œuvre straße") == ["aether", "oeuvre", "strasse"]
+    assert ftoks("Łódź Ħal Þing") == ["lodz", "hal", "thing"]
+    # folding precedes the stop filter: thé -> the -> stopped
+    assert ftoks("thé quick") == ["quick"]
+    # CJK untouched by folding
+    assert ftoks("café 東京") == ["cafe", "東", "京"]
+
+
+def test_fold_jvm_engine_parity(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.analyzers import (
+        tokenize_standard_folding,
+        tokenize_standard_folding_with_positions,
+    )
+    from lucene_solr_spark.analysis.jvm import (
+        standard_folding_tokens_col,
+        standard_folding_tokens_pos_col,
+    )
+
+    texts = ["Café naïve RÉSUMÉ Æther œuvre straße Łódź 東京 O'Neil's", ""]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    jvm = [
+        r[0] for r in df.select(standard_folding_tokens_col(F.col("text"))).collect()
+    ]
+    assert jvm == list(tokenize_standard_folding(pd.Series(texts)))
+    jvm_p = [
+        [(s["term"], s["pos"]) for s in r[0]]
+        for r in df.select(standard_folding_tokens_pos_col(F.col("text"))).collect()
+    ]
+    assert jvm_p == list(tokenize_standard_folding_with_positions(pd.Series(texts)))
+
+
+def test_folding_end_to_end_search(spark, tmp_path):
+    """analyzer='standard_folding' at build time: querying the folded
+    form matches accented documents."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+    from lucene_solr_spark.search.query import TermQuery
+
+    rows = [(0, "Café résumé"), (1, "cafe plain"), (2, "unrelated words")]
+    src = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = str(tmp_path / "fold_ix")
+    build_index(
+        spark, src, out,
+        IndexConfig(n_shards=2, segs_per_shard=1, analyzer="standard_folding"),
+    )
+    s = IndexSearcher(spark, out)
+    assert sorted(r.doc_id for r in s.search(TermQuery("cafe"), k=5).collect()) == [0, 1]
+    assert [r.doc_id for r in s.search(TermQuery("resume"), k=5).collect()] == [0]
+    assert s.search(TermQuery("café"), k=5).collect() == []  # post-analysis terms
