@@ -357,6 +357,41 @@ def tokenize_standard_folding_with_positions(texts: pd.Series) -> pd.Series:
     return tokenize_standard_with_positions(fold_ascii(texts.fillna("")))
 
 
+# ShingleFilter analog (analysis/common/.../shingle/ShingleFilter.java,
+# defaults min=max=2, outputUnigrams=true, separator " "): emit every
+# unigram plus the bigram starting at its position; a shingle carries
+# the position of its FIRST token (the filter emits it with posIncr 0
+# after the unigram). Chain = StandardTokenizer + LowerCase + Shingle —
+# deliberately NO stop filter (the usual Solr shingle-field config;
+# avoids the reference's "_" filler-token semantics for removed stops,
+# documented subset). Overlong (>255) tokens are dropped before
+# shingling, so a drop makes its neighbors adjacent (no filler).
+
+
+def _shingle_pairs(toks: list[str]) -> list[tuple[str, int]]:
+    # unigrams first, then bigrams — the SAME array order the JVM
+    # expression produces (concat of the two transforms), so the
+    # engines agree element-wise, not just as multisets
+    low = [t.lower() for t in toks if len(t) <= MAX_TOKEN_LENGTH]
+    out: list[tuple[str, int]] = [(t, i) for i, t in enumerate(low)]
+    out.extend(
+        (f"{t} {low[i + 1]}", i) for i, t in enumerate(low[:-1])
+    )
+    return out
+
+
+def tokenize_shingle(texts: pd.Series) -> pd.Series:
+    return (
+        texts.fillna("")
+        .str.findall(_TOKEN_RE)
+        .map(lambda ts: [t for t, _ in _shingle_pairs(ts)])
+    )
+
+
+def tokenize_shingle_with_positions(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").str.findall(_TOKEN_RE).map(_shingle_pairs)
+
+
 def _english_analyzers():
     from lucene_solr_spark.analysis.stem import minimal_stem_en, porter_stem
 
@@ -379,6 +414,7 @@ ANALYZERS = {
     "keyword": tokenize_keyword,
     "uax29_url_email": tokenize_url_email,
     "standard_folding": tokenize_standard_folding,
+    "shingle": tokenize_shingle,
     **_EN,
 }
 
@@ -390,6 +426,7 @@ ANALYZERS_POS = {
     "keyword": tokenize_keyword_with_positions,
     "uax29_url_email": tokenize_url_email_with_positions,
     "standard_folding": tokenize_standard_folding_with_positions,
+    "shingle": tokenize_shingle_with_positions,
     **_EN_POS,
 }
 

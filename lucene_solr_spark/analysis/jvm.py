@@ -255,6 +255,34 @@ def standard_folding_tokens_pos_col(text: Column) -> Column:
     return standard_tokens_pos_col(_fold_col(text))
 
 
+# ShingleFilter analog (see analyzers._shingle_pairs for the chain
+# notes: standard tokens + lowercase, NO stop filter, unigrams + the
+# bigram starting at each position, shingle at the first token's
+# position). All array lambdas — no Python.
+def _shingle_base(text: Column) -> Column:
+    toks = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE_JAVA), F.lit(0))
+    return F.filter(toks, lambda t: F.length(t) <= MAX_TOKEN_LENGTH)
+
+
+def shingle_tokens_pos_col(text: Column) -> Column:
+    low = _shingle_base(text)
+    unis = F.transform(
+        low, lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos"))
+    )
+    bis = F.when(F.size(low) >= 2, F.transform(
+        F.slice(low, 1, F.size(low) - 1),
+        lambda t, i: F.struct(
+            F.concat(t, F.lit(" "), F.element_at(low, i + 2)).alias("term"),
+            i.cast("int").alias("pos"),
+        ),
+    )).otherwise(F.array().cast("array<struct<term:string,pos:int>>"))
+    return F.concat(unis, bis)
+
+
+def shingle_tokens_col(text: Column) -> Column:
+    return F.transform(shingle_tokens_pos_col(text), lambda s: s["term"])
+
+
 JVM_ANALYZERS = {
     "standard": standard_tokens_col,
     "whitespace": whitespace_tokens_col,
@@ -263,6 +291,7 @@ JVM_ANALYZERS = {
     "keyword": keyword_tokens_col,
     "uax29_url_email": url_email_tokens_col,
     "standard_folding": standard_folding_tokens_col,
+    "shingle": shingle_tokens_col,
     "english": english_tokens_col,
     "english_minimal": english_tokens_col,
 }
@@ -274,6 +303,7 @@ JVM_ANALYZERS_POS = {
     "keyword": keyword_tokens_pos_col,
     "uax29_url_email": url_email_tokens_pos_col,
     "standard_folding": standard_folding_tokens_pos_col,
+    "shingle": shingle_tokens_pos_col,
     "english": english_tokens_pos_col,
     "english_minimal": english_tokens_pos_col,
 }

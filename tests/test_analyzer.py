@@ -267,3 +267,67 @@ def test_folding_end_to_end_search(spark, tmp_path):
     assert sorted(r.doc_id for r in s.search(TermQuery("cafe"), k=5).collect()) == [0, 1]
     assert [r.doc_id for r in s.search(TermQuery("resume"), k=5).collect()] == [0]
     assert s.search(TermQuery("café"), k=5).collect() == []  # post-analysis terms
+
+
+# --- ShingleFilter analog (analyzer="shingle": unigrams + bigrams) ---
+
+
+def test_shingle_tokens_and_positions():
+    from lucene_solr_spark.analysis.analyzers import (
+        tokenize_shingle,
+        tokenize_shingle_with_positions,
+    )
+
+    assert tokenize_shingle(pd.Series(["The Quick fox"])).iloc[0] == [
+        "the", "quick", "fox", "the quick", "quick fox",
+    ]  # no stop filter in the shingle chain; shingle at first token's pos
+    assert tokenize_shingle_with_positions(pd.Series(["a b"])).iloc[0] == [
+        ("a", 0), ("b", 1), ("a b", 0),
+    ]
+    assert tokenize_shingle(pd.Series(["solo"])).iloc[0] == ["solo"]
+    assert tokenize_shingle(pd.Series([""])).iloc[0] == []
+
+
+def test_shingle_jvm_parity(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.analyzers import (
+        tokenize_shingle,
+        tokenize_shingle_with_positions,
+    )
+    from lucene_solr_spark.analysis.jvm import (
+        shingle_tokens_col,
+        shingle_tokens_pos_col,
+    )
+
+    texts = ["The Quick Brown fox", "one", "", "中文 mixed words"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    j = [r[0] for r in df.select(shingle_tokens_col(F.col("text"))).collect()]
+    assert j == list(tokenize_shingle(pd.Series(texts)))
+    jp = [
+        [(s["term"], s["pos"]) for s in r[0]]
+        for r in df.select(shingle_tokens_pos_col(F.col("text"))).collect()
+    ]
+    assert jp == list(tokenize_shingle_with_positions(pd.Series(texts)))
+
+
+def test_shingle_phrase_as_term_search(spark, tmp_path):
+    """The shingle index answers a phrase as ONE term seek — Lucene's
+    shingle/CommonGrams phrase-acceleration pattern."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+    from lucene_solr_spark.search.query import TermQuery
+
+    rows = [
+        (0, "full table scan is slow"),
+        (1, "scan the table"),       # "table scan" bigram absent
+        (2, "table scan table scan"),  # tf=2
+    ]
+    src = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = str(tmp_path / "sh_ix")
+    build_index(
+        spark, src, out, IndexConfig(n_shards=2, segs_per_shard=1, analyzer="shingle")
+    )
+    s = IndexSearcher(spark, out)
+    hits = [r.doc_id for r in s.search(TermQuery("table scan"), k=5).collect()]
+    assert hits[0] == 2 and set(hits) == {0, 2}
