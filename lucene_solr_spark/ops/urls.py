@@ -33,7 +33,7 @@ TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid")
 
 def _clean_query(url: Column) -> Column:
     """Sorted, tracking-free query string ('' if none survives)."""
-    q = F.parse_url(url, F.lit("QUERY"))
+    q = F.try_parse_url(url, F.lit("QUERY"))
     parts = F.split(q, "&")
     kept = F.filter(
         parts,
@@ -52,24 +52,24 @@ def _clean_query(url: Column) -> Column:
 
 def canonical_url(url: Column) -> Column:
     """Canonical form of `url` (pure built-in expressions, codegen'd)."""
-    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
     # HOST excludes the port; extract the port from AUTHORITY
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
-    authority = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    authority = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
     port = F.regexp_extract(authority, r":(\d+)$", 1)
     keep_port = (
         (port != "")
         & ~((scheme == "http") & (port == "80"))
         & ~((scheme == "https") & (port == "443"))
     )
-    path = F.parse_url(url, F.lit("PATH"))
+    path = F.try_parse_url(url, F.lit("PATH"))
     path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
     # strip trailing slash on non-root paths
     path = F.when(
         (path != "/") & path.endswith("/"),
         F.substring(path, F.lit(1), F.length(path) - 1),
     ).otherwise(path)
-    return F.concat(
+    built = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -77,6 +77,12 @@ def canonical_url(url: Column) -> Column:
         path,
         _clean_query(url),
     )
+    # A scheme-less or unparseable URL makes parse_url return NULL and
+    # the concat above NULL out — which would collapse EVERY malformed
+    # capture into one NULL dedup group (keeping a single survivor).
+    # Malformed URLs canonicalize to themselves instead: they dedup
+    # only on exact equality, never against each other.
+    return F.coalesce(built, url)
 
 
 def dedup_by_canonical_url(

@@ -66,3 +66,25 @@ def test_dedup_on_pages_fixture(spark):
     assert out.agg(F.max("n_captures")).collect()[0][0] == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_malformed_urls_never_collapse_together(spark):
+    """Scheme-less/unparseable URLs canonicalize to THEMSELVES (the
+    parse_url NULL fallback) — without it every malformed capture
+    would land in one NULL group and dedup to a single survivor."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("example.com/p", t0),
+        ("not a url at all", t0),
+        ("://broken", t0),
+        ("https://ok.example.com/q", t0),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "warc_ts"])
+    out = dedup_by_canonical_url(pages).collect()
+    assert len(out) == 4  # nothing collapsed
+    canon = {r["url"]: r["canonical_url"] for r in out}
+    assert canon["example.com/p"] == "example.com/p"
+    assert canon["not a url at all"] == "not a url at all"
+    assert canon["https://ok.example.com/q"] == "https://ok.example.com/q"
