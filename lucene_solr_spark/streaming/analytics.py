@@ -189,9 +189,8 @@ def _session_fn(gap_minutes: int):
             rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
                 ["ts", "event_id"]
             )
-            ts_us = rows["ts"].astype("int64")  # epoch microseconds? ns
             # pandas datetime64[ns] -> int64 ns; convert to micros
-            ts_us = ts_us // 1000
+            ts_us = rows["ts"].astype("int64") // 1000
             vals = rows["value"].astype("float64")
             for t, v in zip(ts_us.tolist(), vals.tolist()):
                 if cur is None:
@@ -200,13 +199,22 @@ def _session_fn(gap_minutes: int):
                     closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
                     cur = [t, t, 1, v]
                 else:
-                    cur[1] = t
+                    # late (out-of-order within the watermark) events
+                    # extend the span, never shrink it
+                    cur[0] = min(cur[0], t)
+                    cur[1] = max(cur[1], t)
                     cur[2] += 1
                     cur[3] += v
             state.update(tuple(cur))
             # time out once the watermark passes last_ts + gap: no
-            # on-time event can extend this session any more.
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+            # on-time event can extend this session any more. Clamp
+            # above the current watermark — setTimeoutTimestamp
+            # REJECTS timestamps at/behind it (a late batch for an
+            # old session would otherwise kill the query).
+            want_ms = cur[1] // 1000 + gap_minutes * 60 * 1000
+            state.setTimeoutTimestamp(
+                max(want_ms, state.getCurrentWatermarkMs() + 1)
+            )
 
         if closed:
             yield pd.DataFrame(

@@ -247,3 +247,53 @@ def test_dedup_pages_stream(spark, tmp_path):
     # row order that is the earliest here)
     p = got[got["canonical_url"] == "https://example.com/p?a=1&b=2"].iloc[0]
     assert p["url"] == "https://example.com/p?b=2&a=1"
+
+
+def test_sessionize_stateful_out_of_order_across_batches(spark, tmp_path):
+    """A second micro-batch delivers an event OLDER than the open
+    session's end (late but inside the watermark): the session span
+    must extend/merge, never shrink, and the timeout clamp must keep
+    the query alive. Two parquet files + maxFilesPerTrigger=1 force
+    two micro-batches in file order."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1)
+
+    src = tmp_path / "ooo_src"
+    # batch 1: user 1 session [12:00, 12:20]
+    mk([(1, t0, 1, 1.0), (1, t0 + dt.timedelta(minutes=20), 2, 1.0)]).write.parquet(
+        str(src / "b=1")
+    )
+    # batch 2: late event 12:10 (inside the open session), a new event
+    # 12:30 extending it, and the far-future sentinel to flush state
+    mk(
+        [
+            (1, t0 + dt.timedelta(minutes=10), 3, 1.0),
+            (1, t0 + dt.timedelta(minutes=30), 4, 1.0),
+            (-1, t0 + dt.timedelta(days=365), -1, 0.0),
+        ]
+    ).write.parquet(str(src / "b=2"))
+
+    from lucene_solr_spark.streaming.analytics import sessionize_stateful
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/b=*")
+    )
+    q = (
+        sessionize_stateful(stream, gap_minutes=GAP_MIN, watermark="10 days")
+        .writeStream.format("memory")
+        .queryName("ooo_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ooo_t").where(F.col("user_id") == 1).collect()
+    assert len(got) == 1
+    s = got[0]
+    assert s["session_start"] == t0
+    assert s["session_end"] == t0 + dt.timedelta(minutes=30)
+    assert s["n_events"] == 4
