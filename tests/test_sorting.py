@@ -69,3 +69,46 @@ def test_sorted_build_validation(spark):
     huge = spark.createDataFrame([(1 << 21, "x", 1)], ["doc_id", "text", "v"])
     with pytest.raises(ValueError, match="non-negative"):
         build_sorted_index(spark, huge, "/tmp/never", "v")
+
+
+def test_sorted_desc_and_paging(spark, tmp_path):
+    """Descending build (reverse SortField) + searchAfter paging with
+    the extended collection budget: pages tile the full sorted match
+    set exactly, even when a shard's first-page prefix precedes the
+    page-2 cursor."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = str(tmp_path / "dix")
+    build_sorted_index(
+        spark, docs, out, "n_chars",
+        IndexConfig(n_shards=4, segs_per_shard=2), descending=True,
+    )
+    s = IndexSearcher(spark, out)
+    q = TermQuery("table")
+    k = 8
+    p1 = [(r.doc_id, r.sort_value) for r in sorted_topk(s, q, k).collect()]
+    assert len(p1) == k
+    # desc order, doc_id asc tiebreak
+    assert all(
+        (a[1] > b[1]) or (a[1] == b[1] and a[0] < b[0]) for a, b in zip(p1, p1[1:])
+    )
+    p2 = [
+        (r.doc_id, r.sort_value)
+        for r in sorted_topk(s, q, k, after=p1[-1], before_count=k).collect()
+    ]
+    p3 = [
+        (r.doc_id, r.sort_value)
+        for r in sorted_topk(s, q, 10_000, after=p2[-1], before_count=2 * k).collect()
+    ]
+    # tiling == one big page
+    allp = [(r.doc_id, r.sort_value) for r in sorted_topk(s, q, 10_000).collect()]
+    assert p1 + p2 + p3 == allp
+    # and the full set matches brute force on the source
+    from pyspark.sql import functions as F
+
+    want = (
+        docs.where(F.array_contains(F.split("text", " "), "table"))
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    assert allp == [(r.doc_id, r.n_chars) for r in want]
