@@ -3203,6 +3203,58 @@ def _expand_collapsed_sql(k_groups_unused: int = 0) -> str:
 
 
 # ----------------------------------------------------------------------
+# percolator (MemoryIndex reversed-search analog)
+# ----------------------------------------------------------------------
+
+_PERC_OR = ("merge", "sort", "batch")
+
+
+def _q_percolate(spark, sf):
+    """Percolator (MemoryIndex.java:191 use case): match every doc
+    against a registered query set; each query compiles to a per-row
+    predicate over the analyzed token array — map-only, stateless,
+    streaming-safe (engine-equivalence + streaming parity pinned in
+    tests/test_percolate.py)."""
+    from lucene_solr_spark.search.percolate import percolate
+
+    qs = {
+        "q_and": BooleanAnd((Q_TERM, "scan")),
+        "q_or2": BooleanOr(_PERC_OR, min_should_match=2),
+        "q_phrase": PhraseQuery((Q_TERM, "scan")),
+        "q_term": TermQuery(Q_TERM),
+    }
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "text")
+    return percolate(docs, qs).orderBy("query_id", "doc_id")
+
+
+def _percolate_sql() -> str:
+    ors = ",".join(f"'{t}'" for t in _PERC_OR)
+    return f"""
+WITH rawp AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term,
+         generate_subscripts(string_split_regex(trim(text), ' +'), 1) - 1 AS pos
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term, pos FROM rawp
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
+)
+SELECT doc_id, 'q_and' AS query_id FROM tokp
+WHERE term IN ('{Q_TERM}', 'scan') GROUP BY doc_id
+HAVING count(DISTINCT term) = 2
+UNION ALL
+SELECT doc_id, 'q_or2' FROM tokp WHERE term IN ({ors})
+GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+UNION ALL
+SELECT DISTINCT a.doc_id, 'q_phrase' FROM tokp a
+JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{Q_TERM}' AND b.term = 'scan'
+UNION ALL
+SELECT DISTINCT doc_id, 'q_term' FROM tokp WHERE term = '{Q_TERM}'
+ORDER BY query_id, doc_id"""
+
+
+# ----------------------------------------------------------------------
 # spatial (GeoPointInBBoxQuery / GeoPointDistanceQuery / nearest analogs)
 # ----------------------------------------------------------------------
 
@@ -3376,11 +3428,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     integer-count box/polygon entries head the tail together with the
     displaced url_canonical_dedup + trending_terms_daily (both
     declarative single-pass ops) — all four re-swept green with
-    check_entry on displacement, full 124-entry sweep green."""
+    check_entry on displacement, full 124-entry sweep green. The
+    percolator entry (engine-equivalence + streaming parity pinned in
+    tests/test_percolate.py) then displaced sorted_index_topk (integer
+    output, exhaustively pinned in tests/test_sorting.py) to the tail
+    head; both re-swept green, final full 125-entry sweep green."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
         "spatial_nearest_topk": _q_spatial_nearest,
+        "percolate_matches": _q_percolate,
         "published_snapshot_scores": _q_published_snapshot,
         "join_score_max_topk": _q_join_score_max,
         "term_vectors_top5": _q_term_vectors,
@@ -3428,9 +3485,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "session_stats_user": _q_session_stats,
         "shingle_phrase_term_topk": _q_shingle_term,
-        "sorted_index_topk": _q_sorted_index_topk,
         # --- never-green but zero-float-risk / declarative; head of the
-        # tail, re-swept green via check_entry on displacement ---
+        # tail, re-swept green via check_entry on displacement
+        # (sorted_index_topk: integer (doc_id, sort_value) output, its
+        # sorted path exhaustively pinned in tests/test_sorting.py) ---
+        "sorted_index_topk": _q_sorted_index_topk,
         "spatial_box_count": _q_spatial_box,
         "spatial_polygon_count": _q_spatial_polygon,
         "frange_filter_topk": _q_frange_filter,
@@ -3517,6 +3576,7 @@ def oracle_sql() -> dict[str, str]:
     or_terms = ",".join(f"'{t}'" for t in Q_OR)
     return {
         **_spatial_sqls(),
+        "percolate_matches": _percolate_sql(),
         "bm25_term_topk": _term_sql(Q_TERM, K),
         "bm25_term_lowdf_topk": _term_sql(Q_TERM_LOW, 10),
         "bm25_and_topk": _and_sql(Q_AND, K),
