@@ -26,12 +26,13 @@ projection evaluated per row:
   matches a percolated query iff `IndexSearcher.search` over an index
   of that one doc would return it.
 - For query sets in the thousands+, the expression tree per row stops
-  being the right shape — switch to the inverted formulation (explode
-  doc terms, join a (query_id, term) table, group by doc+query with
-  per-kind match criteria). That variant shuffles on doc_id and is
-  deliberately NOT the default; this module targets the
-  saved-search/alerting cardinality (tens to hundreds of queries,
-  constant-folded like the reference's compiled query cache).
+  being the right shape — `percolate_inverted` is the scale
+  formulation (explode doc terms, broadcast-join the (query_id, term)
+  registry, one (doc, query) hash aggregation against per-kind match
+  criteria). `percolate` stays the default for the saved-search/
+  alerting cardinality (tens to hundreds of queries, constant-folded
+  like the reference's compiled query cache) and is the only path for
+  positional (phrase) queries.
 """
 
 from __future__ import annotations
@@ -118,5 +119,68 @@ def percolate(
         d.withColumn(
             "query_id", F.explode(F.filter(hits, lambda x: x.isNotNull()))
         )
+        .select(id_col, "query_id")
+    )
+
+
+def percolate_inverted(
+    docs: DataFrame,
+    queries: dict[str, Query],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The scale formulation for LARGE registries (1000s+ of saved
+    queries), where a constant-folded expression tree per row stops
+    being reasonable: invert the registry into a (query_id, term)
+    table and MATCH BY JOIN.
+
+    Shape: docs project to exploded DISTINCT (doc, term) pairs; inner
+    join the **broadcast** registry term table (the registry is always
+    tiny next to the corpus — broadcasting it keeps the join
+    shuffle-free on the doc side); one (doc_id, query_id) hash
+    aggregation counts matched terms; a broadcast join against the
+    per-query criterion (AND: all n terms; OR: >= msm; term: 1)
+    filters to matches. ONE shuffle total (the count), partitioned by
+    (doc, query) — no skew pivot, scales linearly in corpus size.
+
+    Term/AND/OR(msm) only — positional queries (phrases) stay on the
+    compiled-expression path of `percolate()`, which is exact and
+    map-only. Parity between the two formulations is pytest-pinned."""
+    from lucene_solr_spark.analysis.jvm import standard_tokens_col
+
+    spark = docs.sparkSession
+    term_rows, crit_rows = [], []
+    for qid, q in queries.items():
+        if isinstance(q, TermQuery):
+            if q.field is not None:
+                raise ValueError("percolate: only default-field queries")
+            ts, need = [q.term], 1
+        elif isinstance(q, BooleanAnd):
+            ts = list(dict.fromkeys(q.must))
+            need = len(ts)
+        elif isinstance(q, BooleanOr):
+            ts = list(dict.fromkeys(q.should))
+            need = int(q.min_should_match)
+        else:
+            raise ValueError(
+                f"percolate_inverted: positional/unsupported query "
+                f"{type(q).__name__} — use percolate()"
+            )
+        term_rows += [(qid, t) for t in ts]
+        crit_rows.append((qid, need))
+    qt = spark.createDataFrame(term_rows, "query_id string, term string")
+    crit = spark.createDataFrame(crit_rows, "query_id string, need int")
+    d = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(standard_tokens_col(F.col(text_col)))
+        ).alias("term"),
+    )
+    return (
+        d.join(F.broadcast(qt), "term")
+        .groupBy(id_col, "query_id")
+        .agg(F.count("*").alias("_m"))
+        .join(F.broadcast(crit), "query_id")
+        .filter(F.col("_m") >= F.col("need"))
         .select(id_col, "query_id")
     )

@@ -104,6 +104,29 @@ def test_percolate_plan_is_map_only(spark):
     assert "Exchange" not in plan  # no shuffle: pure projection
 
 
+def test_percolate_inverted_parity_and_plan(spark):
+    """The join-based large-registry formulation returns exactly the
+    same pairs as the compiled-expression path (phrases excluded), and
+    the registry joins are broadcast (no shuffle of the registry)."""
+    from lucene_solr_spark.search.percolate import (
+        percolate,
+        percolate_inverted,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    qs = {k: v for k, v in _queries().items() if k != "q_phrase"}
+    want = {(r.doc_id, r.query_id) for r in percolate(docs, qs).collect()}
+    inv = percolate_inverted(docs, qs)
+    got = {(r.doc_id, r.query_id) for r in inv.collect()}
+    assert got == want and len(got) > 0
+    plan = inv._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError):
+        from lucene_solr_spark.search.query import PhraseQuery
+
+        percolate_inverted(docs, {"p": PhraseQuery(("a", "b"))})
+
+
 def test_percolate_rejects_unsupported(spark):
     from lucene_solr_spark.search.percolate import percolate
     from lucene_solr_spark.search.query import PhraseQuery, TermQuery
