@@ -3203,6 +3203,64 @@ def _expand_collapsed_sql(k_groups_unused: int = 0) -> str:
 
 
 # ----------------------------------------------------------------------
+# PII redaction (training-pipeline curation op)
+# ----------------------------------------------------------------------
+
+
+def _q_pii_redaction(spark, sf):
+    """PII redaction stats: deterministic synthetic PII (an email, a
+    phone, an IPv4 per doc, derived from doc_id with pure integer
+    arithmetic identically in the oracle) appended to the text, then
+    masked by ops/pii.py's built-in regexp expressions; returns the
+    per-doc counts and the fully redacted string (string-exact parity
+    proves the replacement semantics, not just the counts)."""
+    from lucene_solr_spark.ops.pii import redact_pii
+
+    d = _docs(spark, sf).select(F.col("doc_id").cast("long"), "text")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        did.cast("string"),
+        F.lit("@m"),
+        (did % 7).cast("string"),
+        F.lit(".com or +1-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        (F.lit(1) + did % 254).cast("string"),
+    )
+    red = redact_pii(d.withColumn("text", aug))
+    return red.select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones",
+        F.col("text_redacted").alias("redacted"),
+    ).orderBy("doc_id")
+
+
+def _pii_sql() -> str:
+    from lucene_solr_spark.ops.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    aug = (
+        "text || ' contact u' || doc_id::VARCHAR || '@m' || "
+        "(doc_id % 7)::VARCHAR || '.com or +1-555-' || "
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' at 10.' || "
+        "(doc_id % 256)::VARCHAR || '.0.' || (1 + doc_id % 254)::VARCHAR"
+    )
+    return f"""
+WITH aug AS (SELECT doc_id::BIGINT AS doc_id, {aug} AS t FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(t, '{IPV4_RE}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(t, '{PHONE_RE}'))::BIGINT AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '{EMAIL_RE}', '<EMAIL>', 'g'),
+    '{IPV4_RE}', '<IP>', 'g'),
+    '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM aug ORDER BY doc_id"""
+
+
+# ----------------------------------------------------------------------
 # percolator (MemoryIndex reversed-search analog)
 # ----------------------------------------------------------------------
 
@@ -3493,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_box_count": _q_spatial_box,
         "spatial_polygon_count": _q_spatial_polygon,
         "frange_filter_topk": _q_frange_filter,
+        "pii_redaction_stats": _q_pii_redaction,
         "url_canonical_dedup": _op_url_dedup,
         "trending_terms_daily": _op_trending_terms,
         # --- (2) the 20 entries r03's driver window skipped ---
@@ -3577,6 +3636,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_spatial_sqls(),
         "percolate_matches": _percolate_sql(),
+        "pii_redaction_stats": _pii_sql(),
         "bm25_term_topk": _term_sql(Q_TERM, K),
         "bm25_term_lowdf_topk": _term_sql(Q_TERM_LOW, 10),
         "bm25_and_topk": _and_sql(Q_AND, K),
