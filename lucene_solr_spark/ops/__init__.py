@@ -11,7 +11,7 @@ def bench_ops(spark, sf_dir: str) -> dict[str, float]:
     """Timed headline ops for bench.py (seconds per op)."""
     from pyspark.sql import functions as F
 
-    from lucene_solr_spark.ops import dedup, similarity, textstats
+    from lucene_solr_spark.ops import dedup, pii, similarity, textstats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -72,5 +72,31 @@ def bench_ops(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     sessionize(events, gap_minutes=60).count()
     out["op_sessionize"] = time.perf_counter() - t0
+
+    # percolation: 60 registered queries compiled into ONE map-only
+    # projection over the corpus (routing/alerting shape)
+    from lucene_solr_spark.search.percolate import percolate
+    from lucene_solr_spark.search.query import BooleanAnd, BooleanOr, TermQuery
+
+    pv = ["table", "scan", "spark", "window", "vector", "customer", "key",
+          "order", "sort", "merge", "batch", "stream", "hash", "join",
+          "filter", "group", "agg", "row", "column", "value"]
+    pqs: dict = {}
+    for i, t in enumerate(pv):
+        pqs[f"pt{i}"] = TermQuery(t)
+        pqs[f"pa{i}"] = BooleanAnd((t, pv[(i + 1) % len(pv)]))
+        pqs[f"po{i}"] = BooleanOr(
+            (t, pv[(i + 3) % len(pv)], pv[(i + 7) % len(pv)]),
+            min_should_match=2,
+        )
+    t0 = time.perf_counter()
+    percolate(docs, pqs).count()
+    out["op_percolate60"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pii.redact_pii(docs).agg(
+        F.sum("n_emails"), F.sum(F.length("text_redacted"))
+    ).collect()
+    out["op_pii_redact"] = time.perf_counter() - t0
 
     return out
