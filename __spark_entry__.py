@@ -3238,6 +3238,17 @@ def _q_pii_redaction(spark, sf):
     ).orderBy("doc_id")
 
 
+def _op_pack_shards(spark, sf):
+    """Training-shard packing: fixed token-budget shard assignment via
+    a DISTRIBUTED exclusive prefix sum (bucket offsets + per-bucket
+    window; ops/packing.py) — the oracle is the naive single-window
+    SQL form, so the driver check proves the two-stage decomposition
+    exact. Integer-only output (shard_id, n_docs, sum_tokens)."""
+    from lucene_solr_spark.ops.packing import shard_stats
+
+    return shard_stats(_docs(spark, sf), budget=2048)
+
+
 def _pii_sql() -> str:
     from lucene_solr_spark.ops.pii import EMAIL_RE, IPV4_RE, PHONE_RE
 
@@ -3490,7 +3501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     percolator entry (engine-equivalence + streaming parity pinned in
     tests/test_percolate.py) then displaced sorted_index_topk (integer
     output, exhaustively pinned in tests/test_sorting.py) to the tail
-    head; both re-swept green, final full 125-entry sweep green."""
+    head; both re-swept green, full 125-entry sweep green. The
+    pii_redaction_stats (string-exact masking parity) and
+    pack_shards_stats (integer-only distributed-prefix-sum packing)
+    entries joined the zero-float-risk tail head directly — no window
+    displacement — each check_entry-green on addition."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3552,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_polygon_count": _q_spatial_polygon,
         "frange_filter_topk": _q_frange_filter,
         "pii_redaction_stats": _q_pii_redaction,
+        "pack_shards_stats": _op_pack_shards,
         "url_canonical_dedup": _op_url_dedup,
         "trending_terms_daily": _op_trending_terms,
         # --- (2) the 20 entries r03's driver window skipped ---
@@ -3637,6 +3653,7 @@ def oracle_sql() -> dict[str, str]:
         **_spatial_sqls(),
         "percolate_matches": _percolate_sql(),
         "pii_redaction_stats": _pii_sql(),
+        "pack_shards_stats": _ops_oracles.pack_shards_sql(budget=2048),
         "bm25_term_topk": _term_sql(Q_TERM, K),
         "bm25_term_lowdf_topk": _term_sql(Q_TERM_LOW, 10),
         "bm25_and_topk": _and_sql(Q_AND, K),

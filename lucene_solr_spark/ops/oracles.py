@@ -624,3 +624,26 @@ WITH r AS (
 )
 SELECT source, doc_id, rnk FROM r WHERE rnk <= {cap}
 ORDER BY source, rnk"""
+
+
+def pack_shards_sql(budget: int = 2048) -> str:
+    """Oracle for packing.shard_stats: the SINGLE-window SQL form of
+    the exclusive-prefix-sum shard cut — proves the engine's
+    distributed two-stage prefix sum (bucket offsets + per-bucket
+    window) exact."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t
+)
+SELECT (pre // {budget})::BIGINT AS shard_id,
+  count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS sum_tokens
+FROM p GROUP BY 1 ORDER BY shard_id"""
