@@ -2922,6 +2922,15 @@ def _op_line_dedup(spark, sf):
     return line_dedup_topk(_docs(spark, sf))
 
 
+def _op_clean_boilerplate(spark, sf):
+    """C4-style boilerplate REMOVAL (ops/textstats.py:clean_boilerplate):
+    corpus-frequent or too-short chunks dropped, cleaned text rebuilt
+    from the survivors in original order — string-exact text_clean."""
+    from lucene_solr_spark.ops.textstats import clean_boilerplate
+
+    return clean_boilerplate(_docs(spark, sf))
+
+
 def _op_unigram_logprob(spark, sf):
     """KenLM-perplexity-filter analog
     (ops/textstats.py:unigram_logprob_topk): per-doc mean token
@@ -3505,7 +3514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pii_redaction_stats (string-exact masking parity) and
     pack_shards_stats (integer-only distributed-prefix-sum packing)
     entries joined the zero-float-risk tail head directly — no window
-    displacement — each check_entry-green on addition."""
+    displacement — each check_entry-green on addition; so did
+    clean_boilerplate_docs (string-exact C4-style boilerplate removal,
+    500/500 rows oracle-exact on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3568,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frange_filter_topk": _q_frange_filter,
         "pii_redaction_stats": _q_pii_redaction,
         "pack_shards_stats": _op_pack_shards,
+        "clean_boilerplate_docs": _op_clean_boilerplate,
         "url_canonical_dedup": _op_url_dedup,
         "trending_terms_daily": _op_trending_terms,
         # --- (2) the 20 entries r03's driver window skipped ---
@@ -4065,6 +4077,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition_topk": _ops_oracles.repetition_topk_sql(),
         "decontamination_flags": _ops_oracles.contamination_sql(),
         "line_dedup_topk": _ops_oracles.line_dedup_sql(),
+        "clean_boilerplate_docs": _ops_oracles.clean_boilerplate_sql(),
         "unigram_logprob_topk": _ops_oracles.unigram_logprob_sql(),
         "source_balance_sample": _ops_oracles.source_balance_sql(cap=10),
         "significant_terms_top15": (

@@ -586,6 +586,50 @@ SELECT doc_id, n_lines, dup_lines,
 FROM p ORDER BY dup_line_frac DESC, doc_id LIMIT {k}"""
 
 
+def clean_boilerplate_sql(
+    width: int = 10, max_freq: int = 2, min_words: int = 3
+) -> str:
+    """Oracle for textstats.clean_boilerplate: drop corpus-frequent or
+    too-short chunks, rebuild text from the survivors in order
+    (string-exact text_clean)."""
+    from lucene_solr_spark.ops.hashing import h32_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 1 THEN
+      list_transform(range(0, CAST((len(toks) + {width - 1}) // {width} AS INT)),
+        i -> array_to_string(toks[i * {width} + 1 : i * {width} + {width}], ' '))
+    ELSE [] END AS chunks
+  FROM t
+),
+l AS (
+  SELECT doc_id, generate_subscripts(chunks, 1) AS idx,
+    unnest(chunks) AS chunk
+  FROM c
+),
+lh AS (SELECT l.*, {h32_sql('chunk')} AS lh FROM l),
+f AS (SELECT lh, count(*) AS cnt FROM lh GROUP BY lh),
+k AS (
+  SELECT lh.doc_id, lh.idx, lh.chunk,
+    (f.cnt < {max_freq}
+     AND len(string_split(lh.chunk, ' ')) >= {min_words}) AS keep
+  FROM lh JOIN f USING (lh)
+)
+SELECT doc_id,
+  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+  COALESCE(
+    string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY idx), ''
+  ) AS text_clean
+FROM k GROUP BY doc_id ORDER BY doc_id"""
+
+
 def unigram_logprob_sql(k: int = 20) -> str:
     """Oracle for textstats.unigram_logprob_topk: corpus unigram MLE,
     per-doc mean token log-probability, k lowest."""

@@ -453,3 +453,71 @@ def trending_terms(docs: DataFrame, bucket: Column, k: int = 5) -> DataFrame:
         .select("bucket", "term", "df")
         .orderBy("bucket", F.desc("df"), "term")
     )
+
+
+def clean_boilerplate(
+    docs: DataFrame, width: int = 10, max_freq: int = 2, min_words: int = 3
+) -> DataFrame:
+    """Boilerplate REMOVAL (the C4 curation step this module's
+    line_dedup_topk only detects): drop every chunk whose corpus-wide
+    occurrence count reaches `max_freq` (nav bars, cookie banners,
+    license footers) or that carries fewer than `min_words` tokens,
+    then rebuild the document from the surviving chunks in original
+    order. Chunking matches line_dedup_topk (fixed `width`-token spans
+    of the whitespace stream — swap for split('\\n\\n') on real web
+    text; the plan shape is boundary-rule-independent).
+
+    Plan shape for 100 TB: identical to line_dedup_topk's single
+    corpus pass + hash-keyed count + co-partitioned join-back (hot
+    boilerplate hashes absorbed map-side), plus one doc_id shuffle
+    whose aggregate rebuilds the text via sort_array over (idx, chunk)
+    structs — no windows, no driver state, nothing corpus-sized
+    broadcast. Docs whose every chunk is dropped keep a row with
+    text_clean = ''.
+
+    Returns (doc_id, n_kept, n_dropped, text_clean), string-exact
+    against the single-query SQL oracle (ops/oracles.py).
+    """
+    from lucene_solr_spark.ops.hashing import h32
+
+    toks = F.filter(ws_tokens(F.col("text")), lambda t: t != F.lit(""))
+    chunked = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "chunks",
+            F.when(
+                F.col("n") >= 1,
+                F.transform(
+                    F.expr(f"sequence(0, ((n + {width - 1}) div {width}) - 1)"),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i * width + 1, width)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    lines = chunked.select(
+        "doc_id", F.posexplode("chunks").alias("idx", "chunk")
+    ).withColumn("lh", h32(F.col("chunk")))
+    counts = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("cnt"))
+    kept = lines.join(counts, "lh").withColumn(
+        "keep",
+        (F.col("cnt") < max_freq)
+        & (F.size(F.split(F.col("chunk"), " ")) >= min_words),
+    )
+    surv = F.filter(
+        F.sort_array(F.collect_list(F.struct("idx", "chunk", "keep"))),
+        lambda s: s["keep"],
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(surv, lambda s: s["chunk"]), " "
+            ).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )

@@ -562,6 +562,46 @@ def test_line_dedup_counts_within_doc_repeats(spark):
     assert r.n_lines == 2 and r.dup_lines == 2 and r.dup_line_frac == 1.0
 
 
+def test_clean_boilerplate_drops_frequent_and_short_chunks(spark):
+    """A chunk shared by two docs (corpus count >= max_freq) is removed
+    from BOTH; a trailing chunk under min_words is removed; survivors
+    keep original order; an all-dropped doc yields text_clean = ''."""
+    from lucene_solr_spark.ops.textstats import clean_boilerplate
+
+    boiler = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq_a + " tail tok"),  # short tail dropped
+            (2, uniq_b + " " + boiler),                # order preserved
+            (3, boiler),                               # everything dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in clean_boilerplate(df, width=10, max_freq=2, min_words=3).collect()
+    }
+    assert rows[1].text_clean == uniq_a
+    assert rows[1].n_kept == 1 and rows[1].n_dropped == 2
+    assert rows[2].text_clean == uniq_b
+    assert rows[3].text_clean == "" and rows[3].n_kept == 0
+
+
+def test_clean_boilerplate_within_doc_repeat_counts_toward_freq(spark):
+    """A chunk repeated inside ONE doc reaches max_freq on its own
+    (multiset hash counts, same semantics as line_dedup_topk)."""
+    from lucene_solr_spark.ops.textstats import clean_boilerplate
+
+    chunk = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, chunk + " " + chunk)], "doc_id long, text string"
+    )
+    r = clean_boilerplate(df, width=10, max_freq=2, min_words=3).collect()[0]
+    assert r.n_kept == 0 and r.n_dropped == 2 and r.text_clean == ""
+
+
 def test_unigram_logprob_rare_tokens_score_lower(spark):
     """A doc of hapax tokens scores below a doc of corpus-dominant
     tokens, and the mean matches the closed form."""
