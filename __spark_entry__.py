@@ -2922,6 +2922,16 @@ def _op_line_dedup(spark, sf):
     return line_dedup_topk(_docs(spark, sf))
 
 
+def _op_curation_funnel(spark, sf):
+    """End-to-end curation pipeline survival funnel
+    (ops/curation.py:curation_funnel): exact-dedup -> length ->
+    lang-ID -> repetition -> line-dup as staged keep-flags in ONE
+    plan; 5 integer rows (stage, docs_in, docs_kept, docs_dropped)."""
+    from lucene_solr_spark.ops.curation import curation_funnel
+
+    return curation_funnel(_docs(spark, sf))
+
+
 def _op_clean_boilerplate(spark, sf):
     """C4-style boilerplate REMOVAL (ops/textstats.py:clean_boilerplate):
     corpus-frequent or too-short chunks dropped, cleaned text rebuilt
@@ -3516,7 +3526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries joined the zero-float-risk tail head directly — no window
     displacement — each check_entry-green on addition; so did
     clean_boilerplate_docs (string-exact C4-style boilerplate removal,
-    500/500 rows oracle-exact on addition)."""
+    500/500 rows oracle-exact on addition) and curation_funnel_stages
+    (integer-only 5-row survival funnel, oracle-exact on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3580,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction_stats": _q_pii_redaction,
         "pack_shards_stats": _op_pack_shards,
         "clean_boilerplate_docs": _op_clean_boilerplate,
+        "curation_funnel_stages": _op_curation_funnel,
         "url_canonical_dedup": _op_url_dedup,
         "trending_terms_daily": _op_trending_terms,
         # --- (2) the 20 entries r03's driver window skipped ---
@@ -4078,6 +4090,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination_flags": _ops_oracles.contamination_sql(),
         "line_dedup_topk": _ops_oracles.line_dedup_sql(),
         "clean_boilerplate_docs": _ops_oracles.clean_boilerplate_sql(),
+        "curation_funnel_stages": _ops_oracles.curation_funnel_sql(),
         "unigram_logprob_topk": _ops_oracles.unigram_logprob_sql(),
         "source_balance_sample": _ops_oracles.source_balance_sql(cap=10),
         "significant_terms_top15": (

@@ -630,6 +630,97 @@ SELECT doc_id,
 FROM k GROUP BY doc_id ORDER BY doc_id"""
 
 
+def curation_funnel_sql(
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    keep_langs: tuple[str, ...] = ("en",),
+    rep_pct: int = 20,
+    dupline_pct: int = 50,
+    width: int = 10,
+) -> str:
+    """Oracle for curation.curation_funnel: the staged keep-flags as
+    chained CTEs, funnel rows via UNION ALL. Integer-only decisions."""
+    from lucene_solr_spark.ops.hashing import h32_sql
+    from lucene_solr_spark.ops.textstats import LANG_MARKERS
+
+    def cnt(lang: str) -> str:
+        words = ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+
+    langs = ",".join(f"'{lang}'" for lang in keep_langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks,
+    len(toks)::BIGINT AS n,
+    len(list_distinct(toks))::BIGINT AS ndist,
+    {h32_sql('text')} AS h,
+    CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+         WHEN {cnt('en')} >= {cnt('de')} AND {cnt('en')} >= {cnt('es')}
+              AND {cnt('en')} >= {cnt('fr')} THEN 'en'
+         WHEN {cnt('de')} >= {cnt('es')} AND {cnt('de')} >= {cnt('fr')}
+              THEN 'de'
+         WHEN {cnt('es')} >= {cnt('fr')} THEN 'es'
+         ELSE 'fr' END AS pred
+  FROM t
+),
+fl AS (
+  SELECT *,
+    (row_number() OVER (PARTITION BY h ORDER BY doc_id)) = 1 AS keep1
+  FROM b
+),
+f4 AS (
+  SELECT *,
+    keep1 AND n >= {min_tokens} AND n <= {max_tokens} AS keep2,
+    keep1 AND n >= {min_tokens} AND n <= {max_tokens}
+      AND pred IN ({langs}) AS keep3,
+    keep1 AND n >= {min_tokens} AND n <= {max_tokens}
+      AND pred IN ({langs})
+      AND (n - ndist) * 100 <= n * {rep_pct} AS keep4
+  FROM fl
+),
+c AS (
+  SELECT doc_id,
+    list_transform(range(0, CAST((n + {width - 1}) // {width} AS INT)),
+      i -> array_to_string(toks[i * {width} + 1 : i * {width} + {width}], ' '))
+      AS chunks
+  FROM f4 WHERE keep4
+),
+l AS (SELECT doc_id, {h32_sql('unnest(chunks)')} AS lh FROM c),
+lc AS (SELECT lh, count(*) AS cnt FROM l GROUP BY lh),
+dl AS (
+  SELECT l.doc_id, count(*)::BIGINT AS n_lines,
+    sum(CASE WHEN lc.cnt >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_lines
+  FROM l JOIN lc USING (lh) GROUP BY l.doc_id
+),
+f5 AS (
+  SELECT f4.*,
+    f4.keep4 AND COALESCE(dl.dup_lines * 100 < dl.n_lines * {dupline_pct},
+                          FALSE) AS keep5
+  FROM f4 LEFT JOIN dl ON f4.doc_id = dl.doc_id
+),
+a AS (
+  SELECT count(*)::BIGINT AS n0,
+    sum(CASE WHEN keep1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+    sum(CASE WHEN keep2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+    sum(CASE WHEN keep3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+    sum(CASE WHEN keep4 THEN 1 ELSE 0 END)::BIGINT AS n4,
+    sum(CASE WHEN keep5 THEN 1 ELSE 0 END)::BIGINT AS n5
+  FROM f5
+)
+SELECT 1::INT AS stage_idx, 'exact_dedup' AS stage, n0 AS docs_in,
+  n1 AS docs_kept, n0 - n1 AS docs_dropped FROM a
+UNION ALL SELECT 2, 'length', n1, n2, n1 - n2 FROM a
+UNION ALL SELECT 3, 'lang_id', n2, n3, n2 - n3 FROM a
+UNION ALL SELECT 4, 'repetition', n3, n4, n3 - n4 FROM a
+UNION ALL SELECT 5, 'line_dup', n4, n5, n4 - n5 FROM a
+ORDER BY stage_idx"""
+
+
 def unigram_logprob_sql(k: int = 20) -> str:
     """Oracle for textstats.unigram_logprob_topk: corpus unigram MLE,
     per-doc mean token log-probability, k lowest."""

@@ -602,6 +602,55 @@ def test_clean_boilerplate_within_doc_repeat_counts_toward_freq(spark):
     assert r.n_kept == 0 and r.n_dropped == 2 and r.text_clean == ""
 
 
+def test_curation_funnel_each_stage_drops_its_doc(spark):
+    """One doc trips each stage: exact dup -> stage 1; short -> 2;
+    German -> 3; repetitive -> 4; a shared-boilerplate pair -> 5;
+    one clean doc survives all five."""
+    from lucene_solr_spark.ops.curation import curation_funnel
+
+    good = "the cat and the dog walked to the market in town"
+    boiler = "the quick brown fox jumps over a lazy dog today"
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),                                   # exact dup
+            (3, "the cat"),                              # too short
+            (4, "der hund und die katze ist nicht hier heute abend"),
+            (5, "the the the the the cat cat cat cat cat"),  # repetitive
+            (6, boiler + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (7, boiler + " one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = curation_funnel(df).collect()
+    got = [(r.stage, r.docs_in, r.docs_kept, r.docs_dropped) for r in rows]
+    assert got == [
+        ("exact_dedup", 7, 6, 1),
+        ("length", 6, 5, 1),
+        ("lang_id", 5, 4, 1),
+        ("repetition", 4, 3, 1),
+        ("line_dup", 3, 1, 2),
+    ]
+
+
+def test_curation_funnel_plan_single_window_no_cartesian(spark):
+    """The staged flags compile to ONE window over the content hash
+    and no cartesian/nested-loop join (the funnel is one plan, not
+    five corpus passes)."""
+    from lucene_solr_spark.ops.curation import curation_funnel
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat here today fine now")],
+        "doc_id long, text string",
+    )
+    plan = (
+        curation_funnel(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_unigram_logprob_rare_tokens_score_lower(spark):
     """A doc of hapax tokens scores below a doc of corpus-dominant
     tokens, and the mean matches the closed form."""
