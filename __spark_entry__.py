@@ -2932,6 +2932,15 @@ def _op_curation_funnel(spark, sf):
     return curation_funnel(_docs(spark, sf))
 
 
+def _op_curation_decisions(spark, sf):
+    """Per-doc curation verdicts (ops/curation.py:curation_decisions):
+    first stage that dropped each doc, or 'kept' — the row-level
+    ground truth the funnel aggregates."""
+    from lucene_solr_spark.ops.curation import curation_decisions
+
+    return curation_decisions(_docs(spark, sf))
+
+
 def _op_clean_boilerplate(spark, sf):
     """C4-style boilerplate REMOVAL (ops/textstats.py:clean_boilerplate):
     corpus-frequent or too-short chunks dropped, cleaned text rebuilt
@@ -3527,7 +3536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     displacement — each check_entry-green on addition; so did
     clean_boilerplate_docs (string-exact C4-style boilerplate removal,
     500/500 rows oracle-exact on addition) and curation_funnel_stages
-    (integer-only 5-row survival funnel, oracle-exact on addition)."""
+    (integer-only 5-row survival funnel, oracle-exact on addition) and
+    curation_doc_decisions (per-doc first-failed-stage verdicts,
+    500/500 oracle-exact on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3592,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards_stats": _op_pack_shards,
         "clean_boilerplate_docs": _op_clean_boilerplate,
         "curation_funnel_stages": _op_curation_funnel,
+        "curation_doc_decisions": _op_curation_decisions,
         "url_canonical_dedup": _op_url_dedup,
         "trending_terms_daily": _op_trending_terms,
         # --- (2) the 20 entries r03's driver window skipped ---
@@ -4091,6 +4103,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_topk": _ops_oracles.line_dedup_sql(),
         "clean_boilerplate_docs": _ops_oracles.clean_boilerplate_sql(),
         "curation_funnel_stages": _ops_oracles.curation_funnel_sql(),
+        "curation_doc_decisions": _ops_oracles.curation_decisions_sql(),
         "unigram_logprob_topk": _ops_oracles.unigram_logprob_sql(),
         "source_balance_sample": _ops_oracles.source_balance_sql(cap=10),
         "significant_terms_top15": (

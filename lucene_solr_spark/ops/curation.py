@@ -50,7 +50,7 @@ from lucene_solr_spark.ops.textstats import lang_id_pred
 STAGES = ("exact_dedup", "length", "lang_id", "repetition", "line_dup")
 
 
-def curation_funnel(
+def curation_flags(
     docs: DataFrame,
     min_tokens: int = 5,
     max_tokens: int = 100_000,
@@ -59,7 +59,9 @@ def curation_funnel(
     dupline_pct: int = 50,
     width: int = 10,
 ) -> DataFrame:
-    """Run the 5-stage curation pipeline; return the survival funnel.
+    """Per-doc staged keep-flags keep1..keep5 (see curation_funnel for
+    the stage definitions). One plan; returned frame carries doc_id +
+    the five boolean columns.
 
     Stages (each applies to the previous stage's survivors):
 
@@ -76,9 +78,6 @@ def curation_funnel(
        duplicated fixed-width chunk fraction reaches dupline_pct %
        (chunk counts computed on SURVIVORS — the corpus the stage
        actually sees, like a real staged pipeline).
-
-    Returns 5 rows: (stage_idx, stage, docs_in, docs_kept,
-    docs_dropped), stage_idx ascending.
     """
     toks = F.filter(ws_tokens(F.col("text")), lambda t: t != F.lit(""))
     base = (
@@ -128,13 +127,47 @@ def curation_funnel(
             F.sum((F.col("cnt") >= 2).cast("long")).alias("dup_lines"),
         )
     )
-    flags = flagged.join(dl, "doc_id", "left").withColumn(
+    return flagged.join(dl, "doc_id", "left").withColumn(
         "keep5",
         F.col("keep4")
         & F.coalesce(
             F.col("dup_lines") * 100 < F.col("n_lines") * dupline_pct,
             F.lit(False),
         ),
+    )
+
+
+def curation_decisions(docs: DataFrame, **kw) -> DataFrame:
+    """Per-doc verdicts: (doc_id, drop_stage) where drop_stage is the
+    FIRST stage that dropped the doc, or 'kept' if it survived all
+    five. Same single plan as the funnel (the funnel is the aggregate
+    of exactly these rows); row-level ground truth for audits and for
+    materializing the curated corpus (`WHERE drop_stage = 'kept'`)."""
+    flags = curation_flags(docs, **kw)
+    verdict = F.lit("kept")
+    for i in range(5, 0, -1):
+        verdict = F.when(~F.col(f"keep{i}"), F.lit(STAGES[i - 1])).otherwise(
+            verdict
+        )
+    return flags.select(
+        "doc_id", verdict.alias("drop_stage")
+    ).orderBy("doc_id")
+
+
+def curation_funnel(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    keep_langs: tuple[str, ...] = ("en",),
+    rep_pct: int = 20,
+    dupline_pct: int = 50,
+    width: int = 10,
+) -> DataFrame:
+    """Run the 5-stage curation pipeline; return the survival funnel:
+    5 rows (stage_idx, stage, docs_in, docs_kept, docs_dropped),
+    stage_idx ascending. Stage semantics in curation_flags."""
+    flags = curation_flags(
+        docs, min_tokens, max_tokens, keep_langs, rep_pct, dupline_pct, width
     )
     agg = flags.agg(
         F.count(F.lit(1)).cast("long").alias("n0"),

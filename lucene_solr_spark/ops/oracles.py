@@ -630,7 +630,7 @@ SELECT doc_id,
 FROM k GROUP BY doc_id ORDER BY doc_id"""
 
 
-def curation_funnel_sql(
+def _curation_ctes(
     min_tokens: int = 5,
     max_tokens: int = 100_000,
     keep_langs: tuple[str, ...] = ("en",),
@@ -638,8 +638,9 @@ def curation_funnel_sql(
     dupline_pct: int = 50,
     width: int = 10,
 ) -> str:
-    """Oracle for curation.curation_funnel: the staged keep-flags as
-    chained CTEs, funnel rows via UNION ALL. Integer-only decisions."""
+    """Shared CTE chain for the curation pipeline oracles: the staged
+    keep-flags keep1..keep5 as chained CTEs ending at f5. Integer-only
+    decisions (cross-multiplied percent thresholds)."""
     from lucene_solr_spark.ops.hashing import h32_sql
     from lucene_solr_spark.ops.textstats import LANG_MARKERS
 
@@ -648,8 +649,7 @@ def curation_funnel_sql(
         return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
 
     langs = ",".join(f"'{lang}'" for lang in keep_langs)
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id, text,
     list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS toks
   FROM documents
@@ -702,7 +702,14 @@ f5 AS (
     f4.keep4 AND COALESCE(dl.dup_lines * 100 < dl.n_lines * {dupline_pct},
                           FALSE) AS keep5
   FROM f4 LEFT JOIN dl ON f4.doc_id = dl.doc_id
-),
+)"""
+
+
+def curation_funnel_sql(**kw) -> str:
+    """Oracle for curation.curation_funnel: flag-sum aggregate of the
+    shared CTE chain, funnel rows via UNION ALL."""
+    return f"""
+WITH {_curation_ctes(**kw)},
 a AS (
   SELECT count(*)::BIGINT AS n0,
     sum(CASE WHEN keep1 THEN 1 ELSE 0 END)::BIGINT AS n1,
@@ -719,6 +726,21 @@ UNION ALL SELECT 3, 'lang_id', n2, n3, n2 - n3 FROM a
 UNION ALL SELECT 4, 'repetition', n3, n4, n3 - n4 FROM a
 UNION ALL SELECT 5, 'line_dup', n4, n5, n4 - n5 FROM a
 ORDER BY stage_idx"""
+
+
+def curation_decisions_sql(**kw) -> str:
+    """Oracle for curation.curation_decisions: per-doc first-failed
+    stage (or 'kept') over the shared CTE chain."""
+    return f"""
+WITH {_curation_ctes(**kw)}
+SELECT doc_id,
+  CASE WHEN NOT keep1 THEN 'exact_dedup'
+       WHEN NOT keep2 THEN 'length'
+       WHEN NOT keep3 THEN 'lang_id'
+       WHEN NOT keep4 THEN 'repetition'
+       WHEN NOT keep5 THEN 'line_dup'
+       ELSE 'kept' END AS drop_stage
+FROM f5 ORDER BY doc_id"""
 
 
 def unigram_logprob_sql(k: int = 20) -> str:

@@ -633,6 +633,41 @@ def test_curation_funnel_each_stage_drops_its_doc(spark):
     ]
 
 
+def test_curation_decisions_agree_with_funnel(spark):
+    """The funnel's per-stage drop counts equal the histogram of the
+    per-doc first-failed-stage verdicts; survivors count matches."""
+    from lucene_solr_spark.ops.curation import (
+        curation_decisions,
+        curation_funnel,
+    )
+
+    good = "the cat and the dog walked to the market in town"
+    boiler = "the quick brown fox jumps over a lazy dog today"
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),
+            (3, "the cat"),
+            (4, "der hund und die katze ist nicht hier heute abend"),
+            (5, "the the the the the cat cat cat cat cat"),
+            (6, boiler + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (7, boiler + " one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    verdicts = {r.doc_id: r.drop_stage for r in curation_decisions(df).collect()}
+    assert verdicts == {
+        1: "kept", 2: "exact_dedup", 3: "length", 4: "lang_id",
+        5: "repetition", 6: "line_dup", 7: "line_dup",
+    }
+    from collections import Counter
+
+    hist = Counter(verdicts.values())
+    for r in curation_funnel(df).collect():
+        assert r.docs_dropped == hist.get(r.stage, 0)
+    assert hist["kept"] == 1
+
+
 def test_curation_funnel_plan_single_window_no_cartesian(spark):
     """The staged flags compile to ONE window over the content hash
     and no cartesian/nested-loop join (the funnel is one plan, not
