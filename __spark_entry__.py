@@ -2941,6 +2941,15 @@ def _op_curation_decisions(spark, sf):
     return curation_decisions(_docs(spark, sf))
 
 
+def _op_dataset_split(spark, sf):
+    """Deterministic hash-bucket train/val/test split
+    (ops/curation.py:dataset_split_stats): map-side assignment from
+    the doc_id hash, per (split, lang) doc/token accounting."""
+    from lucene_solr_spark.ops.curation import dataset_split_stats
+
+    return dataset_split_stats(_docs(spark, sf))
+
+
 def _op_clean_boilerplate(spark, sf):
     """C4-style boilerplate REMOVAL (ops/textstats.py:clean_boilerplate):
     corpus-frequent or too-short chunks dropped, cleaned text rebuilt
@@ -3538,7 +3547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     500/500 rows oracle-exact on addition) and curation_funnel_stages
     (integer-only 5-row survival funnel, oracle-exact on addition) and
     curation_doc_decisions (per-doc first-failed-stage verdicts,
-    500/500 oracle-exact on addition)."""
+    500/500 oracle-exact on addition) and dataset_split_stats
+    (map-side hash-bucket split accounting, oracle-exact on
+    addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3604,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_boilerplate_docs": _op_clean_boilerplate,
         "curation_funnel_stages": _op_curation_funnel,
         "curation_doc_decisions": _op_curation_decisions,
+        "dataset_split_stats": _op_dataset_split,
         "url_canonical_dedup": _op_url_dedup,
         "trending_terms_daily": _op_trending_terms,
         # --- (2) the 20 entries r03's driver window skipped ---
@@ -4104,6 +4116,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_boilerplate_docs": _ops_oracles.clean_boilerplate_sql(),
         "curation_funnel_stages": _ops_oracles.curation_funnel_sql(),
         "curation_doc_decisions": _ops_oracles.curation_decisions_sql(),
+        "dataset_split_stats": _ops_oracles.dataset_split_stats_sql(),
         "unigram_logprob_topk": _ops_oracles.unigram_logprob_sql(),
         "source_balance_sample": _ops_oracles.source_balance_sql(cap=10),
         "significant_terms_top15": (

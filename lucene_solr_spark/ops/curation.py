@@ -154,6 +154,63 @@ def curation_decisions(docs: DataFrame, **kw) -> DataFrame:
     ).orderBy("doc_id")
 
 
+SPLIT_MOD = 100
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 98),
+    ("val", 1),
+    ("test", 1),
+)
+
+
+def dataset_split(
+    docs: DataFrame,
+    weights: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = portable
+    32-bit hash of the doc_id string mod SPLIT_MOD, mapped to splits
+    by cumulative weight ranges (weights must sum to SPLIT_MOD).
+
+    Pure map-side column — NO shuffle, no sampling state, no seed to
+    version: at 100 TB the split is a projection pushed into the scan,
+    reproducible forever from the doc_id alone (the property TFDS/HF
+    deterministic splits get from hashing example keys). Returns the
+    input with a `split` column appended.
+    """
+    total = sum(w for _, w in weights)
+    if total != SPLIT_MOD:
+        raise ValueError(f"split weights must sum to {SPLIT_MOD}, got {total}")
+    bucket = h32(F.col("doc_id").cast("string")) % SPLIT_MOD
+    expr = F.lit(weights[-1][0])
+    hi = 0
+    bounds = []
+    for name, w in weights[:-1]:
+        hi += w
+        bounds.append((name, hi))
+    for name, b in reversed(bounds):
+        expr = F.when(bucket < b, F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def dataset_split_stats(
+    docs: DataFrame,
+    weights: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+) -> DataFrame:
+    """Per (split, lang) doc and whitespace-token accounting — the
+    table a dataset card publishes. One hash-agg over the map-side
+    split assignment."""
+    toks = F.filter(ws_tokens(F.col("text")), lambda t: t != F.lit(""))
+    return (
+        dataset_split(docs, weights)
+        .select("split", "lang", F.size(toks).cast("long").alias("n"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("ws_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 def curation_funnel(
     docs: DataFrame,
     min_tokens: int = 5,

@@ -705,6 +705,37 @@ f5 AS (
 )"""
 
 
+def dataset_split_stats_sql(
+    weights: tuple[tuple[str, int], ...] = (
+        ("train", 98),
+        ("val", 1),
+        ("test", 1),
+    ),
+    mod: int = 100,
+) -> str:
+    """Oracle for curation.dataset_split_stats: hash-bucket split
+    assignment, per (split, lang) doc/token accounting."""
+    from lucene_solr_spark.ops.hashing import h32_sql
+
+    case = "CASE"
+    hi = 0
+    for name, w in weights[:-1]:
+        hi += w
+        case += f" WHEN b < {hi} THEN '{name}'"
+    case += f" ELSE '{weights[-1][0]}' END"
+    return f"""
+WITH a AS (
+  SELECT lang,
+    len(list_filter(string_split_regex(trim(text), ' +'), x -> x <> ''))::BIGINT
+      AS n,
+    {h32_sql('CAST(doc_id AS VARCHAR)')} % {mod} AS b
+  FROM documents
+)
+SELECT {case} AS split, lang,
+  count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS ws_tokens
+FROM a GROUP BY 1, 2 ORDER BY split, lang"""
+
+
 def curation_funnel_sql(**kw) -> str:
     """Oracle for curation.curation_funnel: flag-sum aggregate of the
     shared CTE chain, funnel rows via UNION ALL."""

@@ -668,6 +668,30 @@ def test_curation_decisions_agree_with_funnel(spark):
     assert hist["kept"] == 1
 
 
+def test_dataset_split_partitions_and_is_deterministic(spark):
+    """Every doc lands in exactly one split; re-running yields the
+    identical assignment; weights must sum to 100; the assignment adds
+    NO exchange (map-side projection only)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.ops.curation import dataset_split
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("the cat sat").alias("text")
+    )
+    a = {r.doc_id: r.split for r in dataset_split(df).collect()}
+    b = {r.doc_id: r.split for r in dataset_split(df).collect()}
+    assert a == b and len(a) == 200
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert sum(1 for v in a.values() if v == "train") > 150
+    with pytest.raises(ValueError):
+        dataset_split(df, (("train", 50), ("val", 10)))
+    plan = dataset_split(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_curation_funnel_plan_single_window_no_cartesian(spark):
     """The staged flags compile to ONE window over the content hash
     and no cartesian/nested-loop join (the funnel is one plan, not
