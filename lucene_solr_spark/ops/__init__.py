@@ -99,4 +99,24 @@ def bench_ops(spark, sf_dir: str) -> dict[str, float]:
     ).collect()
     out["op_pii_redact"] = time.perf_counter() - t0
 
+    # curation funnel: full 5-stage keep/drop pipeline as ONE plan
+    # (tokens -> lang -> repetition -> line-dup -> length), survival
+    # counts collected (5 rows)
+    from lucene_solr_spark.ops import curation, packing
+
+    t0 = time.perf_counter()
+    curation.curation_funnel(docs).collect()
+    out["op_curation_funnel"] = time.perf_counter() - t0
+
+    # training-shard packing: distributed prefix-sum over doc order,
+    # per-shard token accounting out
+    t0 = time.perf_counter()
+    packing.shard_stats(docs).count()
+    out["op_pack_shards"] = time.perf_counter() - t0
+
+    # dataset split: map-side hash-bucket assignment + card accounting
+    t0 = time.perf_counter()
+    curation.dataset_split_stats(docs).collect()
+    out["op_dataset_split"] = time.perf_counter() - t0
+
     return out
