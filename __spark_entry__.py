@@ -3286,6 +3286,69 @@ def _op_pack_shards(spark, sf):
     return shard_stats(_docs(spark, sf), budget=2048)
 
 
+GRAPH_K_PAT = r'"k": (\d+)'
+
+
+def _graph_edges(spark, sf):
+    """Bipartite user–key edge frame from the events table (purchase
+    events with value > 100 — sparsified so the 2-hop neighborhood is
+    a strict subset of the graph)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100)
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.regexp_extract("props", GRAPH_K_PAT, 1).cast("long").alias("k"),
+    )
+
+
+def _op_graph_gather(spark, sf):
+    """Two gatherNodes hops (solrj/io/graph/GatherNodesStream.java:
+    60-120 walk + unique gather + count(*) metric): seed users ->
+    gather their purchase keys -> gather the OTHER users on those
+    keys, each with the count of distinct keys that reached it.
+    ops/graph.py. Integer-only output."""
+    from lucene_solr_spark.ops.graph import gather_nodes, gather_nodes_count
+
+    e = _graph_edges(spark, sf)
+    seeds = (
+        e.where(F.col("user_id") % 25 == 0)
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    hop1 = gather_nodes(e, seeds, "user_id", "k")
+    out = gather_nodes_count(e, hop1, "k", "user_id", exclude=seeds)
+    return out.select(
+        F.col("node").cast("long").alias("user_id"),
+        F.col("n_via").cast("long").alias("n_shared"),
+    ).orderBy("user_id")
+
+
+def _op_graph_bfs(spark, sf):
+    """BFS levels (solrj/io/graph/ShortestPathStream.java:49-90
+    visited-pruned level walk): minimal hop distance <= 3 from the
+    seed users over the UNDIRECTED bipartite user–key graph, node ids
+    tagged 'u:'/'k:'. One edge-frame join per level (ops/graph.py:
+    bfs_levels); the oracle is a recursive CTE taking min(level).
+    String/int-only output."""
+    from lucene_solr_spark.ops.graph import bfs_levels
+
+    e = _graph_edges(spark, sf)
+    u = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+    kn = F.concat(F.lit("k:"), F.col("k").cast("string"))
+    ed = e.select(u.alias("src"), kn.alias("dst")).unionByName(
+        e.select(kn.alias("src"), u.alias("dst"))
+    )
+    seeds = (
+        e.where(F.col("user_id") % 25 == 0).select(u.alias("node")).distinct()
+    )
+    return (
+        bfs_levels(ed, seeds, max_hops=3)
+        .select("node", F.col("level").cast("int").alias("level"))
+        .orderBy("level", "node")
+    )
+
+
 def _pii_sql() -> str:
     from lucene_solr_spark.ops.pii import EMAIL_RE, IPV4_RE, PHONE_RE
 
@@ -3549,7 +3612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     curation_doc_decisions (per-doc first-failed-stage verdicts,
     500/500 oracle-exact on addition) and dataset_split_stats
     (map-side hash-bucket split accounting, oracle-exact on
-    addition)."""
+    addition) and the graph entries graph_gather_2hop /
+    graph_bfs_levels (integer/string-only gatherNodes + BFS-level
+    walks, recursive-CTE oracle, check_entry-green on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3618,6 +3683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split_stats": _op_dataset_split,
         "url_canonical_dedup": _op_url_dedup,
         "trending_terms_daily": _op_trending_terms,
+        "graph_gather_2hop": _op_graph_gather,
+        "graph_bfs_levels": _op_graph_bfs,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
@@ -4058,6 +4125,36 @@ def oracle_sql() -> dict[str, str]:
             "  (PARTITION BY bucket ORDER BY df DESC, term) AS rn FROM c) "
             "SELECT bucket::BIGINT AS bucket, term, df FROM r "
             "WHERE rn <= 5 ORDER BY bucket, df DESC, term"
+        ),
+        "graph_gather_2hop": (
+            "WITH e AS (SELECT user_id, "
+            "  CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k "
+            "  FROM events WHERE event_type = 'purchase' AND value > 100), "
+            "seeds AS (SELECT DISTINCT user_id FROM e WHERE user_id % 25 = 0), "
+            "hop1 AS (SELECT DISTINCT e.k FROM e JOIN seeds USING (user_id)) "
+            "SELECT e.user_id::BIGINT AS user_id, "
+            "  count(DISTINCT e.k)::BIGINT AS n_shared "
+            "FROM e JOIN hop1 USING (k) "
+            "WHERE e.user_id NOT IN (SELECT user_id FROM seeds) "
+            "GROUP BY e.user_id ORDER BY user_id"
+        ),
+        "graph_bfs_levels": (
+            "WITH RECURSIVE e AS (SELECT user_id, "
+            "  CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k "
+            "  FROM events WHERE event_type = 'purchase' AND value > 100), "
+            "ed AS (SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, "
+            "         'k:' || CAST(k AS VARCHAR) AS dst FROM e "
+            "       UNION ALL "
+            "       SELECT 'k:' || CAST(k AS VARCHAR), "
+            "         'u:' || CAST(user_id AS VARCHAR) FROM e), "
+            "seeds AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS node "
+            "  FROM e WHERE user_id % 25 = 0), "
+            "walk AS (SELECT node, 0 AS level FROM seeds "
+            "  UNION ALL "
+            "  SELECT ed.dst AS node, w.level + 1 "
+            "  FROM walk w JOIN ed ON ed.src = w.node WHERE w.level < 3) "
+            "SELECT node, min(level)::INT AS level FROM walk "
+            "GROUP BY node ORDER BY level, node"
         ),
         "url_canonical_dedup": (
             "WITH u AS (SELECT doc_id::BIGINT AS doc_id, "
