@@ -3286,6 +3286,36 @@ def _op_pack_shards(spark, sf):
     return shard_stats(_docs(spark, sf), budget=2048)
 
 
+def _op_mixture_weights(spark, sf):
+    """Temperature-scaled source-mixing weights (ops/mixing.py:
+    mixture_weights, alpha=0.5): w_i ∝ sqrt(n_i) — the exponential
+    smoothing used to rebalance pretraining sources; epochs column =
+    implied per-source upsampling factor. One tiny aggregate."""
+    from lucene_solr_spark.ops.mixing import mixture_weights
+
+    return mixture_weights(_docs(spark, sf))
+
+
+def _op_resample_stats(spark, sf):
+    """Hash-threshold Bernoulli resampling at temperature-rebalanced
+    rates (ops/mixing.py:resample_stats): keep iff h32(doc_id) <
+    floor(rate * 2^32) — the map-side, RNG-free, reproducible sampler;
+    output audits per-source kept counts. ONE corpus pass."""
+    from lucene_solr_spark.ops.mixing import resample_stats
+
+    return resample_stats(_docs(spark, sf))
+
+
+def _op_training_order(spark, sf):
+    """Deterministic training-order shuffle, head of epoch 'ep0'
+    (ops/mixing.py:training_order_head): global order = h32('ep0:' ||
+    doc_id); orderBy+limit compiles to TakeOrderedAndProject (no
+    single-partition sort), rank window over the k survivors only."""
+    from lucene_solr_spark.ops.mixing import training_order_head
+
+    return training_order_head(_docs(spark, sf), k=20)
+
+
 GRAPH_K_PAT = r'"k": (\d+)'
 
 
@@ -3614,7 +3644,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (map-side hash-bucket split accounting, oracle-exact on
     addition) and the graph entries graph_gather_2hop /
     graph_bfs_levels (integer/string-only gatherNodes + BFS-level
-    walks, recursive-CTE oracle, check_entry-green on addition)."""
+    walks, recursive-CTE oracle, check_entry-green on addition) and
+    the mixing entries mixture_weights_by_source /
+    mixture_resample_stats / training_order_head (sqrt-only
+    temperature weights + hash-threshold sampling + hash-order
+    shuffle; all portable-rounded, check_entry-green on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3685,6 +3719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_terms_daily": _op_trending_terms,
         "graph_gather_2hop": _op_graph_gather,
         "graph_bfs_levels": _op_graph_bfs,
+        "mixture_weights_by_source": _op_mixture_weights,
+        "mixture_resample_stats": _op_resample_stats,
+        "training_order_head": _op_training_order,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
@@ -4126,6 +4163,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT bucket::BIGINT AS bucket, term, df FROM r "
             "WHERE rn <= 5 ORDER BY bucket, df DESC, term"
         ),
+        "mixture_weights_by_source": _ops_oracles.mixture_weights_sql(),
+        "mixture_resample_stats": _ops_oracles.resample_stats_sql(),
+        "training_order_head": _ops_oracles.training_order_sql(k=20),
         "graph_gather_2hop": (
             "WITH e AS (SELECT user_id, "
             "  CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k "

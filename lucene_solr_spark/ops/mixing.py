@@ -1,0 +1,161 @@
+"""Corpus mixing — the source-weighting / resampling / training-order
+stage of a large-scale pretraining data pipeline.
+
+Three public-knowledge building blocks:
+
+- temperature-scaled source weights: sample probability proportional
+  to n_i^alpha, the exponential smoothing used to rebalance
+  heterogeneous sources in multilingual/multi-domain pretraining
+  (published in the mBERT/XLM-R line of work; alpha in (0,1) upweights
+  small sources). The default alpha = 0.5 is computed with SQRT —
+  IEEE-correctly-rounded in every engine, so the weights are
+  bit-reproducible across Spark and an external SQL oracle (pow() for
+  general alpha is NOT correctly rounded and is gated behind an
+  explicit opt-in).
+- hash-threshold Bernoulli selection: keep doc iff
+  h32(doc_id) < floor(rate * 2^32). This is the 100 TB sampler — a
+  pure map-side predicate pushed into the scan, no shuffle, no RNG
+  state, reproducible forever from the doc_id alone (same property
+  the dataset_split op builds on, ops/curation.py).
+- deterministic training order: sort key h32(seed || ':' || doc_id).
+  Changing `seed` gives a fresh epoch permutation; the same seed
+  reproduces the exact order. At scale the order is materialized by
+  writing files range-partitioned + sorted on the key — no global
+  window. The head-k form used by the contract entry is a
+  TakeOrderedAndProject (per-partition top-k, then merge of k-row
+  heads), so no single-partition global sort appears in the plan
+  either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.ops.hashing import h32
+
+TWO32 = 1 << 32
+
+
+def mixture_weights(
+    docs: DataFrame, group_col: str = "source", alpha: float = 0.5
+) -> DataFrame:
+    """Per-source temperature-scaled sampling weights.
+
+    Returns (source, n_docs, weight, epochs) where
+    weight_i = n_i^alpha / sum_j n_j^alpha (rounded 6dp) and
+    epochs_i = weight_i_raw * N / n_i — the expected number of times a
+    doc of source i is seen when drawing N samples under the weights
+    (>1 means the source is upsampled). Only alpha = 0.5 (sqrt) and
+    alpha = 1.0 (identity; weights degenerate to corpus shares) are
+    accepted: both are correctly-rounded IEEE ops, so the output is
+    engine-portable. General pow() is refused rather than silently
+    non-reproducible.
+    """
+    if alpha not in (0.5, 1.0):
+        raise ValueError(
+            "alpha must be 0.5 (sqrt) or 1.0 (identity) for "
+            f"bit-reproducible weights, got {alpha}"
+        )
+    n = F.col("n_docs").cast("double")
+    smoothed = F.sqrt(n) if alpha == 0.5 else n
+    per = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    per = per.withColumn("_s", smoothed)
+    tot = per.agg(
+        F.sum("_s").alias("_st"), F.sum("n_docs").alias("_nt")
+    )
+    w = F.col("_s") / F.col("_st")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(w, 6).alias("weight"),
+            F.round(
+                w * F.col("_nt").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+def hash_bernoulli_keep(id_col: F.Column, rate_col: F.Column) -> F.Column:
+    """Boolean keep predicate: h32(id) < floor(rate * 2^32). Pure
+    map-side expression — pushes into the scan, no RNG, no shuffle."""
+    thr = F.floor(rate_col.cast("double") * F.lit(float(TWO32))).cast("long")
+    return h32(id_col.cast("string")) < thr
+
+
+def resample_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    overall_rate: float = 0.3,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-rebalanced downsampling accounting: per-source
+    selection rate r_i = overall_rate * N * weight_i / n_i (capped at
+    1.0 — a small source whose temperature share exceeds its size
+    keeps everything; true upsampling is a repeat at read time, not a
+    filter), selection by the hash threshold. Returns
+    (source, n_docs, rate, n_selected) — the table that audits what
+    the mixing stage actually kept.
+
+    Plan shape: one tiny per-source aggregate broadcast back onto the
+    corpus scan; the keep test is a pushed predicate. ONE pass."""
+    wts = mixture_weights(docs, group_col, alpha)
+    tot = wts.agg(F.sum("n_docs").alias("_nt"))
+    rates = (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.least(
+                    F.lit(float(overall_rate))
+                    * F.col("_nt").cast("double")
+                    * F.col("weight")
+                    / F.col("n_docs").cast("double"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+    keep = hash_bernoulli_keep(F.col("doc_id"), F.col("rate"))
+    return (
+        docs.select("doc_id", F.col(group_col).alias("source"))
+        .join(F.broadcast(rates), "source")
+        .select("source", "n_docs", "rate", keep.cast("long").alias("_k"))
+        .groupBy("source", "n_docs", "rate")
+        .agg(F.sum("_k").cast("long").alias("n_selected"))
+        .orderBy("source")
+    )
+
+
+def training_order_key(id_col: F.Column, seed: str) -> F.Column:
+    """The epoch-`seed` shuffle sort key for a document id."""
+    return h32(F.concat(F.lit(seed + ":"), id_col.cast("string")))
+
+
+def training_order_head(
+    docs: DataFrame, k: int = 20, seed: str = "ep0"
+) -> DataFrame:
+    """First k docs of the epoch-`seed` deterministic shuffle order:
+    (rank, doc_id, shuffle_key), rank 1-based. orderBy+limit compiles
+    to TakeOrderedAndProject; the rank window runs over the k
+    survivors only (never the corpus)."""
+    key = training_order_key(F.col("doc_id"), seed)
+    head = (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return head.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "shuffle_key",
+    )

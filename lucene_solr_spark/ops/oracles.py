@@ -835,3 +835,68 @@ SELECT (pre // {budget})::BIGINT AS shard_id,
   count(*)::BIGINT AS n_docs,
   sum(n_tokens)::BIGINT AS sum_tokens
 FROM p GROUP BY 1 ORDER BY shard_id"""
+
+
+def mixture_weights_sql() -> str:
+    """Oracle for mixing.mixture_weights (alpha=0.5): temperature-
+    scaled source weights — sqrt is IEEE-correctly-rounded in both
+    engines, so only the 5-term sum carries ulp risk (absorbed by the
+    6dp round)."""
+    return """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS st,
+         sum(n_docs)::BIGINT AS nt FROM per
+)
+SELECT source, n_docs,
+  round(sqrt(CAST(n_docs AS DOUBLE)) / st, 6) AS weight,
+  round(sqrt(CAST(n_docs AS DOUBLE)) / st
+        * CAST(nt AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS epochs
+FROM per, tot ORDER BY source"""
+
+
+def resample_stats_sql(overall_rate: float = 0.3) -> str:
+    """Oracle for mixing.resample_stats: per-source hash-threshold
+    selection counts at the temperature-rebalanced rates (rates built
+    from the ROUNDED weight, exactly as the engine does)."""
+    from lucene_solr_spark.ops.hashing import h32_sql
+
+    h = h32_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS st,
+         sum(n_docs)::BIGINT AS nt FROM per
+),
+rates AS (
+  SELECT source, n_docs,
+    round(least({overall_rate} * CAST(nt AS DOUBLE)
+      * round(sqrt(CAST(n_docs AS DOUBLE)) / st, 6)
+      / CAST(n_docs AS DOUBLE), 1.0), 6) AS rate
+  FROM per, tot
+)
+SELECT r.source, r.n_docs, r.rate,
+  sum(CASE WHEN {h} < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+      THEN 1 ELSE 0 END)::BIGINT AS n_selected
+FROM documents d JOIN rates r USING (source)
+GROUP BY r.source, r.n_docs, r.rate ORDER BY r.source"""
+
+
+def training_order_sql(k: int = 20, seed: str = "ep0") -> str:
+    """Oracle for mixing.training_order_head: first k docs of the
+    deterministic epoch shuffle (hash order)."""
+    from lucene_solr_spark.ops.hashing import h32_sql
+
+    h = h32_sql(f"'{seed}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {h} AS shuffle_key FROM documents
+  ORDER BY shuffle_key, doc_id LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT AS rank,
+  doc_id, shuffle_key
+FROM t ORDER BY rank"""

@@ -1,0 +1,82 @@
+"""Corpus-mixing ops — temperature weights, hash-threshold resampling,
+deterministic training order (lucene_solr_spark/ops/mixing.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from lucene_solr_spark.ops.mixing import (
+    mixture_weights,
+    resample_stats,
+    training_order_head,
+)
+
+
+def _docs(spark, sizes: dict[str, int]):
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "source"])
+
+
+def test_mixture_weights_sqrt_smoothing(spark):
+    d = _docs(spark, {"big": 100, "small": 4})
+    got = {r.source: r for r in mixture_weights(d).collect()}
+    st = math.sqrt(100) + math.sqrt(4)
+    assert got["big"].weight == round(10 / st, 6)
+    assert got["small"].weight == round(2 / st, 6)
+    # temperature upweights the small source: epochs > 1
+    assert got["small"].epochs > 1.0 > got["big"].epochs
+
+
+def test_mixture_weights_alpha1_is_corpus_share(spark):
+    d = _docs(spark, {"a": 30, "b": 10})
+    got = {r.source: r.weight for r in mixture_weights(d, alpha=1.0).collect()}
+    assert got == {"a": 0.75, "b": 0.25}
+
+
+def test_mixture_weights_rejects_nonportable_alpha(spark):
+    with pytest.raises(ValueError, match="alpha"):
+        mixture_weights(_docs(spark, {"a": 1}), alpha=0.7)
+
+
+def test_resample_rate_capped_at_one(spark):
+    # tiny source whose temperature share exceeds its size: rate == 1.0
+    # and every doc selected
+    d = _docs(spark, {"big": 400, "tiny": 1})
+    got = {r.source: r for r in resample_stats(d, overall_rate=0.5).collect()}
+    assert got["tiny"].rate == 1.0
+    assert got["tiny"].n_selected == 1
+    assert 0.0 < got["big"].rate < 1.0
+    assert got["big"].n_selected <= got["big"].n_docs
+
+
+def test_resample_deterministic(spark):
+    d = _docs(spark, {"a": 50, "b": 20})
+    a = resample_stats(d).collect()
+    b = resample_stats(d.repartition(7)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_training_order_reproducible_and_seeded(spark):
+    d = _docs(spark, {"a": 60})
+    o1 = [r.doc_id for r in training_order_head(d, k=10).collect()]
+    o2 = [r.doc_id for r in training_order_head(d.repartition(5), k=10).collect()]
+    assert o1 == o2  # partitioning-independent
+    assert o1 != sorted(o1)  # actually shuffled
+    o3 = [r.doc_id for r in training_order_head(d, k=10, seed="ep1").collect()]
+    assert o1 != o3  # a new epoch seed permutes differently
+    ranks = [r.rank for r in training_order_head(d, k=10).collect()]
+    assert ranks == list(range(1, 11))
+
+
+def test_training_order_plan_is_take_ordered(spark):
+    # the head must compile to TakeOrderedAndProject — no global sort
+    d = _docs(spark, {"a": 30})
+    plan = training_order_head(d, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
