@@ -3286,6 +3286,18 @@ def _op_pack_shards(spark, sf):
     return shard_stats(_docs(spark, sf), budget=2048)
 
 
+def _q_spellcheck_collate(spark, sf):
+    """SpellCheckCollator analog (solr/.../spelling/SpellCheckCollator
+    .java:49-120): each misspelled word replaced by its best dictionary
+    correction (dist asc, df desc, term asc — DirectSpellChecker's
+    comparator), the collation verified by an AND re-query.
+    search/spellcheck.py. One row (collated_query, n_hits)."""
+    from lucene_solr_spark.search.spellcheck import collate
+
+    s = _searcher_for(spark, sf)
+    return collate(s, ["tabel", "scen"])
+
+
 def _op_mixture_weights(spark, sf):
     """Temperature-scaled source-mixing weights (ops/mixing.py:
     mixture_weights, alpha=0.5): w_i ∝ sqrt(n_i) — the exponential
@@ -3648,7 +3660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the mixing entries mixture_weights_by_source /
     mixture_resample_stats / training_order_head (sqrt-only
     temperature weights + hash-threshold sampling + hash-order
-    shuffle; all portable-rounded, check_entry-green on addition)."""
+    shuffle; all portable-rounded, check_entry-green on addition) and
+    spellcheck_collation (string + integer-count output,
+    check_entry-green on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3722,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights_by_source": _op_mixture_weights,
         "mixture_resample_stats": _op_resample_stats,
         "training_order_head": _op_training_order,
+        "spellcheck_collation": _q_spellcheck_collate,
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
@@ -4162,6 +4177,26 @@ def oracle_sql() -> dict[str, str]:
             "  (PARTITION BY bucket ORDER BY df DESC, term) AS rn FROM c) "
             "SELECT bucket::BIGINT AS bucket, term, df FROM r "
             "WHERE rn <= 5 ORDER BY bucket, df DESC, term"
+        ),
+        "spellcheck_collation": (
+            f"WITH {_BM25_CTES}, "
+            "w AS (SELECT * FROM (VALUES (0, 'tabel'), (1, 'scen')) "
+            "  AS t(pos, input)), "
+            "cand AS (SELECT w.pos, dfs.term, dfs.df, "
+            "    levenshtein(dfs.term, w.input) AS dist, "
+            "    row_number() OVER (PARTITION BY w.pos ORDER BY "
+            "      levenshtein(dfs.term, w.input), dfs.df DESC, dfs.term) "
+            "      AS rnk "
+            "  FROM dfs CROSS JOIN w "
+            "  WHERE levenshtein(dfs.term, w.input) <= 2), "
+            "corr AS (SELECT pos, term FROM cand WHERE rnk = 1), "
+            "colla AS (SELECT string_agg(term, ' ' ORDER BY pos) "
+            "  AS collated_query FROM corr), "
+            "hits AS (SELECT count(*)::BIGINT AS n_hits FROM ("
+            "  SELECT tf.doc_id FROM tf JOIN corr ON tf.term = corr.term "
+            "  GROUP BY tf.doc_id "
+            "  HAVING count(DISTINCT tf.term) = (SELECT count(*) FROM corr))) "
+            "SELECT collated_query, n_hits FROM colla, hits"
         ),
         "mixture_weights_by_source": _ops_oracles.mixture_weights_sql(),
         "mixture_resample_stats": _ops_oracles.resample_stats_sql(),
