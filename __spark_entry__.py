@@ -3540,6 +3540,23 @@ def _q_spatial_nearest(spark, sf):
     ).select("doc_id", "dist_m")
 
 
+# facet.heatmap grid: a non-wrapping box split into 8x8 cells
+_GEO_HEAT = dict(min_lat=-40.0, max_lat=40.0, min_lon=-60.0, max_lon=60.0)
+_GEO_HEAT_GRID = (8, 8)
+
+
+def _q_facet_heatmap(spark, sf):
+    """Solr facet.heatmap analog (HeatmapFacetCounter): per-grid-cell
+    doc counts over a bbox — ONE groupBy on <= rows*cols keys."""
+    from lucene_solr_spark.search.spatial import heatmap_facet
+
+    g = _geo_docs(spark, sf)
+    return heatmap_facet(
+        g, "lat", "lon", grid_rows=_GEO_HEAT_GRID[0],
+        grid_cols=_GEO_HEAT_GRID[1], **_GEO_HEAT,
+    )
+
+
 def _spatial_sqls() -> dict[str, str]:
     from lucene_solr_spark.search.spatial import (
         derived_point_sql,
@@ -3574,11 +3591,19 @@ def _spatial_sqls() -> dict[str, str]:
         f"WITH {geo} SELECT count(*)::BIGINT AS total_hits FROM geo "
         f"WHERE {polygon_sql('lat', 'lon', _GEO_POLY_LATS, _GEO_POLY_LONS)}"
     )
+    from lucene_solr_spark.search.spatial import heatmap_facet_sql
+
+    heat = f"WITH {geo} " + heatmap_facet_sql(
+        "lat", "lon", grid_rows=_GEO_HEAT_GRID[0],
+        grid_cols=_GEO_HEAT_GRID[1], from_clause="FROM geo",
+        **_GEO_HEAT,
+    )
     return {
         "spatial_box_count": box,
         "spatial_distance_topk": dist,
         "spatial_nearest_topk": near,
         "spatial_polygon_count": poly,
+        "facet_heatmap_counts": heat,
     }
 
 
@@ -3662,6 +3687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     temperature weights + hash-threshold sampling + hash-order
     shuffle; all portable-rounded, check_entry-green on addition) and
     spellcheck_collation (string + integer-count output,
+    check_entry-green on addition) and facet_heatmap_counts
+    (integer grid counts over the pinned derived points,
     check_entry-green on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
@@ -3722,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_index_topk": _q_sorted_index_topk,
         "spatial_box_count": _q_spatial_box,
         "spatial_polygon_count": _q_spatial_polygon,
+        "facet_heatmap_counts": _q_facet_heatmap,
         "frange_filter_topk": _q_frange_filter,
         "pii_redaction_stats": _q_pii_redaction,
         "pack_shards_stats": _op_pack_shards,

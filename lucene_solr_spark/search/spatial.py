@@ -288,3 +288,93 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     s2 = f"sin(((({lon2}) * {DEG_TO_RAD!r}) - (({lon1}) * {DEG_TO_RAD!r})) * 0.5)"
     h = f"({s1} * {s1} + cos({rl1}) * cos({rl2}) * ({s2} * {s2}))"
     return f"({2.0 * EARTH_RADIUS_M!r} * asin(least(1.0, sqrt({h}))))"
+
+
+# ----------------------------------------------------------------------
+# heatmap facet
+# ----------------------------------------------------------------------
+
+
+def heatmap_facet(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    grid_rows: int,
+    grid_cols: int,
+) -> DataFrame:
+    """Solr facet.heatmap analog (HeatmapFacetCounter,
+    lucene/spatial-extras/src/java/org/apache/lucene/spatial/prefix/
+    HeatmapFacetCounter.java:60-120 + solr/core/.../component/
+    SpatialHeatmapFacets.java): per-grid-cell document counts over a
+    bounding box at a fixed grid resolution.
+
+    Spark mapping: cell id = floor((coord - min) / cell_size), clamped
+    so the exact max edge lands in the last cell (the reference's
+    grid snap keeps the box edge inclusive); ONE groupBy on
+    (grid_row, grid_col) — a single shuffle on at most rows*cols keys,
+    map-side combined, skew-free by construction. The box predicate is
+    a pushdown-eligible range filter (partition/row-group pruning on
+    stored lat/lon at scale). Empty cells are absent (sparse output —
+    the reference emits dense int arrays; callers can densify with a
+    literal grid cross join when needed).
+
+    Returns (grid_row, grid_col, cnt) sorted by (grid_row, grid_col).
+    grid_row counts up from min_lat (south), grid_col from min_lon
+    (west). Cell sizes are Python-double literals, so the oracle's
+    arithmetic matches bit-for-bit."""
+    assert max_lat > min_lat and max_lon > min_lon
+    cell_h = (max_lat - min_lat) / float(grid_rows)
+    cell_w = (max_lon - min_lon) / float(grid_cols)
+    la, lo = F.col(lat_col), F.col(lon_col)
+    pred = box_predicate(la, lo, min_lat, max_lat, min_lon, max_lon)
+    row = F.least(
+        F.floor((la - F.lit(min_lat)) / F.lit(cell_h)),
+        F.lit(grid_rows - 1),
+    ).cast("long")
+    col = F.least(
+        F.floor((lo - F.lit(min_lon)) / F.lit(cell_w)),
+        F.lit(grid_cols - 1),
+    ).cast("long")
+    return (
+        df.filter(pred)
+        .groupBy(row.alias("grid_row"), col.alias("grid_col"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("grid_row", "grid_col")
+    )
+
+
+def heatmap_facet_sql(
+    lat_expr: str,
+    lon_expr: str,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    grid_rows: int,
+    grid_cols: int,
+    from_clause: str,
+) -> str:
+    """`heatmap_facet` as SQL text (same op order) for the oracle."""
+    cell_h = (max_lat - min_lat) / float(grid_rows)
+    cell_w = (max_lon - min_lon) / float(grid_cols)
+    pred = (
+        f"({lat_expr}) >= {min_lat!r} AND ({lat_expr}) <= {max_lat!r} "
+        f"AND ({lon_expr}) >= {min_lon!r} AND ({lon_expr}) <= {max_lon!r}"
+    )
+    row = (
+        f"CAST(least(floor((({lat_expr}) - {min_lat!r}) / {cell_h!r}), "
+        f"{grid_rows - 1}) AS BIGINT)"
+    )
+    col = (
+        f"CAST(least(floor((({lon_expr}) - {min_lon!r}) / {cell_w!r}), "
+        f"{grid_cols - 1}) AS BIGINT)"
+    )
+    return (
+        f"SELECT {row} AS grid_row, {col} AS grid_col, "
+        f"count(*)::BIGINT AS cnt {from_clause} WHERE {pred} "
+        "GROUP BY 1, 2 ORDER BY grid_row, grid_col"
+    )

@@ -138,3 +138,41 @@ def test_stored_latlon_pushdown(spark, tmp_path):
         "GreaterThanOrEqual(lat" in ln and "LessThanOrEqual(lat" in ln
         for ln in pushed
     )
+
+
+def test_heatmap_facet_grid(spark):
+    g = _geo(spark).cache()
+    got = sp.heatmap_facet(
+        g, "lat", "lon", -40.0, 40.0, -60.0, 60.0, 8, 8
+    ).collect()
+    rows = g.collect()
+    # brute-force the same grid
+    want: dict[tuple[int, int], int] = {}
+    for r in rows:
+        if not (-40.0 <= r.lat <= 40.0 and -60.0 <= r.lon <= 60.0):
+            continue
+        gr = min(int(math.floor((r.lat - -40.0) / 10.0)), 7)
+        gc = min(int(math.floor((r.lon - -60.0) / 15.0)), 7)
+        want[(gr, gc)] = want.get((gr, gc), 0) + 1
+    assert {(r.grid_row, r.grid_col): r.cnt for r in got} == want
+    assert want, "fixture must populate the heatmap box"
+    # sparse output: only occupied cells, all within the grid
+    assert all(0 <= r.grid_row < 8 and 0 <= r.grid_col < 8 for r in got)
+    # cell total == box-predicate total (grid partitions the box)
+    box_n = g.filter(
+        sp.box_predicate(F.col("lat"), F.col("lon"), -40, 40, -60, 60)
+    ).count()
+    assert sum(r.cnt for r in got) == box_n
+
+
+def test_heatmap_max_edge_clamps_into_last_cell(spark):
+    df = spark.createDataFrame(
+        [(1, 40.0, 60.0), (2, -40.0, -60.0)], "doc_id long, lat double, lon double"
+    )
+    got = {
+        (r.grid_row, r.grid_col): r.cnt
+        for r in sp.heatmap_facet(
+            df, "lat", "lon", -40.0, 40.0, -60.0, 60.0, 8, 8
+        ).collect()
+    }
+    assert got == {(7, 7): 1, (0, 0): 1}
