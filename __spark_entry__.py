@@ -2583,6 +2583,32 @@ def _q_block_join_sum(spark, sf):
     )
 
 
+def _q_block_join_children(spark, sf):
+    """ToChildBlockJoinQuery analog: parent query = ToParentBlockJoin
+    (ScoreMode.Avg) of the BM25 term query, parents filtered to >= 3
+    matching children (the parentsFilter seam), every child of a
+    surviving parent returned with the parent's score
+    (ToChildBlockJoinQuery.java:63-150). Avg scores round at 6 (f64
+    sum order; the documented "total"/"avg" trade)."""
+    from lucene_solr_spark.search.join import (
+        to_child_block_join,
+        to_parent_block_join,
+    )
+
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf)
+    parents = to_parent_block_join(hits, docs, "source", "avg").where(
+        F.col("n_children") >= 3
+    )
+    kids = to_child_block_join(parents, docs, "source")
+    return (
+        kids.select("doc_id", F.round(F.col("score"), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(K)
+    )
+
+
 def _q_function_score(spark, sf):
     """FunctionQuery / CustomScoreQuery analog: BM25 * recip(n_chars)
     with recip(x) = 1000/(x + 1000) (queries/.../function/valuesource
@@ -3689,6 +3715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     spellcheck_collation (string + integer-count output,
     check_entry-green on addition) and facet_heatmap_counts
     (integer grid counts over the pinned derived points,
+    check_entry-green on addition) and block_join_children_topk
+    (parent-avg scores round-6 like the sibling block_join_sum entry,
     check_entry-green on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
@@ -3750,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_box_count": _q_spatial_box,
         "spatial_polygon_count": _q_spatial_polygon,
         "facet_heatmap_counts": _q_facet_heatmap,
+        "block_join_children_topk": _q_block_join_children,
         "frange_filter_topk": _q_frange_filter,
         "pii_redaction_stats": _q_pii_redaction,
         "pack_shards_stats": _op_pack_shards,
@@ -4122,6 +4151,15 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(CAST(sc.s AS DOUBLE)), 4) AS sum_score "
             "FROM sc JOIN documents d USING (doc_id) "
             "GROUP BY d.source ORDER BY d.source"
+        ),
+        "block_join_children_topk": (
+            f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))}, "
+            "par AS (SELECT d.source AS pk, avg(CAST(sc.s AS DOUBLE)) AS ps "
+            "FROM sc JOIN documents d USING (doc_id) "
+            "GROUP BY d.source HAVING count(*) >= 3) "
+            "SELECT d.doc_id, round(par.ps, 6) AS score "
+            "FROM documents d JOIN par ON d.source = par.pk "
+            f"ORDER BY score DESC, d.doc_id LIMIT {K}"
         ),
         "function_score_topk": (
             f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "

@@ -76,3 +76,73 @@ def join_util(
         .join(F.broadcast(agg), "_jv")
         .select("doc_id", F.col("_jscore").alias("score"))
     )
+
+
+def to_parent_block_join(
+    child_hits: DataFrame,
+    docs: DataFrame,
+    parent_field: str,
+    score_mode: str = "max",
+) -> DataFrame:
+    """ToParentBlockJoinQuery analog (join/src/java/org/apache/lucene/
+    search/join/ToParentBlockJoinQuery.java:82-140): child hits
+    aggregate up to their parent block, scored per ScoreMode.
+
+    Parent blocks are keyed by `parent_field` (the Spark mapping of
+    Lucene's contiguous doc-block + parent bit-set: a grouping key on
+    the child rows). Returns (parent_key, score, n_children) — one
+    hash-aggregate with map-side combine; n_children = matching
+    children, for parent-level filtering (the parentsFilter seam).
+
+    Float caveat mirrors join_util: "total"/"avg" sum f32 scores in
+    double in shuffle order (deterministic per run, not bit-portable —
+    round at the surface); "max"/"none" are bitwise."""
+    if score_mode not in ("none", "max", "total", "avg"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    vals = child_hits.join(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(parent_field).alias("parent_key"),
+        ),
+        "doc_id",
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_children")]
+    s = F.col("score").cast("double")
+    if score_mode == "none":
+        aggs.append(F.first(F.lit(1.0)).alias("score"))
+    elif score_mode == "max":
+        aggs.append(F.max(s).alias("score"))
+    elif score_mode == "total":
+        aggs.append(F.sum(s).alias("score"))
+    else:
+        aggs.append(F.avg(s).alias("score"))
+    return vals.groupBy("parent_key").agg(*aggs).select(
+        "parent_key", "score", "n_children"
+    )
+
+
+def to_child_block_join(
+    parent_hits: DataFrame, docs: DataFrame, parent_field: str
+) -> DataFrame:
+    """ToChildBlockJoinQuery analog (join/src/java/org/apache/lucene/
+    search/join/ToChildBlockJoinQuery.java:63-150): every CHILD of a
+    matching parent matches, scored with its parent's score (the
+    reference propagates parentScorer.score() to each child doc of the
+    parent's block).
+
+    parent_hits: (parent_key, score) — e.g. the output of
+    to_parent_block_join (optionally parent-filtered). The join is a
+    broadcast hash join on the matched-parent frame — one row per
+    MATCHED parent (the same bound as Lucene's parent bit-set walk),
+    orders below the child corpus, so no shuffle of the child table."""
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(parent_field).alias("parent_key"),
+        )
+        .join(
+            F.broadcast(parent_hits.select("parent_key", "score")),
+            "parent_key",
+        )
+        .select("doc_id", "score")
+    )

@@ -59,3 +59,62 @@ def test_join_rejects_unknown_mode(spark, joined):
     hits, docs, _, _ = joined
     with pytest.raises(ValueError, match="score_mode"):
         join_util(hits, docs, "source", docs, "source", "weird")
+
+
+@pytest.mark.parametrize("mode", ["none", "max", "total", "avg"])
+def test_to_parent_block_join_modes(spark, joined, mode):
+    from lucene_solr_spark.search.join import to_parent_block_join
+
+    hits, docs, hp, dp = joined
+    got = (
+        to_parent_block_join(hits, docs, "source", mode)
+        .toPandas()
+        .set_index("parent_key")
+        .sort_index()
+    )
+    m = hp.merge(dp, on="doc_id")
+    g = m.groupby("source")["score"].agg(["max", "sum", "mean", "size"])
+    want = {
+        "none": g["size"] * 0 + 1.0,
+        "max": g["max"],
+        "total": g["sum"],
+        "avg": g["mean"],
+    }[mode]
+    assert got["n_children"].to_dict() == g["size"].to_dict()
+    assert got["score"].sort_index().round(9).to_dict() == pytest.approx(
+        want.sort_index().round(9).to_dict()
+    )
+
+
+def test_to_child_block_join_propagates_parent_score(spark, joined):
+    from lucene_solr_spark.search.join import (
+        to_child_block_join,
+        to_parent_block_join,
+    )
+    from pyspark.sql import functions as F
+
+    hits, docs, hp, dp = joined
+    parents = to_parent_block_join(hits, docs, "source", "max").where(
+        F.col("n_children") >= 2
+    )
+    pmap = {
+        r.parent_key: r.score for r in parents.collect()
+    }
+    assert pmap, "fixture must yield a multi-child parent"
+    kids = to_child_block_join(parents, docs, "source").toPandas()
+    dmap = dp.set_index("doc_id")["source"].to_dict()
+    # every child of a surviving parent appears exactly once, with the
+    # parent's score; children of filtered-out parents are absent
+    want = {
+        did: pmap[src] for did, src in dmap.items() if src in pmap
+    }
+    got = kids.set_index("doc_id")["score"].to_dict()
+    assert got == pytest.approx(want)
+
+
+def test_to_parent_block_join_rejects_unknown_mode(spark, joined):
+    from lucene_solr_spark.search.join import to_parent_block_join
+
+    hits, docs, _, _ = joined
+    with pytest.raises(ValueError):
+        to_parent_block_join(hits, docs, "source", "nope")
