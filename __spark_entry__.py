@@ -2740,6 +2740,22 @@ def _q_suggest_fuzzy(spark, sf):
     )
 
 
+def _freetext_suggest_sql(context: str, k: int) -> str:
+    from lucene_solr_spark.search.suggest import freetext_suggest_sql
+
+    return freetext_suggest_sql(context, k)
+
+
+def _q_suggest_freetext(spark, sf):
+    """FreeTextSuggester analog (suggest/.../analyzing/
+    FreeTextSuggester.java:90-140): bigram-LM next-word suggestions
+    after the context word, stupid-backoff ALPHA=0.4 to the unigram
+    model for unseen followers. search/suggest.py."""
+    from lucene_solr_spark.search.suggest import freetext_suggest
+
+    return freetext_suggest(_docs(spark, sf), Q_TERM, k=8)
+
+
 def _q_realtime_get(spark, sf):
     """RealTimeGetHandler analog (searcher.get_by_keys): base index
     over doc_id >= 100, one NRT append for the rest (uncommitted-to-
@@ -3717,7 +3733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (integer grid counts over the pinned derived points,
     check_entry-green on addition) and block_join_children_topk
     (parent-avg scores round-6 like the sibling block_join_sum entry,
-    check_entry-green on addition)."""
+    check_entry-green on addition) and suggest_freetext (integer-count
+    ratios in pinned op order, round-6, check_entry-green on
+    addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3779,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_polygon_count": _q_spatial_polygon,
         "facet_heatmap_counts": _q_facet_heatmap,
         "block_join_children_topk": _q_block_join_children,
+        "suggest_freetext": _q_suggest_freetext,
         "frange_filter_topk": _q_frange_filter,
         "pii_redaction_stats": _q_pii_redaction,
         "pack_shards_stats": _op_pack_shards,
@@ -4124,6 +4143,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE levenshtein(substr(term, 1, 3), 'sca') <= 1 "
             "ORDER BY df DESC, term LIMIT 10"
         ),
+        "suggest_freetext": _freetext_suggest_sql(Q_TERM, 8),
         "realtime_get_rows": (
             f"WITH {_BM25_CTES} "
             "SELECT d.doc_id AS key, dl.doc_len::BIGINT AS doc_len "

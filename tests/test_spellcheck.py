@@ -42,3 +42,41 @@ def test_collate_uncorrectable_word_passes_through(searcher):
     row = collate(searcher, ["zzzzzzzzzz", "table"]).collect()[0]
     assert row.collated_query.split()[0] == "zzzzzzzzzz"
     assert row.n_hits == 0
+
+
+def test_freetext_suggest_bigram_and_backoff(spark):
+    from lucene_solr_spark.search.suggest import freetext_suggest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "the dog sat"),
+            (4, "zebra alone"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.word: r.score for r in freetext_suggest(docs, "the", k=10).collect()}
+    # bigram followers of "the": cat x2, dog x1 (ctx total = 3)
+    assert got["cat"] == round(2 / 3, 6)
+    assert got["dog"] == round(1 / 3, 6)
+    # never follows "the" -> stupid backoff to alpha * unigram MLE
+    total = 11.0  # tokens across the corpus
+    assert got["zebra"] == round(0.4 * (1 / total), 6)
+    assert got["sat"] == round(0.4 * (2 / total), 6)
+    # ranking: bigram paths dominate, ties break word-asc
+    order = [r.word for r in freetext_suggest(docs, "the", k=4).collect()]
+    assert order[:2] == ["cat", "dog"]
+
+
+def test_freetext_suggest_unseen_context_backs_off_everything(spark):
+    from lucene_solr_spark.search.suggest import freetext_suggest
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = freetext_suggest(docs, "zzz", k=10).collect()
+    # no bigram starts with zzz -> every candidate scored by backoff
+    assert {r.word for r in rows} == {"a", "b", "c"}
+    assert rows[0].word == "b"  # highest unigram count wins
+    assert all(r.score <= 0.4 for r in rows)
