@@ -2629,6 +2629,41 @@ def _q_function_score(spark, sf):
     )
 
 
+# fixed "NOW" anchor for the date-recency boost (entries must be
+# deterministic). ts is TIMESTAMP_NTZ, so ages are computed tz-free as
+# the interval's whole-second count (Spark: day-time interval cast to
+# long truncates micros; oracle: integer epoch-us floor-div — identical
+# integers for positive ages).
+_RECENCY_NOW = "2024-02-01 00:00:00"
+_RECENCY_NOW_US = 1706745600000000
+_RECENCY_M = 3.16e-8  # Solr's classic 3.16e-11/ms recip slope, per-second
+
+
+def _q_recency_boost(spark, sf):
+    """Solr date-recency boost analog — the classic
+    `recip(ms(NOW,date),3.16e-11,1,1)` function query
+    (solr/core/.../search/function/ — ReciprocalFloatFunction over
+    ms(): FunctionQParser's recip/ms built-ins): each event's value
+    boosted by 1/(m*age + 1) against a FIXED anchor. Ages are exact
+    whole-second integers on both engines; the recip is pinned-op-order
+    double math, round-6 surface."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    age = (
+        F.lit(_RECENCY_NOW).cast("timestamp_ntz") - F.col("ts")
+    ).cast("long")
+    rscore = F.col("value").cast("double") * (
+        F.lit(1.0) / (F.lit(_RECENCY_M) * age.cast("double") + F.lit(1.0))
+    )
+    return (
+        ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.round(rscore, 6).alias("rscore"),
+        )
+        .orderBy(F.desc("rscore"), "event_id")
+        .limit(K)
+    )
+
+
 def _q_frange_filter(spark, sf):
     """{!frange} qparser analog (solr/core/.../search/
     FunctionRangeQParserPlugin.java + function/
@@ -3735,7 +3770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (parent-avg scores round-6 like the sibling block_join_sum entry,
     check_entry-green on addition) and suggest_freetext (integer-count
     ratios in pinned op order, round-6, check_entry-green on
-    addition)."""
+    addition) and recency_boost_topk (exact epoch-micros ages, pinned
+    recip order, round-6, check_entry-green on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3798,6 +3834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_heatmap_counts": _q_facet_heatmap,
         "block_join_children_topk": _q_block_join_children,
         "suggest_freetext": _q_suggest_freetext,
+        "recency_boost_topk": _q_recency_boost,
         "frange_filter_topk": _q_frange_filter,
         "pii_redaction_stats": _q_pii_redaction,
         "pack_shards_stats": _op_pack_shards,
@@ -4144,6 +4181,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY df DESC, term LIMIT 10"
         ),
         "suggest_freetext": _freetext_suggest_sql(Q_TERM, 8),
+        "recency_boost_topk": (
+            "SELECT event_id::BIGINT AS event_id, "
+            "round(CAST(value AS DOUBLE) * "
+            f"(1.0 / ({_RECENCY_M!r} * "
+            f"CAST(({_RECENCY_NOW_US} - epoch_us(ts)) // 1000000 "
+            "AS DOUBLE) + 1.0)), 6) "
+            "AS rscore FROM events "
+            f"ORDER BY rscore DESC, event_id LIMIT {K}"
+        ),
         "realtime_get_rows": (
             f"WITH {_BM25_CTES} "
             "SELECT d.doc_id AS key, dl.doc_len::BIGINT AS doc_len "
