@@ -2883,6 +2883,15 @@ def _op_dedup_representatives(spark, sf):
     return dedup_representatives(_docs(spark, sf))
 
 
+def _op_semdedup(spark, sf):
+    """SemDeDup (arXiv:2303.09540): k-means cluster the embeddings
+    (the shared IVF coarse quantizer), drop within-cluster vectors
+    whose round-6 cosine to a lower-id member >= tau. ops/dedup.py."""
+    from lucene_solr_spark.ops.dedup import semdedup_keep
+
+    return semdedup_keep(_emb(spark, sf))
+
+
 def _op_simhash(spark, sf):
     """64-bit SimHash fingerprints as two 32-bit words (the web-scale
     width; 32-bit birthday-collides far below 10^9 docs)."""
@@ -3770,8 +3779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (parent-avg scores round-6 like the sibling block_join_sum entry,
     check_entry-green on addition) and suggest_freetext (integer-count
     ratios in pinned op order, round-6, check_entry-green on
-    addition) and recency_boost_topk (exact epoch-micros ages, pinned
-    recip order, round-6, check_entry-green on addition)."""
+    addition) and recency_boost_topk (exact whole-second ages, pinned
+    recip order, round-6, check_entry-green on addition) and
+    semdedup_keep (the bitwise-pinned IVF assignment kernel + round-6
+    cosine threshold, check_entry-green on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3835,6 +3846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join_children_topk": _q_block_join_children,
         "suggest_freetext": _q_suggest_freetext,
         "recency_boost_topk": _q_recency_boost,
+        "semdedup_keep": _op_semdedup,
         "frange_filter_topk": _q_frange_filter,
         "pii_redaction_stats": _q_pii_redaction,
         "pack_shards_stats": _op_pack_shards,
@@ -4130,6 +4142,7 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY d.lang, d.n_chars DESC, sc.doc_id LIMIT {K}"
         ),
         "dedup_keep_decisions": _ops_oracles.dedup_representatives_sql(),
+        "semdedup_keep": _ops_oracles.semdedup_sql(),
         "rerank_topk": _rerank_sql(
             ("table", "vector", "customer"), "scan", 100, 2.0, K
         ),

@@ -677,3 +677,75 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             "diameter)"
         )
     return labels.orderBy("doc_id")
+
+
+def semdedup_keep(
+    emb: DataFrame, tau: float = 0.42, n_centroids: int | None = None
+) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): cluster the embeddings with the IVF coarse
+    k-means quantizer, then WITHIN each cluster drop every vector whose
+    cosine to a lower-vec_id cluster member reaches tau — keeping one
+    representative (the lowest id) per semantic-duplicate neighborhood.
+
+    Scale shape (the paper's own design): the expensive pairwise cosine
+    runs ONLY inside clusters — a bucket-keyed equi-self-join, one
+    shuffle on the cluster id — and n_centroids grows with the corpus
+    (SemDeDup uses ~sqrt(N) clusters) so per-cluster membership stays
+    bounded and the intra-cluster join never goes corpus-quadratic.
+    The quantizer trains on the same hard-capped sample as ivf_topk
+    (similarity.KMEANS_MAX_SAMPLE) and assignment is one map-side
+    expression — no driver state beyond the centroid literals.
+
+    Determinism: assignment + cosine folds are the bitwise-pinned
+    kernels shared with ann_ivf_topk; the tau comparison happens on the
+    round-6 cosine so the DuckDB oracle (ops/oracles.semdedup_sql)
+    reproduces the exact keep/drop set.
+
+    Returns (vec_id, bucket, keep) for EVERY vector, vec_id asc."""
+    from lucene_solr_spark.ops.similarity import (
+        N_CENTROIDS,
+        _assign_bucket_col,
+        _centroids,
+    )
+
+    cents = _centroids(emb, n_centroids or N_CENTROIDS)
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        _norm(F.col("embedding")).alias("nrm"),
+        _assign_bucket_col(F.col("embedding"), cents).alias("bucket"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), F.col("bucket"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), F.col("bucket"),
+    )
+    dropped = (
+        a.join(b, ["bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= tau
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        v.select("vec_id", "bucket")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -900,3 +900,34 @@ WITH t AS (
 SELECT row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT AS rank,
   doc_id, shuffle_key
 FROM t ORDER BY rank"""
+
+
+def semdedup_sql(tau: float = 0.42, n_centroids: int = 16) -> str:
+    """Oracle for dedup.semdedup_keep: the same centroid literals and
+    first-occurrence cosine assignment as ann_ivf_sql, then the
+    within-cluster lower-id drop rule on the round-6 cosine."""
+    dotec = _dot_sql("e.embedding", "c.ce")
+    nec = _norm_sql("c.ce")
+    dotab = _dot_sql("a.embedding", "b.embedding")
+    return f"""
+WITH cents AS (
+  SELECT * FROM (VALUES {_kmeans_cents_values(n_centroids)}) AS t(cid, ce)
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dotec} / {nec} DESC, c.cid) AS rn
+  FROM embeddings e, cents c
+),
+bk AS (SELECT vec_id, embedding, cid AS bucket FROM scored WHERE rn = 1),
+drp AS (
+  SELECT DISTINCT b.vec_id
+  FROM bk a JOIN bk b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({dotab} / ({_norm_sql("a.embedding")}
+        * {_norm_sql("b.embedding")}), 6) >= {tau!r}
+)
+SELECT bk.vec_id, bk.bucket::BIGINT AS bucket,
+       (drp.vec_id IS NULL) AS keep
+FROM bk LEFT JOIN drp USING (vec_id)
+ORDER BY bk.vec_id"""

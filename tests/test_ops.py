@@ -772,3 +772,48 @@ def test_trending_terms_handcrafted(spark):
         (1, "vector", 2),
         (1, "table", 1),
     ]
+
+
+def test_semdedup_keep_matches_numpy_brute(emb):
+    from lucene_solr_spark.ops.dedup import semdedup_keep
+    from lucene_solr_spark.ops.similarity import (
+        _assign_bucket_col,
+        _centroids,
+    )
+    from pyspark.sql import functions as F
+
+    tau = 0.30  # low enough to force drops in the small fixture
+    got = semdedup_keep(emb, tau=tau).collect()
+    # brute-force recomputation: same assignment kernel, numpy cosines
+    cents = _centroids(emb)
+    assigned = {
+        r.vec_id: r.bucket
+        for r in emb.select(
+            "vec_id",
+            _assign_bucket_col(F.col("embedding"), cents).alias("bucket"),
+        ).collect()
+    }
+    rows = sorted(
+        (r.vec_id, np.array(r.embedding, np.float64)) for r in emb.collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    want = {}
+    for j, vj in enumerate(ids):
+        drop = any(
+            assigned[ids[i]] == assigned[vj]
+            and round(float(S[i, j]), 6) >= tau
+            for i in range(j)
+        )
+        want[vj] = not drop
+    assert {r.vec_id: r.keep for r in got} == want
+    assert {r.vec_id: r.bucket for r in got} == assigned
+    assert not all(want.values()), "tau must force at least one drop"
+    # the lowest id of every cluster always survives
+    firsts = {}
+    for vid in ids:
+        firsts.setdefault(assigned[vid], vid)
+    keep = {r.vec_id for r in got if r.keep}
+    assert set(firsts.values()) <= keep
