@@ -2316,6 +2316,52 @@ def _q_mlt(spark, sf):
     )
 
 
+def _q_json_facet_stats(spark, sf):
+    """JSON Facet API nested-facet analog (solr/core/.../search/facet/
+    FacetModule + FacetField/AggValueSource): a terms facet on `lang`
+    whose buckets carry (1) stat aggregates (count, avg(n_chars)) and
+    (2) a nested terms subfacet reduced to its top bucket
+    (`top_source` = the lang's most frequent source, count desc /
+    source asc). Two hash-aggregates + one window — the nested facet
+    shares the parent's shuffle key prefix, so at scale it is one
+    (lang, source)-keyed exchange feeding both levels."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf)
+    ls = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("sc"),
+        F.sum("n_chars").alias("sum_nc"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("sc"), F.asc("source"))
+    return (
+        ls.withColumn("rn", F.row_number().over(w))
+        .groupBy("lang")
+        .agg(
+            F.sum("sc").cast("long").alias("cnt"),
+            F.round(
+                F.sum("sum_nc").cast("double") / F.sum("sc").cast("double"), 4
+            ).alias("avg_nc"),
+            F.max(F.when(F.col("rn") == 1, F.col("source"))).alias(
+                "top_source"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_mlt_interesting(spark, sf):
+    """mlt.interestingTerms=details analog: the ranked (term, tf, df,
+    qscore) table MLT builds its query from (searcher
+    .mlt_interesting_terms)."""
+    s = _searcher_for(spark, sf)
+    text = (
+        _docs(spark, sf).where(F.col("doc_id") == MLT_DOC).select("text").first()[0]
+    )
+    return s.mlt_interesting_terms(text, max_query_terms=10).orderBy(
+        F.desc("qscore"), "term"
+    )
+
+
 def _q_search_after(spark, sf):
     """Keyset paging: page 2 of the Q_TERM results (cursor = last hit of
     page 1)."""
@@ -3043,6 +3089,15 @@ def _op_clean_boilerplate(spark, sf):
     from lucene_solr_spark.ops.textstats import clean_boilerplate
 
     return clean_boilerplate(_docs(spark, sf))
+
+
+def _op_bigram_logprob(spark, sf):
+    """Bigram-LM quality score (ops/textstats.py:bigram_logprob_topk):
+    per-doc mean conditional log-prob under the corpus bigram MLE,
+    lowest (most locally surprising) first."""
+    from lucene_solr_spark.ops.textstats import bigram_logprob_topk
+
+    return bigram_logprob_topk(_docs(spark, sf))
 
 
 def _op_unigram_logprob(spark, sf):
@@ -3782,7 +3837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     addition) and recency_boost_topk (exact whole-second ages, pinned
     recip order, round-6, check_entry-green on addition) and
     semdedup_keep (the bitwise-pinned IVF assignment kernel + round-6
-    cosine threshold, check_entry-green on addition)."""
+    cosine threshold, check_entry-green on addition) and
+    mlt_interesting_terms / json_facet_lang_stats / bigram_logprob_topk
+    (integer counts + round-6/4 ratio surfaces, each check_entry-green
+    on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3847,6 +3905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_freetext": _q_suggest_freetext,
         "recency_boost_topk": _q_recency_boost,
         "semdedup_keep": _op_semdedup,
+        "mlt_interesting_terms": _q_mlt_interesting,
+        "json_facet_lang_stats": _q_json_facet_stats,
+        "bigram_logprob_topk": _op_bigram_logprob,
         "frange_filter_topk": _q_frange_filter,
         "pii_redaction_stats": _q_pii_redaction,
         "pack_shards_stats": _op_pack_shards,
@@ -4159,6 +4220,27 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_topk": _common_terms_sql(Q_COMMON, 0.5, K),
         "bm25_dismax_topk": _dismax_sql(Q_DISMAX, 0.3, K),
         "more_like_this_topk": _mlt_sql(MLT_DOC, 10, K),
+        "json_facet_lang_stats": (
+            "WITH ls AS (SELECT lang, source, count(*) AS sc, "
+            "sum(n_chars) AS sum_nc FROM documents GROUP BY lang, source), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+            "ORDER BY sc DESC, source) AS rn FROM ls) "
+            "SELECT lang, sum(sc)::BIGINT AS cnt, "
+            "round(CAST(sum(sum_nc) AS DOUBLE) / CAST(sum(sc) AS DOUBLE), 4) "
+            "AS avg_nc, "
+            "max(CASE WHEN rn = 1 THEN source END) AS top_source "
+            "FROM r GROUP BY lang ORDER BY lang"
+        ),
+        "mlt_interesting_terms": (
+            f"WITH {_BM25_CTES}, "
+            f"src AS (SELECT term, tf FROM tf WHERE doc_id = {MLT_DOC}), "
+            "mlt AS (SELECT s.term, s.tf::BIGINT AS tf, dfs.df::BIGINT AS df, "
+            "round(CAST(s.tf AS DOUBLE) * "
+            "(ln(CAST((SELECT n FROM a) AS DOUBLE) / dfs.df) + 1.0), 6) "
+            "AS qscore FROM src s JOIN dfs USING (term)) "
+            "SELECT term, tf, df, qscore FROM mlt "
+            "ORDER BY qscore DESC, term LIMIT 10"
+        ),
         "search_after_page2": (
             f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))} "
             "SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
@@ -4435,6 +4517,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_doc_decisions": _ops_oracles.curation_decisions_sql(),
         "dataset_split_stats": _ops_oracles.dataset_split_stats_sql(),
         "unigram_logprob_topk": _ops_oracles.unigram_logprob_sql(),
+        "bigram_logprob_topk": _ops_oracles.bigram_logprob_sql(),
         "source_balance_sample": _ops_oracles.source_balance_sql(cap=10),
         "significant_terms_top15": (
             f"WITH {_BM25_CTES}, "

@@ -931,3 +931,34 @@ SELECT bk.vec_id, bk.bucket::BIGINT AS bucket,
        (drp.vec_id IS NULL) AS keep
 FROM bk LEFT JOIN drp USING (vec_id)
 ORDER BY bk.vec_id"""
+
+
+def bigram_logprob_sql(k: int = 20) -> str:
+    """Oracle for textstats.bigram_logprob_topk: corpus bigram MLE
+    p(w2|w1) = count(w1 w2) / count(w1 ·), per-doc mean conditional
+    log-probability, k lowest."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM t
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, count(*) AS bc FROM big GROUP BY w1, w2),
+cc AS (SELECT w1, count(*) AS cc FROM big GROUP BY w1),
+p AS (
+  SELECT big.doc_id, count(*)::BIGINT AS n_bigrams,
+    sum(ln(CAST(bc.bc AS DOUBLE) / CAST(cc.cc AS DOUBLE))) AS sum_ln
+  FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1)
+  GROUP BY big.doc_id
+)
+SELECT doc_id, n_bigrams,
+  round(sum_ln / CAST(n_bigrams AS DOUBLE), 6) AS mean_logprob
+FROM p ORDER BY mean_logprob, doc_id LIMIT {k}"""

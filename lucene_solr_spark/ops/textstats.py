@@ -521,3 +521,57 @@ def clean_boilerplate(
         )
         .orderBy("doc_id")
     )
+
+
+def bigram_logprob_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Bigram language-model quality score — one gram order up from
+    unigram_logprob_topk (the KenLM-perplexity-filter analog of
+    CCNet-style pipelines, with a closed-form oracle): score every doc
+    by the mean conditional log-probability of its bigrams under the
+    corpus's own bigram MLE p(w2|w1) = count(w1 w2) / count(w1 ·),
+    where count(w1 ·) counts w1's occurrences AS A CONTEXT (bigram
+    starts). Returns the k LOWEST-scoring docs with >= 1 bigram — the
+    most locally-surprising word sequences, which a perplexity filter
+    drops first. Repetitive template docs score HIGH (their bigrams
+    dominate the MLE), so low scorers are genuinely anomalous text.
+
+    mean_logprob = (1/n) * sum ln(bc / cc), round-6 (double summation
+    order varies ~1 ulp between engines).
+
+    Plan shape for 100 TB: per-doc bigram explode via zipped shifted
+    slices (whole-stage codegen) -> ONE (w1,w2)-keyed hash-aggregate
+    for bigram counts + ONE w1-keyed for context counts (both map-side
+    combined) -> the bigram stream joins each count co-partitioned on
+    its key (neither is broadcast — web-scale bigram vocab is
+    corpus-sized) -> per-doc rollup -> top-k. No Python anywhere."""
+    arr = F.array_remove(F.split(F.trim(F.col("text")), " +"), "")
+    n = F.size(arr)
+    pairs = F.arrays_zip(
+        F.slice(arr, 1, n - 1).alias("w1"), F.slice(arr, 2, n - 1).alias("w2")
+    )
+    big = (
+        docs.where(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    cc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    per_doc = (
+        big.join(bc, ["w1", "w2"])
+        .join(cc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.log(F.col("bc").cast("double") / F.col("cc").cast("double"))
+            ).alias("sum_ln"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("sum_ln") / F.col("n_bigrams").cast("double"), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    return per_doc.orderBy("mean_logprob", "doc_id").limit(k)

@@ -3588,6 +3588,44 @@ class IndexSearcher:
         scored.sort()
         return [t for _, t in scored[:max_query_terms]]
 
+    def mlt_interesting_terms(
+        self, text: str, max_query_terms: int = 10
+    ) -> DataFrame:
+        """mlt.interestingTerms=details analog (solr/core/.../handler/
+        MoreLikeThisHandler.java InterestingTerm +
+        MoreLikeThis.retrieveInterestingTerms): the ranked term table
+        MLT builds its query from — (term, tf, df, qscore) with
+        qscore = tf * (ln(numDocs/df) + 1), the same classic-idf
+        ranking as mlt_terms, qscore desc / term asc.
+
+        Like the reference, this runs over ONE document's analyzed
+        terms (a per-query, bounded working set — Lucene walks the doc's
+        term vector through a PriorityQueue on the searching node), so
+        the small result frame is created driver-side by design."""
+        import math
+
+        from lucene_solr_spark.analysis.analyzers import ANALYZERS
+
+        toks = ANALYZERS[self.manifest["config"]["analyzer"]](
+            pd.Series([text])
+        )[0]
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        dfs = self.term_dfs(sorted(tf))
+        rows = []
+        for t, f_ in tf.items():
+            df = dfs.get(t, 0)
+            if df == 0:
+                continue
+            q = float(f_) * (math.log(self.max_doc / df) + 1.0)
+            rows.append((t, int(f_), int(df), round(q, 6)))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        return self.spark.createDataFrame(
+            rows[:max_query_terms],
+            "term string, tf long, df long, qscore double",
+        )
+
     def more_like_this(
         self, text: str, k: int = 10, max_query_terms: int = 10
     ) -> DataFrame:

@@ -817,3 +817,31 @@ def test_semdedup_keep_matches_numpy_brute(emb):
         firsts.setdefault(assigned[vid], vid)
     keep = {r.vec_id for r in got if r.keep}
     assert set(firsts.values()) <= keep
+
+
+def test_bigram_logprob_closed_form(spark):
+    from lucene_solr_spark.ops.textstats import bigram_logprob_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),       # bigrams: ab, ba, ab
+            (2, "a b c"),         # ab, bc
+            (3, "x"),             # no bigram -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_logprob_topk(docs, k=10).collect()}
+    import math
+
+    # corpus bigram counts: ab=3, ba=1, bc=1; context counts: a·=3, b·=2
+    # p(w2|w1) divides by the CONTEXT's start count: ba and bc by b·=2
+    p_ab, p_ba, p_bc = 3 / 3, 1 / 2, 1 / 2
+    assert set(got) == {1, 2}
+    assert got[1].n_bigrams == 3
+    assert got[1].mean_logprob == round(
+        (math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3, 6
+    )
+    assert got[2].n_bigrams == 2
+    assert got[2].mean_logprob == round(
+        (math.log(p_ab) + math.log(p_bc)) / 2, 6
+    )
