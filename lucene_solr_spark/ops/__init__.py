@@ -119,4 +119,14 @@ def bench_ops(spark, sf_dir: str) -> dict[str, float]:
     curation.dataset_split_stats(docs).collect()
     out["op_dataset_split"] = time.perf_counter() - t0
 
+    # SemDeDup: cluster-bucketed within-cluster cosine dedup
+    t0 = time.perf_counter()
+    dedup.semdedup_keep(emb).count()
+    out["op_semdedup"] = time.perf_counter() - t0
+
+    # bigram-LM quality score (perplexity-filter analog)
+    t0 = time.perf_counter()
+    textstats.bigram_logprob_topk(docs).collect()
+    out["op_bigram_logprob"] = time.perf_counter() - t0
+
     return out
