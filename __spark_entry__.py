@@ -2675,6 +2675,48 @@ def _q_function_score(spark, sf):
     )
 
 
+def _q_scale_function(spark, sf):
+    """scale() function query analog (solr ScaleFloatFunction,
+    solr/core/.../search/function/ScaleFloatFunction semantics via
+    lucene/queries/.../function/valuesource/ScaleFloatFunction.java):
+    min-max normalize a field into [target_min, target_max] using the
+    GLOBAL min/max — here scale(n_chars, 0, 1), surfaced round-6. The
+    two scalars ride as a one-row cross join (no driver collect)."""
+    docs = _docs(spark, sf)
+    mm = docs.agg(
+        F.min("n_chars").cast("double").alias("lo"),
+        F.max("n_chars").cast("double").alias("hi"),
+    )
+    scaled = (F.col("n_chars").cast("double") - F.col("lo")) / (
+        F.col("hi") - F.col("lo")
+    )
+    return (
+        docs.crossJoin(F.broadcast(mm))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(scaled, 6).alias("scaled"),
+        )
+        .orderBy(F.desc("scaled"), "doc_id")
+        .limit(K)
+    )
+
+
+def _q_termfreq_function(spark, sf):
+    """termfreq(field, term) function query analog (lucene/queries/
+    .../function/valuesource/TermFreqValueSource.java): per-doc raw tf
+    of a fixed term as the score — a pushed-down single-term postings
+    read, no BM25 weighting. Docs without the term score 0 and are
+    omitted (the reference emits 0 for them; the entry keeps the
+    posting-list projection, the typical sort-by-termfreq use)."""
+    s = _searcher_for(spark, sf)
+    return (
+        s.termfreq_rows(Q_TERM)
+        .select("doc_id", "tf")
+        .orderBy(F.desc("tf"), "doc_id")
+        .limit(K)
+    )
+
+
 # fixed "NOW" anchor for the date-recency boost (entries must be
 # deterministic). ts is TIMESTAMP_NTZ, so ages are computed tz-free as
 # the interval's whole-second count (Spark: day-time interval cast to
@@ -3840,7 +3882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cosine threshold, check_entry-green on addition) and
     mlt_interesting_terms / json_facet_lang_stats / bigram_logprob_topk
     (integer counts + round-6/4 ratio surfaces, each check_entry-green
-    on addition)."""
+    on addition) and scale_function_topk / termfreq_topk (round-6
+    min-max ratio; raw integer tf postings decode — each
+    check_entry-green on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3908,6 +3952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_interesting_terms": _q_mlt_interesting,
         "json_facet_lang_stats": _q_json_facet_stats,
         "bigram_logprob_topk": _op_bigram_logprob,
+        "scale_function_topk": _q_scale_function,
+        "termfreq_topk": _q_termfreq_function,
         "frange_filter_topk": _q_frange_filter,
         "pii_redaction_stats": _q_pii_redaction,
         "pack_shards_stats": _op_pack_shards,
@@ -4220,6 +4266,19 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_topk": _common_terms_sql(Q_COMMON, 0.5, K),
         "bm25_dismax_topk": _dismax_sql(Q_DISMAX, 0.3, K),
         "more_like_this_topk": _mlt_sql(MLT_DOC, 10, K),
+        "scale_function_topk": (
+            "WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo, "
+            "CAST(max(n_chars) AS DOUBLE) AS hi FROM documents) "
+            "SELECT doc_id, round((CAST(n_chars AS DOUBLE) - mm.lo) "
+            "/ (mm.hi - mm.lo), 6) AS scaled "
+            "FROM documents, mm "
+            f"ORDER BY scaled DESC, doc_id LIMIT {K}"
+        ),
+        "termfreq_topk": (
+            f"WITH {_BM25_CTES} "
+            "SELECT doc_id, tf::BIGINT AS tf FROM tf "
+            f"WHERE term = '{Q_TERM}' ORDER BY tf DESC, doc_id LIMIT {K}"
+        ),
         "json_facet_lang_stats": (
             "WITH ls AS (SELECT lang, source, count(*) AS sc, "
             "sum(n_chars) AS sum_nc FROM documents GROUP BY lang, source), "

@@ -3079,6 +3079,41 @@ class IndexSearcher:
         )
         return out if k is None else out.limit(k)
 
+    def termfreq_rows(self, term: str) -> DataFrame:
+        """termfreq(field, term) function-query analog (lucene/queries/
+        .../function/valuesource/TermFreqValueSource.java): the raw
+        per-document tf of ONE term as a value source — a pushed-down
+        single-term postings seek decoded distributedly (mapInPandas
+        over the term's posting blocks, one row group per shard), no
+        similarity weighting. Docs that lack the term are absent (the
+        reference's value source yields 0 for them; the frame is the
+        posting-list projection a sort-by-termfreq consumes). Deleted
+        docs are anti-joined away like every other read path."""
+        matched = self._postings.where(F.col("term") == term)
+        offsets = dict(self._doc_offsets)
+        codec = self._codec
+
+        def dec(batches):
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    d, t = decode_posting_list(
+                        bytes(row.doc_enc), bytes(row.tf_enc), int(row.df),
+                        codec=codec,
+                    )
+                    yield pd.DataFrame(
+                        {"doc_id": d + offsets.get(int(row.shard), 0),
+                         "tf": t}
+                    )
+
+        out = matched.select("shard", "df", "doc_enc", "tf_enc").mapInPandas(
+            dec, "doc_id long, tf long"
+        )
+        if self._has_tombstones():
+            out = out.join(
+                self.deleted_df().select("doc_id"), "doc_id", "left_anti"
+            )
+        return out
+
     def _expand_fuzzy(self, q: FuzzyQuery) -> list[str]:
         """Dictionary expansion by Levenshtein distance, distributed
         (JVM levenshtein over the term dict — the FuzzyTermsEnum

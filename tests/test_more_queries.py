@@ -279,3 +279,39 @@ def test_highlight_picks_densest_passage(spark, tmp_path):
     snip = s.highlight(TermQuery("table"), src, k=1, window=2).first().snippet
     # densest ±2 window centers on the 'table table' cluster (3 matches)
     assert snip == "<em>table</em> x <em>table</em> <em>table</em> y"
+
+
+def test_termfreq_rows_matches_dictionary_and_source(spark, docs_index):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, docs_index[0])
+    rows = s.termfreq_rows("table").collect()
+    assert rows, "fixture corpus contains 'table'"
+    # sum(tf) over the term's postings == the dictionary's cf
+    cf = (
+        s._term_stats.where(F.col("term") == "table")
+        .select("cf")
+        .collect()[0][0]
+    )
+    assert sum(r.tf for r in rows) == cf
+    # per-doc tf matches a source-text recount (standard-chain tokens
+    # are lowercase alphanumeric runs; 'table' has no case/stop issues)
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    keymap = {r.doc_id: r.key for r in s.doc_map().collect()}
+    want = {
+        r.doc_id: r.n
+        for r in src.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t == F.lit("table"),
+                )
+            ).alias("n"),
+        ).collect()
+        if r.n > 0
+    }
+    got = {keymap[r.doc_id]: r.tf for r in rows}
+    assert got == want
