@@ -3133,6 +3133,15 @@ def _op_clean_boilerplate(spark, sf):
     return clean_boilerplate(_docs(spark, sf))
 
 
+def _op_winnow_pairs(spark, sf):
+    """Winnowing/MOSS fingerprint pairs (ops/dedup.winnow_pairs_topk,
+    SIGMOD 2003): per-window minimum k-gram hashes -> distinct
+    fingerprint set -> pair join, ranked by shared fingerprints."""
+    from lucene_solr_spark.ops.dedup import winnow_pairs_topk
+
+    return winnow_pairs_topk(_docs(spark, sf))
+
+
 def _op_bigram_logprob(spark, sf):
     """Bigram-LM quality score (ops/textstats.py:bigram_logprob_topk):
     per-doc mean conditional log-prob under the corpus bigram MLE,
@@ -3884,7 +3893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (integer counts + round-6/4 ratio surfaces, each check_entry-green
     on addition) and scale_function_topk / termfreq_topk (round-6
     min-max ratio; raw integer tf postings decode — each
-    check_entry-green on addition)."""
+    check_entry-green on addition) and winnow_pairs_topk (integer
+    shared-fingerprint counts, check_entry-green on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
         "spatial_distance_topk": _q_spatial_distance,
@@ -3954,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_topk": _op_bigram_logprob,
         "scale_function_topk": _q_scale_function,
         "termfreq_topk": _q_termfreq_function,
+        "winnow_pairs_topk": _op_winnow_pairs,
         "frange_filter_topk": _q_frange_filter,
         "pii_redaction_stats": _q_pii_redaction,
         "pack_shards_stats": _op_pack_shards,
@@ -4577,6 +4588,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split_stats": _ops_oracles.dataset_split_stats_sql(),
         "unigram_logprob_topk": _ops_oracles.unigram_logprob_sql(),
         "bigram_logprob_topk": _ops_oracles.bigram_logprob_sql(),
+        "winnow_pairs_topk": _ops_oracles.winnow_pairs_sql(),
         "source_balance_sample": _ops_oracles.source_balance_sql(cap=10),
         "significant_terms_top15": (
             f"WITH {_BM25_CTES}, "

@@ -749,3 +749,75 @@ def semdedup_keep(
         )
         .orderBy("vec_id")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every word k-gram, slide a window
+    of w consecutive k-gram hashes over the doc, and select each
+    window's MINIMUM hash; the doc's fingerprint is the distinct set of
+    selected hashes. Guarantees: any shared run of w + k - 1 tokens
+    between two docs shares >= 1 selected fingerprint, while only
+    ~2/(w+1) of all k-gram hashes are kept — the sampling that makes
+    fingerprint joins tractable where full shingle joins are not.
+
+    Plan: positional k-grams via zipped shifted slices (codegen), h32
+    gram hashes, ONE doc-keyed window (rowsBetween 0..w-1, full windows
+    only), distinct. At 100 TB the window function is a per-doc sort —
+    docs are short relative to partitions, so this is a single
+    doc_id-keyed exchange, no skew beyond doc length itself.
+
+    Returns (doc_id, h) distinct selected fingerprints."""
+    from pyspark.sql import Window
+
+    arr = ws_tokens(F.col("text"))
+    cnt = F.size(arr) - (k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(arr, j + 1, cnt).alias(f"w{j}") for j in range(k)]
+    )
+    gram = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])
+    )
+    grams = (
+        docs.where(F.size(arr) >= k + w - 1)
+        .select("doc_id", F.posexplode(gram).alias("pos", "g"))
+        .select("doc_id", "pos", h32(F.col("g")).alias("h"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_grams = Window.partitionBy("doc_id")
+    return (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .withColumn("maxpos", F.max("pos").over(n_grams))
+        .where(F.col("pos") <= F.col("maxpos") - (w - 1))  # full windows
+        .select("doc_id", F.col("wmin").alias("h"))
+        .distinct()
+    )
+
+
+def winnow_pairs_topk(
+    docs: DataFrame, k: int = 4, w: int = 5, topk: int = 20
+) -> DataFrame:
+    """Doc pairs ranked by shared winnowed fingerprints — the MOSS
+    similarity report: fingerprint self-join on the hash (the winnowed
+    set is ~2/(w+1) of the shingle volume, which is exactly why this
+    join is run on fingerprints instead of raw shingles), one pair
+    hash-aggregate, top-k by shared count. Ties: id_a, id_b asc."""
+    fp = winnow_fingerprints(docs, k, w)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .orderBy(F.desc("shared"), "id_a", "id_b")
+        .limit(topk)
+    )

@@ -962,3 +962,35 @@ p AS (
 SELECT doc_id, n_bigrams,
   round(sum_ln / CAST(n_bigrams AS DOUBLE), 6) AS mean_logprob
 FROM p ORDER BY mean_logprob, doc_id LIMIT {k}"""
+
+
+def winnow_pairs_sql(k: int = 4, w: int = 5, topk: int = 20) -> str:
+    """Oracle for dedup.winnow_pairs_topk: the same positional k-gram
+    h32 hashes, per-window minimum (full windows only), distinct
+    fingerprint set, pair self-join."""
+    from lucene_solr_spark.ops.hashing import h32_sql
+
+    gram = " || ' ' || ".join(f"arr[pos + {j}]" for j in range(k))
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS arr FROM documents
+),
+g AS (
+  SELECT doc_id, pos, {h32_sql(f"({gram})")} AS h
+  FROM t, unnest(range(1, len(arr) - {k - 1} + 1)) AS u(pos)
+  WHERE len(arr) >= {k + w - 1}
+),
+sel AS (
+  SELECT doc_id,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin,
+    pos, max(pos) OVER (PARTITION BY doc_id) AS maxpos
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, wmin AS h FROM sel WHERE pos <= maxpos - {w - 1}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY shared DESC, id_a, id_b LIMIT {topk}"""

@@ -845,3 +845,50 @@ def test_bigram_logprob_closed_form(spark):
     assert got[2].mean_logprob == round(
         (math.log(p_ab) + math.log(p_bc)) / 2, 6
     )
+
+
+def test_winnow_fingerprints_brute_parity_and_guarantee(spark, docs):
+    import hashlib
+
+    from lucene_solr_spark.ops.dedup import (
+        winnow_fingerprints,
+        winnow_pairs_topk,
+    )
+
+    k, w = 4, 5
+    got = {}
+    for r in winnow_fingerprints(docs, k, w).collect():
+        got.setdefault(r.doc_id, set()).add(r.h)
+
+    def h32_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = docs.select("doc_id", "text").collect()
+    want = {}
+    for r in rows:
+        toks = r.text.strip().split()
+        if len(toks) < k + w - 1:
+            continue
+        hs = [
+            h32_py(" ".join(toks[i : i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        sel = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+        want[r.doc_id] = sel
+    assert got == want
+    # density: winnowing keeps far fewer than all gram hashes
+    n_all = sum(len(r.text.strip().split()) - k + 1 for r in rows)
+    n_sel = sum(len(v) for v in got.values())
+    assert n_sel < 0.6 * n_all
+    # guarantee: planted w+k-1 token overlap shares >= 1 fingerprint
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, shared_run + " one two three four five six"),
+            (2, "nine eight seven " + shared_run),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_pairs_topk(df, k, w, topk=5).collect()
+    assert pairs and pairs[0].id_a == 1 and pairs[0].id_b == 2
+    assert pairs[0].shared >= 1
