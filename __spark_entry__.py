@@ -3142,6 +3142,26 @@ def _op_winnow_pairs(spark, sf):
     return winnow_pairs_topk(_docs(spark, sf))
 
 
+def _op_dup_span_stats(spark, sf):
+    """ExactSubstr duplicate-span accounting (ops/substr.py; Lee et
+    al. 2022, arXiv:2107.06499): corpus-wide w-token window hashes,
+    keep-first occurrence ranking, merged maximal spans per doc —
+    top-20 docs by duplicated-token count."""
+    from lucene_solr_spark.ops.substr import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf))
+
+
+def _op_clean_dup_spans(spark, sf):
+    """ExactSubstr rebuild (ops/substr.remove_dup_spans): later
+    occurrences of corpus-duplicated spans removed, remaining tokens
+    re-joined in order — (doc_id, clean_text, removed_tokens) for
+    changed docs, string-exact vs the oracle."""
+    from lucene_solr_spark.ops.substr import remove_dup_spans
+
+    return remove_dup_spans(_docs(spark, sf))
+
+
 def _op_bigram_logprob(spark, sf):
     """Bigram-LM quality score (ops/textstats.py:bigram_logprob_topk):
     per-doc mean conditional log-prob under the corpus bigram MLE,
@@ -3897,6 +3917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared-fingerprint counts, check_entry-green on addition)."""
     return {
         # --- (1) new this round (never driver-verified) ---
+        "dup_span_stats": _op_dup_span_stats,
+        "clean_dup_spans_docs": _op_clean_dup_spans,
         "spatial_distance_topk": _q_spatial_distance,
         "spatial_nearest_topk": _q_spatial_nearest,
         "percolate_matches": _q_percolate,
@@ -4589,6 +4611,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob_topk": _ops_oracles.unigram_logprob_sql(),
         "bigram_logprob_topk": _ops_oracles.bigram_logprob_sql(),
         "winnow_pairs_topk": _ops_oracles.winnow_pairs_sql(),
+        "dup_span_stats": _ops_oracles.dup_span_stats_sql(),
+        "clean_dup_spans_docs": _ops_oracles.remove_dup_spans_sql(),
         "source_balance_sample": _ops_oracles.source_balance_sql(cap=10),
         "significant_terms_top15": (
             f"WITH {_BM25_CTES}, "

@@ -994,3 +994,105 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
 FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 ORDER BY shared DESC, id_a, id_b LIMIT {topk}"""
+
+
+def _dup_span_ctes(w: int) -> str:
+    """Shared CTEs for the ExactSubstr oracle (substr.py): positional
+    w-token window h32 hashes, corpus-wide occurrence rank per hash
+    (keep-first policy: rank >= 2 is a duplicate window), merged
+    maximal spans per doc (gaps-and-islands)."""
+    from lucene_solr_spark.ops.hashing import h32_sql
+
+    gram = " || ' ' || ".join(f"arr[pos + {j}]" for j in range(w))
+    return f"""
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS arr FROM documents
+),
+g AS (
+  SELECT doc_id, pos, {h32_sql(f"({gram})")} AS h
+  FROM t, unnest(range(1, len(arr) - {w - 1} + 1)) AS u(pos)
+  WHERE len(arr) >= {w}
+),
+occ AS (
+  SELECT doc_id, pos,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+dup AS (SELECT doc_id, pos FROM occ WHERE rn >= 2),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos + {w - 1}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > max(pos + {w - 1}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS ni
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, pos,
+    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {w - 1} AS e
+  FROM isl2 GROUP BY doc_id, island
+)"""
+
+
+def dup_span_stats_sql(w: int = 8, k: int = 20) -> str:
+    """Oracle for substr.dup_span_stats."""
+    return f"""
+WITH {_dup_span_ctes(w)},
+st AS (
+  SELECT doc_id, sum(e - s + 1)::BIGINT AS dup_tokens,
+         count(*)::BIGINT AS n_spans
+  FROM spans GROUP BY doc_id
+),
+nt AS (
+  SELECT doc_id,
+         len(list_filter(arr, x -> x <> ''))::BIGINT AS n_tokens
+  FROM t
+)
+SELECT nt.doc_id, nt.n_tokens,
+  coalesce(st.dup_tokens, 0)::BIGINT AS dup_tokens,
+  coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+  round(coalesce(st.dup_tokens, 0) / CAST(nt.n_tokens AS DOUBLE), 6)
+    AS dup_frac
+FROM nt LEFT JOIN st USING (doc_id)
+ORDER BY dup_tokens DESC, doc_id LIMIT {k}"""
+
+
+def remove_dup_spans_sql(w: int = 8) -> str:
+    """Oracle for substr.remove_dup_spans: rebuild changed docs with
+    covered tokens removed (string-exact)."""
+    return f"""
+WITH {_dup_span_ctes(w)},
+cov AS (
+  SELECT DISTINCT doc_id, u.p AS pos
+  FROM spans, unnest(range(s, e + 1)) AS u(p)
+),
+toks AS (
+  SELECT doc_id, pos, arr[pos] AS tok
+  FROM t, unnest(range(1, len(arr) + 1)) AS u(pos)
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.tok
+  FROM toks k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+removed AS (
+  SELECT doc_id, count(*)::BIGINT AS removed_tokens
+  FROM cov GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY pos), '')
+           AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT r.doc_id, coalesce(b.clean_text, '') AS clean_text,
+       r.removed_tokens
+FROM removed r LEFT JOIN rebuilt b USING (doc_id)
+ORDER BY r.doc_id"""
