@@ -3162,6 +3162,17 @@ def _op_clean_dup_spans(spark, sf):
     return remove_dup_spans(_docs(spark, sf))
 
 
+def _op_dsir_weights(spark, sf):
+    """DSIR importance weights (ops/mixing.dsir_weights_topk; Xie et
+    al., NeurIPS 2023): hashed uni+bigram feature buckets, add-alpha
+    bucket log-ratios of the target distribution (source='src0') vs
+    the whole corpus, per-doc mean ratio — the resampling key. Top-20
+    by weight."""
+    from lucene_solr_spark.ops.mixing import dsir_weights_topk
+
+    return dsir_weights_topk(_docs(spark, sf))
+
+
 def _op_bigram_logprob(spark, sf):
     """Bigram-LM quality score (ops/textstats.py:bigram_logprob_topk):
     per-doc mean conditional log-prob under the corpus bigram MLE,
@@ -3919,6 +3930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (1) new this round (never driver-verified) ---
         "dup_span_stats": _op_dup_span_stats,
         "clean_dup_spans_docs": _op_clean_dup_spans,
+        "dsir_weights_topk": _op_dsir_weights,
         "spatial_distance_topk": _q_spatial_distance,
         "spatial_nearest_topk": _q_spatial_nearest,
         "percolate_matches": _q_percolate,
@@ -4613,6 +4625,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs_topk": _ops_oracles.winnow_pairs_sql(),
         "dup_span_stats": _ops_oracles.dup_span_stats_sql(),
         "clean_dup_spans_docs": _ops_oracles.remove_dup_spans_sql(),
+        "dsir_weights_topk": _ops_oracles.dsir_weights_sql(),
         "source_balance_sample": _ops_oracles.source_balance_sql(cap=10),
         "significant_terms_top15": (
             f"WITH {_BM25_CTES}, "

@@ -159,3 +159,102 @@ def training_order_head(
         "doc_id",
         "shuffle_key",
     )
+
+
+# ----------------------------------------------------------------------
+# DSIR — data selection with importance resampling
+# ----------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed-feature space; the paper uses 10k — a knob
+
+
+def _dsir_features(docs: DataFrame, b: int = DSIR_BUCKETS) -> DataFrame:
+    """(doc_id, bkt): hashed unigram + bigram features of every doc
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023 — DSIR hashes n-grams into a fixed
+    bucket space and fits bag-of-buckets models). One codegen'd
+    explode; multiplicity kept (the model is a count distribution)."""
+    arr = F.array_remove(F.split(F.trim(F.col("text")), " +"), "")
+    n = F.size(arr)
+    pairs = F.arrays_zip(
+        F.slice(arr, 1, n - 1).alias("w1"), F.slice(arr, 2, n - 1).alias("w2")
+    )
+    bigrams = F.transform(pairs, lambda p: F.concat_ws(" ", p["w1"], p["w2"]))
+    feats = F.concat(arr, F.when(n >= 2, bigrams).otherwise(F.array()))
+    return docs.select("doc_id", F.explode(feats).alias("g")).select(
+        "doc_id", (h32(F.col("g")) % b).alias("bkt")
+    )
+
+
+def dsir_bucket_logratios(
+    docs: DataFrame,
+    target_col: F.Column,
+    b: int = DSIR_BUCKETS,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(bkt, logratio): add-alpha-smoothed log(p_target / p_source)
+    per hashed feature bucket. Target = docs where `target_col` is
+    true (the small high-quality corpus); source = the WHOLE corpus
+    (the raw pool being filtered). Two b-row aggregates — b is a
+    constant (256 here, 10k in the paper), so the ratio table always
+    broadcasts regardless of corpus size."""
+    feats = _dsir_features(docs, b).join(
+        docs.select("doc_id", target_col.alias("_t")), "doc_id"
+    )
+    per = feats.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("src_c"),
+        F.sum(F.col("_t").cast("long")).cast("long").alias("tgt_c"),
+    )
+    tot = per.agg(
+        F.sum("src_c").alias("_st"), F.sum("tgt_c").alias("_tt")
+    )
+    lr = F.log(
+        (F.col("tgt_c") + F.lit(alpha))
+        / (F.col("_tt") + F.lit(alpha * b)).cast("double")
+    ) - F.log(
+        (F.col("src_c") + F.lit(alpha))
+        / (F.col("_st") + F.lit(alpha * b)).cast("double")
+    )
+    return per.crossJoin(F.broadcast(tot)).select("bkt", lr.alias("logratio"))
+
+
+def dsir_weights_topk(
+    docs: DataFrame,
+    target_source: str = "src0",
+    b: int = DSIR_BUCKETS,
+    alpha: float = 0.5,
+    k: int = 20,
+) -> DataFrame:
+    """Per-doc DSIR importance weight = mean feature log-likelihood
+    ratio log(p_target(f)/p_source(f)); the resampling stage keeps
+    docs with the highest weights (here: top-k ranked table, weight
+    desc then doc_id — the audit view of the selection).
+
+    Plan: ONE feature pass (shared by both models via a conditional
+    aggregate), bucket ratio table broadcast back onto the feature
+    stream, ONE doc-keyed rollup. Round-6 on the mean (double
+    summation order varies ~1 ulp between engines, same discipline as
+    bigram_logprob_topk). Target membership here is a source-column
+    predicate — any boolean column works (e.g. a quality-classifier
+    output)."""
+    lrs = dsir_bucket_logratios(
+        docs, (F.col("source") == target_source), b, alpha
+    )
+    feats = _dsir_features(docs, b)
+    return (
+        feats.join(F.broadcast(lrs), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("logratio").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(F.col("_s") / F.col("n_feats").cast("double"), 6).alias(
+                "avg_logratio"
+            ),
+        )
+        .orderBy(F.desc("avg_logratio"), "doc_id")
+        .limit(k)
+    )

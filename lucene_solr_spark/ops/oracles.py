@@ -1096,3 +1096,53 @@ SELECT r.doc_id, coalesce(b.clean_text, '') AS clean_text,
        r.removed_tokens
 FROM removed r LEFT JOIN rebuilt b USING (doc_id)
 ORDER BY r.doc_id"""
+
+
+def dsir_weights_sql(
+    target_source: str = "src0",
+    b: int = 256,
+    alpha: float = 0.5,
+    k: int = 20,
+) -> str:
+    """Oracle for mixing.dsir_weights_topk: hashed uni+bigram feature
+    buckets, add-alpha bucket log-ratios target-vs-corpus, per-doc
+    mean ratio top-k."""
+    from lucene_solr_spark.ops.hashing import h32_sql
+
+    ab = alpha * b
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS arr
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(arr) AS g FROM t),
+big AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS g
+  FROM t, unnest(range(1, len(arr))) AS u(i)
+  WHERE len(arr) >= 2
+),
+feats AS (
+  SELECT doc_id, {h32_sql('g')} % {b} AS bkt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+),
+per AS (
+  SELECT bkt, count(*)::BIGINT AS src_c,
+    sum(CASE WHEN d.source = '{target_source}' THEN 1 ELSE 0 END)::BIGINT
+      AS tgt_c
+  FROM feats f JOIN documents d USING (doc_id) GROUP BY bkt
+),
+tot AS (SELECT sum(src_c) AS st, sum(tgt_c) AS tt FROM per),
+lr AS (
+  SELECT bkt,
+    ln((tgt_c + {alpha}) / CAST(tt + {ab} AS DOUBLE))
+      - ln((src_c + {alpha}) / CAST(st + {ab} AS DOUBLE)) AS logratio
+  FROM per, tot
+),
+pd AS (
+  SELECT f.doc_id, count(*)::BIGINT AS n_feats, sum(logratio) AS s
+  FROM feats f JOIN lr USING (bkt) GROUP BY f.doc_id
+)
+SELECT doc_id, n_feats, round(s / CAST(n_feats AS DOUBLE), 6)
+  AS avg_logratio
+FROM pd ORDER BY avg_logratio DESC, doc_id LIMIT {k}"""

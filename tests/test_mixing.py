@@ -80,3 +80,38 @@ def test_training_order_plan_is_take_ordered(spark):
     d = _docs(spark, {"a": 30})
     plan = training_order_head(d, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# -------------------------------------------------------------- DSIR
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    """Docs sharing the target corpus's vocabulary must outrank docs
+    made of off-target vocabulary (Xie et al. 2023 selection order)."""
+    from lucene_solr_spark.ops.mixing import dsir_weights_topk
+
+    rows = (
+        # target corpus: 'wiki'-flavored vocabulary
+        [(i, "alpha beta gamma delta epsilon zeta", "src0") for i in range(6)]
+        # raw pool: junk vocabulary
+        + [(10 + i, "junk spam noise clutter filler blob", "src1") for i in range(6)]
+        # candidates in the pool: one target-like, one junk-like
+        + [(100, "alpha beta gamma delta", "src1"),
+           (101, "junk spam noise clutter", "src1")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r.avg_logratio for r in dsir_weights_topk(df, k=100).collect()}
+    assert out[100] > 0 > out[101]
+    assert out[100] > out[101]
+
+
+def test_dsir_feature_count_is_unigrams_plus_bigrams(spark):
+    from lucene_solr_spark.ops.mixing import dsir_weights_topk
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "src0"), (1, "d e", "src1")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r.n_feats for r in dsir_weights_topk(df, k=10).collect()}
+    assert out[0] == 5  # 3 unigrams + 2 bigrams
+    assert out[1] == 3  # 2 unigrams + 1 bigram
