@@ -2305,6 +2305,16 @@ def _q_dismax(spark, sf):
     return _hits(spark, sf, DisjunctionMax(Q_DISMAX, tie=0.3), K)
 
 
+def _q_blended(spark, sf):
+    """BlendedTermQuery (search/BlendedTermQuery.java:272-318): both
+    terms scored with the BLENDED df = max(df_i) over the query terms
+    (so near-equivalent variants rank on one idf scale), then the
+    DisjunctionMaxQuery(tie=0.01) rewrite (:185)."""
+    from lucene_solr_spark.search.query import BlendedTermQuery
+
+    return _hits(spark, sf, BlendedTermQuery(Q_DISMAX, tie=0.01), K)
+
+
 def _q_mlt(spark, sf):
     s = _searcher_for(spark, sf)
     text = (
@@ -3327,6 +3337,38 @@ ORDER BY CASE WHEN nm = 1 THEN mx
          ELSE mx + (sm - mx) * CAST({tie} AS REAL) END DESC, doc_id LIMIT {k}"""
 
 
+def _blended_sql(terms: tuple[str, ...], tie: float, k: int) -> str:
+    """BlendedTermQuery: every term's idf uses the blended
+    df = max(df_i) over the query terms (BlendedTermQuery.java:
+    272-288), combined by the DisjunctionMax tie kernel."""
+    assert len(terms) == 2
+    tlist = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_BM25_CTES},
+b AS (SELECT max(df)::BIGINT AS bdf FROM dfs WHERE term IN ({tlist})),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+    (CAST(ln(1 + ((SELECT n FROM a) - (SELECT bdf FROM b) + 0.5)
+             / ((SELECT bdf FROM b) + 0.5)) AS REAL)
+       * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+      * CAST(tf.tf AS REAL) / (CAST(tf.tf AS REAL) + cachet.c) AS s
+  FROM tf JOIN cachet USING (doc_id)
+  WHERE tf.term IN ({tlist})
+),
+g AS (
+  SELECT doc_id, CAST(max(s) AS REAL) AS mx,
+         CAST(max(s) AS REAL) + CAST(min(s) AS REAL) AS sm,
+         count(*) AS nm
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(CASE WHEN nm = 1 THEN mx
+       ELSE mx + (sm - mx) * CAST({tie} AS REAL) END AS DOUBLE) AS score
+FROM g
+ORDER BY CASE WHEN nm = 1 THEN mx
+         ELSE mx + (sm - mx) * CAST({tie} AS REAL) END DESC, doc_id LIMIT {k}"""
+
+
 def _mlt_sql(doc_id: int, max_terms: int, k: int) -> str:
     """MoreLikeThis: top tf*idf terms of the source doc (classic idf =
     ln(N/df)+1), then scoring OR over those terms."""
@@ -4076,6 +4118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drill_sideways_counts": _q_drill_sideways,
         "pivot_facet_lang_source": _q_pivot_facet,
         "bm25_dismax_topk": _q_dismax,
+        "blended_term_topk": _q_blended,
         "more_like_this_topk": _q_mlt,
         "sort_by_field_topk": _q_sort_by_field,
         "spellcheck_suggest": _q_spellcheck,
@@ -4310,6 +4353,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_reqopt_topk": _reqopt_sql(*Q_REQOPT, K),
         "common_terms_topk": _common_terms_sql(Q_COMMON, 0.5, K),
         "bm25_dismax_topk": _dismax_sql(Q_DISMAX, 0.3, K),
+        "blended_term_topk": _blended_sql(Q_DISMAX, 0.01, K),
         "more_like_this_topk": _mlt_sql(MLT_DOC, 10, K),
         "scale_function_topk": (
             "WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo, "

@@ -112,6 +112,23 @@ class DisMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """Scores every term with BLENDED collection statistics so that
+    near-equivalent variants (synonyms, cross-field copies) rank on a
+    common idf scale (search/BlendedTermQuery.java:272-288: the
+    rewritten df is max(df_i) over all terms, then every TermQuery's
+    TermContext is adjusted to that artificial df). The default rewrite
+    is a DisjunctionMax with tie=0.01
+    (BlendedTermQuery.java:185 DISJUNCTION_MAX_REWRITE)."""
+
+    terms_: tuple[str, ...]
+    tie: float = 0.01
+
+    def terms(self) -> list[str]:
+        return list(self.terms_)
+
+
+@dataclass(frozen=True)
 class BooleanMustShould(Query):
     """General BooleanQuery with required and optional scoring clauses
     (BooleanWeight.java:260-359 -> ReqOptSumScorer.java:28): required

@@ -45,6 +45,7 @@ from lucene_solr_spark import B, K1
 from lucene_solr_spark.functions import bm25
 from lucene_solr_spark.index.codec import decode_blocks, decode_posting_list
 from lucene_solr_spark.search.query import (
+    BlendedTermQuery,
     BooleanAnd,
     BooleanMustShould,
     BooleanNot,
@@ -2097,7 +2098,8 @@ class IndexSearcher:
         return matched.join(F.broadcast(totals), "term")
 
     def search(self, query: Query, k: int | None = 10, prune: bool = True,
-               cursor: tuple[float, int] | None = None) -> DataFrame:
+               cursor: tuple[float, int] | None = None,
+               df_override: dict[str, int] | None = None) -> DataFrame:
         """Top-k as a DataFrame (doc_id long, score float), globally ordered
         score desc / doc_id asc with exact Lucene tie-break semantics.
 
@@ -2107,8 +2109,25 @@ class IndexSearcher:
         `cursor` = (after_score, after_doc) keyset-paging predicate
         (searchAfter): only hits strictly after the cursor reach the
         per-shard collectors, so the block-skip kernels prune against
-        page-N's own heap floor (TopScoreDocCollector.java:87-121)."""
+        page-N's own heap floor (TopScoreDocCollector.java:87-121).
+
+        `df_override` substitutes artificial per-term doc freqs into the
+        idf computation (TermContext.accumulateStatistics analog,
+        BlendedTermQuery.java:299-318) — the postings themselves are
+        untouched, only the weights change."""
         q = rewrite(query)
+        if isinstance(q, BlendedTermQuery):
+            # blended df = max over the terms' real global dfs
+            # (BlendedTermQuery.java:273-278), applied to EVERY term,
+            # then DisjunctionMax(tie) rewrite (:185,295)
+            dfs = self.term_dfs(sorted(set(q.terms_)))
+            if not dfs:
+                return self._empty()
+            bdf = max(dfs.values())
+            return self.search(
+                DisjunctionMax(q.terms_, tie=q.tie), k, prune, cursor,
+                df_override={t: bdf for t in q.terms_},
+            )
         if isinstance(q, FieldValueQuery):
             out = self._search_field_value(q, None if cursor else k)
             return self._after_df(out, cursor, k)
@@ -2160,7 +2179,9 @@ class IndexSearcher:
                      "score": pd.Series(dtype="float32")}
                 )
             decoded = _decode_shard(left, nr, default_field, codec)
-            idfs = {t: bm25.idf(d, max_doc) for t, d in decoded[3].items()}
+            ov = df_override or {}
+            idfs = {t: bm25.idf(ov.get(t, d), max_doc)
+                    for t, d in decoded[3].items()}
             off = offsets.get(int(nr["shard"].iloc[0]), 0)
             del_local = _local_deleted(nr, off)
             # the cursor's after_doc is GLOBAL; kernel docIDs are

@@ -129,6 +129,37 @@ def test_dismax(searcher, oracle):
     assert_same(eng, orc)
 
 
+def test_blended_term(searcher):
+    """BlendedTermQuery.java:272-318: every term scored with
+    df = max(df_i), then DisjunctionMax(tie) rewrite. Pins: (1) the
+    match set equals the plain disjunction's; (2) docs matching only
+    the max-df term score bitwise-identical to plain dismax (their df
+    IS the blend); (3) docs matching only the rarer term score
+    strictly lower (idf deflated to the common term's)."""
+    from lucene_solr_spark.search.query import BlendedTermQuery
+
+    terms = ("spark", "table")
+    dfs = searcher.term_dfs(list(terms))
+    assert dfs["table"] != dfs["spark"]  # fixture sanity
+    hi = max(terms, key=lambda t: dfs[t])
+    lo = min(terms, key=lambda t: dfs[t])
+    blended = dict(hits(searcher.search(BlendedTermQuery(terms, tie=0.01), k=None)))
+    plain = dict(hits(searcher.search(DisjunctionMax(terms, tie=0.01), k=None)))
+    assert set(blended) == set(plain)
+    only_hi = {d for d, _ in hits(searcher.search(TermQuery(hi), k=None))} - {
+        d for d, _ in hits(searcher.search(TermQuery(lo), k=None))
+    }
+    assert only_hi
+    for d in only_hi:
+        assert np.float32(blended[d]).tobytes() == np.float32(plain[d]).tobytes()
+    only_lo = {d for d, _ in hits(searcher.search(TermQuery(lo), k=None))} - {
+        d for d, _ in hits(searcher.search(TermQuery(hi), k=None))
+    }
+    assert only_lo
+    for d in only_lo:
+        assert blended[d] < plain[d]
+
+
 def test_search_with_keys(searcher):
     df = searcher.search_with_keys(TermQuery("table"), k=5)
     rows = df.collect()
