@@ -2305,6 +2305,61 @@ def _q_dismax(spark, sf):
     return _hits(spark, sf, DisjunctionMax(Q_DISMAX, tie=0.3), K)
 
 
+WORDBREAK_INPUTS = ("tablescan", "fastslow")
+WORDCOMBINE_INPUT = ("win", "dow", "vec", "tor")
+
+
+def _q_wordbreak(spark, sf):
+    """WordBreakSpellChecker.suggestWordBreaks analog (lucene/suggest/
+    .../spell/WordBreakSpellChecker.java:94-133): split unrecognized
+    run-together words into dictionary-word pairs."""
+    from lucene_solr_spark.search.spellcheck import word_breaks
+
+    s = _searcher_for(spark, sf)
+    out = None
+    for w in WORDBREAK_INPUTS:
+        d = word_breaks(s._term_stats, w, k=5).withColumn("input", F.lit(w))
+        out = d if out is None else out.unionByName(d)
+    return out.select(
+        "input", "split_pos",
+        F.col("left").alias("left_word"),
+        F.col("right").alias("right_word"),
+        "left_df", "right_df",
+    ).orderBy("input", "split_pos")
+
+
+def _q_wordcombine(spark, sf):
+    """WordBreakSpellChecker.suggestWordCombinations analog
+    (WordBreakSpellChecker.java:162-258): adjacent fragments whose
+    concatenation is a dictionary word."""
+    from lucene_solr_spark.search.spellcheck import word_combinations
+
+    s = _searcher_for(spark, sf)
+    return word_combinations(
+        s._term_stats, list(WORDCOMBINE_INPUT), k=5
+    ).select(
+        "pair_pos",
+        F.col("left").alias("left_word"),
+        F.col("right").alias("right_word"),
+        "combined", "combined_df",
+    )
+
+
+def _q_diversified(spark, sf):
+    """DiversifiedTopDocsCollector analog (lucene/misc/.../search/
+    DiversifiedTopDocsCollector.java:29-160): top-20 'table' hits with
+    at most 2 per `source` — diversity-capped ranking."""
+    s = _searcher_for(spark, sf)
+    docs = _docs(spark, sf)
+    out = s.diversified_topk(TermQuery(Q_TERM), docs, "source", k=K,
+                             max_per_key=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+        "source",
+    )
+
+
 def _q_blended(spark, sf):
     """BlendedTermQuery (search/BlendedTermQuery.java:272-318): both
     terms scored with the BLENDED df = max(df_i) over the query terms
@@ -3337,6 +3392,86 @@ ORDER BY CASE WHEN nm = 1 THEN mx
          ELSE mx + (sm - mx) * CAST({tie} AS REAL) END DESC, doc_id LIMIT {k}"""
 
 
+def _wordbreak_sql(words: tuple[str, ...], k: int) -> str:
+    """Word-break suggestions: split candidates are a pure function of
+    the input word (generated identically here and in the engine);
+    both halves must be dictionary terms. Ranked max(df) desc, split
+    pos asc, k per input."""
+    rows = []
+    for w in words:
+        for i in range(1, len(w)):
+            rows.append(f"('{w}', {i}, '{w[:i]}', '{w[i:]}')")
+    values = ",".join(rows)
+    return f"""
+WITH {_BM25_CTES},
+cand AS (SELECT * FROM (VALUES {values})
+         AS v(input, split_pos, lw, rw)),
+j AS (
+  SELECT c.input, c.split_pos, c.lw, c.rw,
+         dl.df AS left_df, dr.df AS right_df
+  FROM cand c JOIN dfs dl ON dl.term = c.lw JOIN dfs dr ON dr.term = c.rw
+  WHERE c.input NOT IN (SELECT term FROM dfs)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY input
+    ORDER BY greatest(left_df, right_df) DESC, split_pos) AS rn
+  FROM j
+)
+SELECT input, CAST(split_pos AS BIGINT) AS split_pos,
+       lw AS left_word, rw AS right_word,
+       CAST(left_df AS BIGINT) AS left_df,
+       CAST(right_df AS BIGINT) AS right_df
+FROM r WHERE rn <= {k}
+ORDER BY input, split_pos"""
+
+
+def _wordcombine_sql(words: tuple[str, ...], k: int) -> str:
+    """Word-combination suggestions: adjacent-pair concatenations that
+    are dictionary terms, with at least one component absent
+    (SUGGEST_WHEN_NOT_IN_INDEX), ranked combined df desc."""
+    rows = [
+        f"({i}, '{words[i]}', '{words[i + 1]}', '{words[i] + words[i + 1]}')"
+        for i in range(len(words) - 1)
+    ]
+    values = ",".join(rows)
+    return f"""
+WITH {_BM25_CTES},
+cand AS (SELECT * FROM (VALUES {values})
+         AS v(pair_pos, lw, rw, combined)),
+j AS (
+  SELECT c.pair_pos, c.lw, c.rw, c.combined, d.df AS combined_df
+  FROM cand c JOIN dfs d ON d.term = c.combined
+),
+f AS (
+  SELECT j.* FROM j
+  LEFT JOIN dfs dl ON dl.term = j.lw
+  LEFT JOIN dfs dr ON dr.term = j.rw
+  WHERE least(coalesce(dl.df, 0), coalesce(dr.df, 0)) = 0
+)
+SELECT CAST(pair_pos AS BIGINT) AS pair_pos,
+       lw AS left_word, rw AS right_word, combined,
+       CAST(combined_df AS BIGINT) AS combined_df
+FROM f ORDER BY combined_df DESC, pair_pos LIMIT {k}"""
+
+
+def _diversified_sql(term: str, max_per_key: int, k: int) -> str:
+    """Diversified top-k: per-source row_number cap, then global
+    top-k (DiversifiedTopDocsCollector's PQ fixed point)."""
+    return f"""
+WITH {_BM25_CTES}, {_sc_cte((term,))},
+h AS (
+  SELECT sc.doc_id, CAST(s AS DOUBLE) AS score, d.source
+  FROM sc JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, score, source FROM r WHERE rn <= {max_per_key}
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _blended_sql(terms: tuple[str, ...], tie: float, k: int) -> str:
     """BlendedTermQuery: every term's idf uses the blended
     df = max(df_i) over the query terms (BlendedTermQuery.java:
@@ -4119,6 +4254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_facet_lang_source": _q_pivot_facet,
         "bm25_dismax_topk": _q_dismax,
         "blended_term_topk": _q_blended,
+        "diversified_topk": _q_diversified,
+        "wordbreak_suggest": _q_wordbreak,
+        "wordcombine_suggest": _q_wordcombine,
         "more_like_this_topk": _q_mlt,
         "sort_by_field_topk": _q_sort_by_field,
         "spellcheck_suggest": _q_spellcheck,
@@ -4354,6 +4492,9 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_topk": _common_terms_sql(Q_COMMON, 0.5, K),
         "bm25_dismax_topk": _dismax_sql(Q_DISMAX, 0.3, K),
         "blended_term_topk": _blended_sql(Q_DISMAX, 0.01, K),
+        "diversified_topk": _diversified_sql(Q_TERM, 2, K),
+        "wordbreak_suggest": _wordbreak_sql(WORDBREAK_INPUTS, 5),
+        "wordcombine_suggest": _wordcombine_sql(WORDCOMBINE_INPUT, 5),
         "more_like_this_topk": _mlt_sql(MLT_DOC, 10, K),
         "scale_function_topk": (
             "WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo, "

@@ -3496,6 +3496,52 @@ class IndexSearcher:
             "doc_len": int(dm.doc_len), "details": details,
         }
 
+    def diversified_topk(
+        self,
+        query: Query,
+        keys_df: DataFrame,
+        key_col: str,
+        k: int = 10,
+        max_per_key: int = 1,
+    ) -> DataFrame:
+        """DiversifiedTopDocsCollector analog (lucene/misc/.../search/
+        DiversifiedTopDocsCollector.java:29-160): global top-k with at
+        most `max_per_key` hits per key — e.g. a marketplace search
+        capped at 3 results per retailer.
+
+        The reference's single-pass PQ keeps, at every step, exactly
+        the per-key top-max_per_key members of the global queue (an
+        addition must be globally AND key-locally competitive, evicting
+        its key's weakest global member — insert():113-160). The fixed
+        point of that invariant is order-free: rank each key's hits by
+        (score desc, docID asc), keep the first max_per_key, take the
+        global top-k of the survivors. One key-partitioned window over
+        the key-joined match set — the window shuffle keys on `key_col`
+        so per-key capping is local to one partition at any scale;
+        scores are the engine's bitwise-f32 BM25.
+
+        `keys_df` must carry (doc_id, `key_col`) — the key lives in
+        stored fields / docvalues, not the postings (the reference
+        pulls it from NumericDocValues at collect time, :84)."""
+        from pyspark.sql import Window
+
+        hits = self.search(query, k=None)
+        keyed = hits.join(
+            keys_df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                           key_col),
+            "doc_id",
+        )
+        w = Window.partitionBy(key_col).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(max_per_key))
+            .drop("_rn")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def rerank(
         self,
         query: Query,

@@ -160,6 +160,33 @@ def test_blended_term(searcher):
         assert blended[d] < plain[d]
 
 
+def test_diversified_topk(searcher, spark):
+    """DiversifiedTopDocsCollector.java:29-160 — at most max_per_key
+    hits per key; every kept hit must beat (score desc, doc asc) any
+    excluded hit unless its key was already full; max_per_key >= k
+    degenerates to the plain top-k."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    div = searcher.diversified_topk(
+        TermQuery("table"), docs, "source", k=10, max_per_key=2
+    ).collect()
+    assert len(div) == 10
+    from collections import Counter
+
+    per_key = Counter(r.source for r in div)
+    assert max(per_key.values()) <= 2
+    plain = hits(searcher.search(TermQuery("table"), k=10))
+    wide = searcher.diversified_topk(
+        TermQuery("table"), docs, "source", k=10, max_per_key=10
+    ).collect()
+    assert [(r.doc_id, np.float32(r.score)) for r in wide] == plain
+    # diversity actually binds on this corpus: the capped set differs
+    assert [(r.doc_id) for r in div] != [d for d, _ in plain] or max(
+        Counter(d for d, _ in plain).values()
+    ) <= 2
+
+
 def test_search_with_keys(searcher):
     df = searcher.search_with_keys(TermQuery("table"), k=5)
     rows = df.collect()

@@ -44,6 +44,66 @@ def test_collate_uncorrectable_word_passes_through(searcher):
     assert row.n_hits == 0
 
 
+def test_word_breaks_splits_runtogether(searcher):
+    from lucene_solr_spark.search.spellcheck import word_breaks
+
+    rows = word_breaks(searcher._term_stats, "tablescan", k=5).collect()
+    assert [(r.left, r.right) for r in rows] == [("table", "scan")]
+    assert rows[0].split_pos == 5
+    assert rows[0].left_df > 0 and rows[0].right_df > 0
+
+
+def test_word_breaks_in_dictionary_word_suppressed(searcher):
+    """SUGGEST_WHEN_NOT_IN_INDEX (WordBreakSpellChecker.java:112-114):
+    a word already in the index yields nothing — unless suggest_always."""
+    from lucene_solr_spark.search.spellcheck import word_breaks
+
+    assert word_breaks(searcher._term_stats, "table", k=5).count() == 0
+    # no split of 'table' has both halves in this dictionary either way
+    assert (
+        word_breaks(searcher._term_stats, "table", k=5, suggest_always=True)
+        .count() == 0
+    )
+
+
+def test_word_breaks_ranking_max_freq_desc(searcher):
+    """Multi-split word: ranked by max(component df) desc
+    (NUM_CHANGES_THEN_MAX_FREQUENCY, WordBreakSpellChecker.java:103)."""
+    from lucene_solr_spark.search.spellcheck import word_breaks
+
+    rows = word_breaks(searcher._term_stats, "fastslow", k=5).collect()
+    assert [(r.left, r.right) for r in rows] == [("fast", "slow")]
+
+
+def test_word_combinations_adjacent_pairs(searcher):
+    from lucene_solr_spark.search.spellcheck import word_combinations
+
+    rows = word_combinations(
+        searcher._term_stats, ["win", "dow", "vec", "tor"], k=5
+    ).collect()
+    assert {r.combined for r in rows} == {"window", "vector"}
+    keys = [(-r.combined_df, r.pair_pos) for r in rows]
+    assert keys == sorted(keys)
+    # non-adjacent fragments never combine
+    assert all(r.pair_pos in (0, 2) for r in rows)
+
+
+def test_word_combinations_not_in_index_mode(searcher):
+    """A pair whose components are BOTH dictionary words is not a
+    combination candidate (WordBreakSpellChecker.java:223-224) unless
+    suggest_always."""
+    from lucene_solr_spark.search.spellcheck import word_combinations
+
+    # 'table'+'scan' -> 'tablescan' is not a dictionary term: no rows
+    assert (
+        word_combinations(searcher._term_stats, ["table", "scan"], k=5)
+        .count() == 0
+    )
+    # 'win'+'dow' -> 'window' IS a term and components are absent: kept
+    rows = word_combinations(searcher._term_stats, ["win", "dow"], k=5)
+    assert rows.count() == 1
+
+
 def test_freetext_suggest_bigram_and_backoff(spark):
     from lucene_solr_spark.search.suggest import freetext_suggest
 
