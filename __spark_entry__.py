@@ -2305,6 +2305,59 @@ def _q_dismax(spark, sf):
     return _hits(spark, sf, DisjunctionMax(Q_DISMAX, tie=0.3), K)
 
 
+def _q_stream_unique(spark, sf):
+    """unique(search(...), over=source) — UniqueStream.java:129-153:
+    first tuple of each equal-key run of the sorted stream."""
+    from lucene_solr_spark.streaming.expressions import (
+        search_stream, unique_stream,
+    )
+
+    d = _docs(spark, sf).select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    src = search_stream(d, "source asc, n_chars desc, doc_id asc")
+    return unique_stream(src, "source", "source asc, n_chars desc, doc_id asc")
+
+
+def _q_stream_merge_rank(spark, sf):
+    """top(20, merge(en, de, on=n_chars desc)) — MergeStream.java +
+    RankStream.java: merge-union of two sorted streams, bounded top-N."""
+    from lucene_solr_spark.streaming.expressions import (
+        merge_stream, rank_stream,
+    )
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    en = d.where(F.col("lang") == "en")
+    de = d.where(F.col("lang") == "de")
+    merged = merge_stream(en, de, "n_chars desc, doc_id asc")
+    return rank_stream(merged, K, "n_chars desc, doc_id asc")
+
+
+def _q_stream_reduce(spark, sf):
+    """reduce(search(...), by=lang) — ReducerStream.java read(): the
+    group head carries the first tuple's fields plus the whole group's
+    tuples in stream order; reduced here to (head doc, group size,
+    ordered id list) so the tuple-list semantics stay hashable."""
+    from lucene_solr_spark.streaming.expressions import reducer_stream
+
+    d = _docs(spark, sf).select(
+        "lang", F.col("doc_id").cast("long").alias("doc_id")
+    )
+    r = reducer_stream(d, "lang", "lang asc, doc_id asc")
+    return r.select(
+        "lang",
+        F.col("doc_id").alias("head_doc"),
+        F.size("tuples").cast("long").alias("n_tuples"),
+        F.array_join(
+            F.transform("tuples", lambda t: t["doc_id"].cast("string")), ","
+        ).alias("ids_csv"),
+    ).orderBy("lang")
+
+
 WORDBREAK_INPUTS = ("tablescan", "fastslow")
 WORDCOMBINE_INPUT = ("win", "dow", "vec", "tor")
 
@@ -4257,6 +4310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_topk": _q_diversified,
         "wordbreak_suggest": _q_wordbreak,
         "wordcombine_suggest": _q_wordcombine,
+        "stream_unique_by_source": _q_stream_unique,
+        "stream_merge_rank_topk": _q_stream_merge_rank,
+        "stream_reduce_by_lang": _q_stream_reduce,
         "more_like_this_topk": _q_mlt,
         "sort_by_field_topk": _q_sort_by_field,
         "spellcheck_suggest": _q_spellcheck,
@@ -4495,6 +4551,27 @@ def oracle_sql() -> dict[str, str]:
         "diversified_topk": _diversified_sql(Q_TERM, 2, K),
         "wordbreak_suggest": _wordbreak_sql(WORDBREAK_INPUTS, 5),
         "wordcombine_suggest": _wordcombine_sql(WORDCOMBINE_INPUT, 5),
+        "stream_unique_by_source": """
+WITH r AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (PARTITION BY source
+           ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source, doc_id, n_chars FROM r WHERE rn = 1
+ORDER BY source, n_chars DESC, doc_id""",
+        "stream_merge_rank_topk": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE lang IN ('en', 'de')
+ORDER BY n_chars DESC, doc_id LIMIT {K}""",
+        "stream_reduce_by_lang": """
+SELECT lang,
+       CAST(min(doc_id) AS BIGINT) AS head_doc,
+       CAST(count(*) AS BIGINT) AS n_tuples,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids_csv
+FROM documents GROUP BY lang ORDER BY lang""",
         "more_like_this_topk": _mlt_sql(MLT_DOC, 10, K),
         "scale_function_topk": (
             "WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo, "
