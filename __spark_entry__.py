@@ -2305,6 +2305,77 @@ def _q_dismax(spark, sf):
     return _hits(spark, sf, DisjunctionMax(Q_DISMAX, tie=0.3), K)
 
 
+def _q_facet_params(spark, sf):
+    """SimpleFacets parameter semantics (solr/core/.../request/
+    SimpleFacets.java): facet.prefix filters terms (:413), facet.sort
+    count desc / index asc, and facet.missing appends the null-value
+    bucket last (:864 res.add(null, getFieldMissingCount)). The corpus
+    has no nulls, so the faceted field is a derived sparse field
+    (lang 'it' -> NULL) to exercise the missing bucket for real."""
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_AND[0]), k=None)  # 'scan' match set
+    docs = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.nullif("lang", F.lit("it")).alias("fld"),
+    )
+    j = hits.join(docs, "doc_id")
+    terms = (
+        j.where(F.col("fld").startswith("e"))
+        .groupBy("fld")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= 1)
+        .select(F.col("fld").alias("term"), "cnt", F.lit(0).alias("m"))
+    )
+    missing = j.where(F.col("fld").isNull()).agg(
+        F.lit("<missing>").alias("term"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.lit(1).alias("m"),
+    )
+    return (
+        terms.unionByName(missing)
+        .orderBy("m", F.desc("cnt"), "term")
+        .select("term", "cnt")
+    )
+
+
+def _q_strdist(spark, sf):
+    """strdist(source, 'src12', edit) function query
+    (ValueSourceParser.java:370-383 -> StringDistanceFunction with
+    LevensteinDistance.getDistance: 1 - lev/max(len),
+    lucene/suggest/.../spell/LevensteinDistance.java:107; kept in f64
+    here — both engines compute the identical IEEE double). Top-k docs
+    by similarity to the literal, doc asc tie-break."""
+    docs = _docs(spark, sf)
+    lev = F.levenshtein(F.col("source"), F.lit("src12"))
+    mx = F.greatest(F.length("source"), F.lit(5))
+    d = (F.lit(1.0) - lev.cast("double") / mx.cast("double")).alias("dist")
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), d)
+        .orderBy(F.desc("dist"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
+def _q_block_join_facet(spark, sf):
+    """BlockJoinFacetComponent analog (Solr's block-join child-level
+    faceting; solr/core/.../search/join/ package, child docs faceted
+    so each PARENT counts once per facet value): children = docs
+    matching the query, parents = their `source` blocks; per child
+    `lang`, the number of DISTINCT parents having a matching child
+    with that value. countDistinct = one (lang, source) exchange."""
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+    return (
+        hits.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(F.countDistinct("source").cast("long").alias("n_parents"))
+        .orderBy("lang")
+    )
+
+
 def _q_stream_unique(spark, sf):
     """unique(search(...), over=source) — UniqueStream.java:129-153:
     first tuple of each equal-key run of the sorted stream."""
@@ -4310,6 +4381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_topk": _q_diversified,
         "wordbreak_suggest": _q_wordbreak,
         "wordcombine_suggest": _q_wordcombine,
+        "facet_params_lang": _q_facet_params,
+        "strdist_topk": _q_strdist,
+        "block_join_facet_langs": _q_block_join_facet,
         "stream_unique_by_source": _q_stream_unique,
         "stream_merge_rank_topk": _q_stream_merge_rank,
         "stream_reduce_by_lang": _q_stream_reduce,
@@ -4551,6 +4625,30 @@ def oracle_sql() -> dict[str, str]:
         "diversified_topk": _diversified_sql(Q_TERM, 2, K),
         "wordbreak_suggest": _wordbreak_sql(WORDBREAK_INPUTS, 5),
         "wordcombine_suggest": _wordcombine_sql(WORDCOMBINE_INPUT, 5),
+        "facet_params_lang": f"""
+WITH {_BM25_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{Q_AND[0]}'),
+j AS (SELECT m.doc_id, nullif(d.lang, 'it') AS fld
+      FROM m JOIN documents d USING (doc_id)),
+t AS (
+  SELECT fld AS term, count(*)::BIGINT AS cnt, 0 AS mflag FROM j
+  WHERE fld LIKE 'e%' GROUP BY fld HAVING count(*) >= 1
+),
+mm AS (SELECT '<missing>' AS term, count(*)::BIGINT AS cnt, 1 AS mflag
+       FROM j WHERE fld IS NULL)
+SELECT term, cnt FROM (SELECT * FROM t UNION ALL SELECT * FROM mm)
+ORDER BY mflag, cnt DESC, term""",
+        "strdist_topk": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       1.0 - CAST(levenshtein(source, 'src12') AS DOUBLE)
+             / greatest(length(source), 5) AS dist
+FROM documents ORDER BY dist DESC, doc_id LIMIT {K}""",
+        "block_join_facet_langs": f"""
+WITH {_BM25_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{Q_TERM}')
+SELECT d.lang, count(DISTINCT d.source)::BIGINT AS n_parents
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang""",
         "stream_unique_by_source": """
 WITH r AS (
   SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
