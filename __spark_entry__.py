@@ -1279,6 +1279,32 @@ ph AS (
     return _span_sql(ph, tuple(sorted({t0, t1})), k)
 
 
+def _complex_phrase_sql(
+    left_terms: tuple[str, ...], t1: str, slop: int, k: int
+) -> str:
+    """Complex phrase '"<mtq> t1"~slop': the wildcard side is the
+    UNION of the expansion terms' positions (SpanOr of unit spans);
+    ordered near pairs each left position with the minimal t1 position
+    after it; idf sums the expansion terms + t1 (sorted, f32 chain).
+    The expansion set is corpus-known here (the engine still runs its
+    distributed dictionary expansion; this pins its result)."""
+    tlist = ",".join(f"'{t}'" for t in left_terms)
+    ph = f"""
+ph AS (
+  SELECT x.doc_id,
+         CAST(SUM(CAST(1.0 AS DOUBLE) / (x.y - x.pos)) AS REAL) AS freq
+  FROM (
+    SELECT a.doc_id, a.pos,
+      (SELECT min(b.pos) FROM tokp b
+       WHERE b.doc_id = a.doc_id AND b.term = '{t1}' AND b.pos > a.pos) AS y
+    FROM tokp a WHERE a.term IN ({tlist})
+  ) x
+  WHERE x.y IS NOT NULL AND x.y - x.pos - 1 <= {slop}
+  GROUP BY x.doc_id
+)"""
+    return _span_sql(ph, tuple(sorted(set(left_terms) | {t1})), k)
+
+
 def _span_near_unordered_sql(t0: str, t1: str, slop: int, k: int) -> str:
     """NearSpansUnordered with two unit spans: the min-heap walk visits
     exactly the states (p, minimal other-term position AFTER p) from
@@ -2303,6 +2329,17 @@ def _q_common_terms(spark, sf):
 
 def _q_dismax(spark, sf):
     return _hits(spark, sf, DisjunctionMax(Q_DISMAX, tie=0.3), K)
+
+
+def _q_complex_phrase(spark, sf):
+    """ComplexPhraseQueryParser analog (queryparser/.../complexPhrase/
+    ComplexPhraseQueryParser.java:309): '"b* scan"~2' — the wildcard
+    word expands positionally (SpanMultiTermQueryWrapper ->
+    SpanOr(batch, big) on this corpus), joined by an ordered
+    SpanNearQuery with the phrase slop."""
+    from lucene_solr_spark.search.parser import complex_phrase_query
+
+    return _hits(spark, sf, complex_phrase_query('"b* scan"~2'), K)
 
 
 def _q_facet_params(spark, sf):
@@ -4381,6 +4418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_topk": _q_diversified,
         "wordbreak_suggest": _q_wordbreak,
         "wordcombine_suggest": _q_wordcombine,
+        "complex_phrase_topk": _q_complex_phrase,
         "facet_params_lang": _q_facet_params,
         "strdist_topk": _q_strdist,
         "block_join_facet_langs": _q_block_join_facet,
@@ -4625,6 +4663,8 @@ def oracle_sql() -> dict[str, str]:
         "diversified_topk": _diversified_sql(Q_TERM, 2, K),
         "wordbreak_suggest": _wordbreak_sql(WORDBREAK_INPUTS, 5),
         "wordcombine_suggest": _wordcombine_sql(WORDCOMBINE_INPUT, 5),
+        "complex_phrase_topk": _complex_phrase_sql(("batch", "big"),
+                                                   "scan", 2, K),
         "facet_params_lang": f"""
 WITH {_BM25_CTES},
 m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{Q_AND[0]}'),

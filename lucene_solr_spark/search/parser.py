@@ -400,3 +400,76 @@ def edismax_query(
             Clause("SHOULD", BoostQuery(pq, float(b)) if float(b) != 1.0 else pq)
         )
     return BooleanQuery((Clause("MUST", main), *phrase_clauses))
+
+
+class ComplexPhraseQueryParser(QueryParser):
+    """ComplexPhraseQueryParser analog (lucene/queryparser/.../
+    complexPhrase/ComplexPhraseQueryParser.java): inside a quoted
+    phrase, wildcard words expand POSITIONALLY — `"ta* scan"` matches
+    any term starting 'ta' immediately before 'scan'. The reference
+    parses the phrase content as a mini-query and rewrites it to
+    SpanNearQuery(allSpanClauses, slopFactor, inOrder) (:309); here
+    each wildcard word lifts via SpanMultiTermQueryWrapper (the
+    SCORING_SPAN_QUERY_REWRITE dictionary expansion, df-bounded) and
+    plain words become SpanTermQuery, joined by SpanNearQuery with the
+    phrase's `~slop` and the parser's in_order flag (:69-78
+    setInOrder). Phrases without wildcards fall back to the classic
+    PhraseQuery path (identical scoring to the base parser).
+
+    Subset: word-level wildcards ('*' / '?'); the reference's embedded
+    fuzzy/range-in-phrase forms are out of scope (documented)."""
+
+    def __init__(self, analyzer: str = "standard", in_order: bool = True,
+                 max_expansions: int = 50):
+        super().__init__(analyzer)
+        self._in_order = in_order
+        self._max_expansions = max_expansions
+
+    def _phrase_query(self, p: dict, default_field: str | None = None):
+        words = p["text"].split()
+        if not any("*" in w or "?" in w for w in words):
+            return super()._phrase_query(p, default_field)
+        from lucene_solr_spark.search.query import (
+            SpanMultiTermQueryWrapper,
+            SpanNearQuery,
+            SpanTermQuery,
+        )
+
+        field = p.get("field") or default_field
+        clauses: list = []
+        for w in words:
+            lw = w.lower()
+            if "*" in lw or "?" in lw:
+                if lw.endswith("*") and "*" not in lw[:-1] and "?" not in lw:
+                    mtq: Query = PrefixQuery(
+                        lw[:-1], field=field,
+                        max_expansions=self._max_expansions,
+                    )
+                else:
+                    mtq = WildcardQuery(
+                        lw, field=field,
+                        max_expansions=self._max_expansions,
+                    )
+                clauses.append(SpanMultiTermQueryWrapper(mtq))
+            else:
+                toks = self._tokens(lw)
+                if not toks:
+                    # stop/empty word: the reference's analyzer drops it
+                    # from the phrase too (position gap not preserved in
+                    # this subset)
+                    continue
+                clauses.append(SpanTermQuery(toks[0], field=field))
+        if not clauses:
+            return None
+        if len(clauses) == 1:
+            q: Query = clauses[0]
+        else:
+            q = SpanNearQuery(tuple(clauses), p["slop"], self._in_order)
+        boost = p["boost"]
+        return BoostQuery(q, boost) if boost is not None else q
+
+
+def complex_phrase_query(
+    s: str, analyzer: str = "standard", in_order: bool = True
+) -> Query | None:
+    return ComplexPhraseQueryParser(analyzer, in_order).parse(s)

@@ -101,6 +101,46 @@ def test_parse_special_terms():
     assert parse_query('"table scan"~2') == PhraseQuery(("table", "scan"), slop=2)
 
 
+def test_complex_phrase_parser():
+    """ComplexPhraseQueryParser.java:309 — wildcard words inside a
+    quoted phrase lift positionally via SpanMultiTermQueryWrapper into
+    an ordered SpanNearQuery with the phrase slop; wildcard-free
+    phrases fall back to classic PhraseQuery."""
+    from lucene_solr_spark.search.parser import complex_phrase_query
+    from lucene_solr_spark.search.query import (
+        SpanMultiTermQueryWrapper,
+        SpanNearQuery,
+        SpanTermQuery,
+    )
+
+    q = complex_phrase_query('"ta* scan"~1')
+    assert q == SpanNearQuery(
+        (
+            SpanMultiTermQueryWrapper(PrefixQuery("ta", max_expansions=50)),
+            SpanTermQuery("scan"),
+        ),
+        1,
+        True,
+    )
+    assert complex_phrase_query('"v?lue scan"').clauses[0] == (
+        SpanMultiTermQueryWrapper(WildcardQuery("v?lue", max_expansions=50))
+    )
+    # no wildcard -> classic phrase path, identical to the base parser
+    assert complex_phrase_query('"table scan"~2') == PhraseQuery(
+        ("table", "scan"), slop=2
+    )
+    # field scope threads into both the wrapper's MTQ and the terms
+    fq = complex_phrase_query('source:"sr* src1"')
+    assert fq.clauses[0].query.field == "source"
+    assert fq.clauses[1].field == "source"
+    # in_order=False -> unordered near (setInOrder, :69-78)
+    uq = complex_phrase_query('"ta* scan"', in_order=False)
+    assert uq.in_order is False
+    # boost wraps the span near
+    bq = complex_phrase_query('"ta* scan"^2')
+    assert isinstance(bq, BoostQuery) and bq.boost == 2.0
+
+
 def test_parse_range_syntax():
     """QueryParser.jj Range production: '[' ']' inclusive, '{' '}'
     exclusive, '*' open bound, optional field prefix and boost;
