@@ -1305,6 +1305,67 @@ ph AS (
     return _span_sql(ph, tuple(sorted(set(left_terms) | {t1})), k)
 
 
+def _surround_sql(
+    or_terms: tuple[str, ...], t1: str, dist: int, must_term: str, k: int
+) -> str:
+    """Surround '(a OR b) <dist>N t1 AND must_term': unordered near
+    over the union of the or-terms' positions (slop = dist-1, factor
+    1/(1+gap)), span idf = f32 chain over sorted distinct span terms,
+    MUST-composed with the term score as f32(f64(span) + f64(term))
+    (the tree kernel's clause-order f64 accumulation)."""
+    tlist = ",".join(f"'{t}'" for t in or_terms)
+    slop = dist - 1
+    span_terms = tuple(sorted(set(or_terms) | {t1}))
+    idf = "\n    + ".join(
+        f"(SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL)"
+        f" FROM dfs WHERE term = '{t}')"
+        for t in span_terms
+    )
+    return f"""
+WITH {_BM25_CTES},
+{_TOKP_CTES},
+cand AS (
+  SELECT a.doc_id, a.pos AS x,
+    (SELECT min(b.pos) FROM tokp b
+     WHERE b.doc_id = a.doc_id AND b.term = '{t1}' AND b.pos > a.pos) AS y
+  FROM tokp a WHERE a.term IN ({tlist})
+  UNION ALL
+  SELECT b.doc_id, b.pos AS x,
+    (SELECT min(a.pos) FROM tokp a
+     WHERE a.doc_id = b.doc_id AND a.term IN ({tlist})
+       AND a.pos > b.pos) AS y
+  FROM tokp b WHERE b.term = '{t1}'
+),
+ph AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(1.0 AS DOUBLE) / (1 + (y - x))) AS REAL) AS freq
+  FROM cand WHERE y IS NOT NULL AND y - x - 1 <= {slop}
+  GROUP BY doc_id
+),
+idfs AS (SELECT {idf} AS s),
+spansc AS (
+  SELECT ph.doc_id,
+    CAST(((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+         * ph.freq / (ph.freq + cachet.c) AS REAL) AS s_span
+  FROM ph JOIN cachet USING (doc_id)
+),
+termsc AS (
+  SELECT tf.doc_id,
+    (CAST(ln(1 + ((SELECT n FROM a) - dfs.df + 0.5) / (dfs.df + 0.5)) AS REAL)
+       * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+      * CAST(tf.tf AS REAL) / (CAST(tf.tf AS REAL) + cachet.c) AS s_term
+  FROM tf JOIN dfs USING (term) JOIN cachet USING (doc_id)
+  WHERE tf.term = '{must_term}'
+)
+SELECT s1.doc_id,
+  CAST(CAST(CAST(s_span AS DOUBLE) + CAST(s_term AS DOUBLE) AS REAL)
+       AS DOUBLE) AS score
+FROM spansc s1 JOIN termsc USING (doc_id)
+ORDER BY CAST(CAST(s_span AS DOUBLE) + CAST(s_term AS DOUBLE) AS REAL) DESC,
+         s1.doc_id
+LIMIT {k}"""
+
+
 def _span_near_unordered_sql(t0: str, t1: str, slop: int, k: int) -> str:
     """NearSpansUnordered with two unit spans: the min-heap walk visits
     exactly the states (p, minimal other-term position AFTER p) from
@@ -2329,6 +2390,17 @@ def _q_common_terms(spark, sf):
 
 def _q_dismax(spark, sf):
     return _hits(spark, sf, DisjunctionMax(Q_DISMAX, tie=0.3), K)
+
+
+def _q_surround(spark, sf):
+    """Surround parser (queryparser/surround/): '(batch OR big) 2N
+    scan AND table' — an unordered distance op over a SpanOr operand
+    (DistanceQuery.java:100 slop = opDistance-1), composed under a
+    boolean MUST with a plain term (SrndBooleanQuery.java); the span
+    operand rides the boolean tree as a spans leaf."""
+    from lucene_solr_spark.search.surround import surround_query
+
+    return _hits(spark, sf, surround_query("(batch OR big) 2N scan AND table"), K)
 
 
 def _q_complex_phrase(spark, sf):
@@ -4419,6 +4491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordbreak_suggest": _q_wordbreak,
         "wordcombine_suggest": _q_wordcombine,
         "complex_phrase_topk": _q_complex_phrase,
+        "surround_topk": _q_surround,
         "facet_params_lang": _q_facet_params,
         "strdist_topk": _q_strdist,
         "block_join_facet_langs": _q_block_join_facet,
@@ -4665,6 +4738,8 @@ def oracle_sql() -> dict[str, str]:
         "wordcombine_suggest": _wordcombine_sql(WORDCOMBINE_INPUT, 5),
         "complex_phrase_topk": _complex_phrase_sql(("batch", "big"),
                                                    "scan", 2, K),
+        "surround_topk": _surround_sql(("batch", "big"), "scan", 2,
+                                       "table", K),
         "facet_params_lang": f"""
 WITH {_BM25_CTES},
 m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{Q_AND[0]}'),

@@ -809,6 +809,15 @@ def _tree_cost(node: dict, lt: "_LazyTerms") -> int:
         if any(t not in lt for t in node["terms"]):
             return 0
         return min(lt.local_df(t) for t in node["terms"])
+    if k == "spans":
+        from lucene_solr_spark.search.spans import span_all_terms
+
+        terms = set(span_all_terms(node["node"]))
+        present = [lt.local_df(t) for t in terms if t in lt]
+        # conservative: a span result can't exceed its largest term's
+        # postings; absent terms zero a near but not an or — keep the
+        # estimate safe (ordering-only, never affects correctness)
+        return sum(present) if present else 0
     if k == "const":
         return sum(lt.local_df(t) for t in node["terms"] if t in lt)
     if k == "constwrap":
@@ -925,6 +934,27 @@ def _eval_tree(
             node["terms"], lt, base, norms_map, idfs, caches, boost=boost,
             slop=int(node.get("slop", 0)),
         )
+
+    if kind == "spans":
+        # SpanQuery leaf inside a boolean tree (the surround parser's
+        # DistanceQuery operands compose under AND/OR/NOT,
+        # queryparser/surround/query/SrndBooleanQuery.java): evaluate
+        # the span kernel fully (positions need the whole occurrence
+        # stream, like phrase) and gather at the candidate set
+        if leaf_fn is not None:
+            raise ValueError(
+                "span leaves are BM25-only (pluggable-similarity "
+                "trees support term/const/dismax/bool nodes)"
+            )
+        from lucene_solr_spark.search.spans import eval_spans
+
+        d, s = eval_spans(
+            node["node"], lt, base, norms_map, idfs, caches, boost=boost
+        )
+        if use_cand and len(d):
+            m = np.isin(d, cand, assume_unique=True)
+            d, s = d[m], s[m]
+        return d, s
 
     if kind == "const":
         # CONSTANT_SCORE multi-term rewrite, pre-expanded against the
@@ -1199,6 +1229,10 @@ def _tree_terms(node: dict) -> list[str]:
         return [node["term"]]
     if k in ("phrase", "const"):
         return list(node["terms"])
+    if k == "spans":
+        from lucene_solr_spark.search.spans import span_all_terms
+
+        return list(dict.fromkeys(span_all_terms(node["node"])))
     if k == "constwrap":
         return _tree_terms(node["query"])
     if k == "field_exists":
@@ -1212,7 +1246,7 @@ def _tree_terms(node: dict) -> list[str]:
 
 def _tree_has_phrase(node: dict) -> bool:
     k = node["kind"]
-    if k == "phrase":
+    if k in ("phrase", "spans"):
         return True
     if k == "constwrap":
         return _tree_has_phrase(node["query"])
@@ -1835,6 +1869,10 @@ class IndexSearcher:
         Query.rewrite(reader) analog for nested clauses."""
         q = rewrite(q)
         T = lambda t: {"kind": "term", "term": t}  # noqa: E731
+        if isinstance(q, SpanQuery):
+            # span leaf inside a boolean tree (surround-parser
+            # composition); wrapper expansion happens in _span_node
+            return {"kind": "spans", "node": self._span_node(q)}
         if isinstance(q, TermQuery):
             return T(self._iterm(q.field, q.term))
         if isinstance(q, PhraseQuery):
