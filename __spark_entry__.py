@@ -2392,6 +2392,33 @@ def _q_dismax(spark, sf):
     return _hits(spark, sf, DisjunctionMax(Q_DISMAX, tie=0.3), K)
 
 
+def _q_expression(spark, sf):
+    """Expressions-module rescore (lucene/expressions/.../
+    ExpressionRescorer.java + js/JavascriptCompiler.java): hits
+    re-ranked by the compiled expression '_score + sqrt(n_chars) / 10'
+    — `_score` bound to the relevance score, `n_chars` to doc values
+    (SimpleBindings.java:37-38). The expression compiles ONCE into a
+    Catalyst Column; Tungsten codegen JITs it like the reference's ASM
+    bytecode."""
+    from lucene_solr_spark.functions.expressions import compile_expression
+
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_chars"
+    )
+    j = hits.join(docs, "doc_id")
+    expr = compile_expression(
+        "_score + sqrt(n_chars) / 10",
+        {"_score": F.col("score"), "n_chars": F.col("n_chars")},
+    )
+    return (
+        j.select("doc_id", expr.cast("double").alias("escore"))
+        .orderBy(F.desc("escore"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
 def _q_surround(spark, sf):
     """Surround parser (queryparser/surround/): '(batch OR big) 2N
     scan AND table' — an unordered distance op over a SpanOr operand
@@ -4492,6 +4519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordcombine_suggest": _q_wordcombine,
         "complex_phrase_topk": _q_complex_phrase,
         "surround_topk": _q_surround,
+        "expression_score_topk": _q_expression,
         "facet_params_lang": _q_facet_params,
         "strdist_topk": _q_strdist,
         "block_join_facet_langs": _q_block_join_facet,
@@ -4740,6 +4768,12 @@ def oracle_sql() -> dict[str, str]:
                                                    "scan", 2, K),
         "surround_topk": _surround_sql(("batch", "big"), "scan", 2,
                                        "table", K),
+        "expression_score_topk": f"""
+WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))}
+SELECT sc.doc_id,
+       CAST(CAST(s AS DOUBLE) + sqrt(d.n_chars) / 10 AS DOUBLE) AS escore
+FROM sc JOIN documents d USING (doc_id)
+ORDER BY escore DESC, sc.doc_id LIMIT {K}""",
         "facet_params_lang": f"""
 WITH {_BM25_CTES},
 m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{Q_AND[0]}'),
