@@ -4363,7 +4363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     min-max ratio; raw integer tf postings decode — each
     check_entry-green on addition) and winnow_pairs_topk (integer
     shared-fingerprint counts, check_entry-green on addition)."""
-    return {
+    base = {
         # --- (1) new this round (never driver-verified) ---
         "dup_span_stats": _op_dup_span_stats,
         "clean_dup_spans_docs": _op_clean_dup_spans,
@@ -4537,6 +4537,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events_daily": _q_rollup_events,
         "percentile_nchars": _q_percentile_nchars,
         "window_events_hourly": _q_window_events_hourly,
+    }
+    # hoist the NEWEST additions (second 2026-08-19 continuation batch,
+    # never driver-verified) into the driver's 50-entry window; every
+    # entry they displace was driver- or sweep-green before (the full
+    # 162-entry check_entry sweep of 2026-08-19 plus per-addition
+    # checks after it)
+    newest = [
+        "blended_term_topk", "diversified_topk", "wordbreak_suggest",
+        "wordcombine_suggest", "stream_unique_by_source",
+        "stream_merge_rank_topk", "stream_reduce_by_lang",
+        "facet_params_lang", "strdist_topk", "block_join_facet_langs",
+        "complex_phrase_topk", "surround_topk", "expression_score_topk",
+    ]
+    return {
+        **{k: base[k] for k in newest},
+        **{k: v for k, v in base.items() if k not in newest},
     }
 
 
