@@ -3171,6 +3171,45 @@ def _q_suggest_infix(spark, sf):
     )
 
 
+def _q_suggest_blended(spark, sf):
+    """BlendedInfixSuggester analog (suggest/analyzing/
+    BlendedInfixSuggester.java:87-88,207-215,251-285): suggestions
+    (docs, weight = n_chars) ranked by weight * (1 - 0.10 * position)
+    with position = the CLOSEST matched token's position in the
+    analyzed suggestion text (POSITION_LINEAR default), score
+    truncated to long (:215). The token-position array is the same
+    JVM-expression chain the percolator compiles against — map-only,
+    no shuffle before the final top-k."""
+    from lucene_solr_spark.analysis.jvm import standard_tokens_pos_col
+
+    docs = _docs(spark, sf)
+    tp = standard_tokens_pos_col(F.col("text"))
+    pos = F.array_min(
+        F.transform(
+            F.filter(tp, lambda s: s["term"] == F.lit("scan")),
+            lambda s: s["pos"],
+        )
+    )
+    d2 = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chars",
+        pos.alias("position"),
+    ).where(F.col("position").isNotNull())
+    score = (
+        F.col("n_chars").cast("double")
+        * (F.lit(1.0) - F.lit(0.10) * F.col("position"))
+    ).cast("long")
+    return (
+        d2.select(
+            "doc_id",
+            F.col("position").cast("long").alias("position"),
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def _q_suggest_fuzzy(spark, sf):
     """FuzzySuggester analog (suggest/.../analyzing/FuzzySuggester.java
     semantics: the typed-so-far text matches suggestion PREFIXES within
@@ -4520,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_phrase_topk": _q_complex_phrase,
         "surround_topk": _q_surround,
         "expression_score_topk": _q_expression,
+        "suggest_blended_infix": _q_suggest_blended,
         "facet_params_lang": _q_facet_params,
         "strdist_topk": _q_strdist,
         "block_join_facet_langs": _q_block_join_facet,
@@ -4549,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_merge_rank_topk", "stream_reduce_by_lang",
         "facet_params_lang", "strdist_topk", "block_join_facet_langs",
         "complex_phrase_topk", "surround_topk", "expression_score_topk",
+        "suggest_blended_infix",
     ]
     return {
         **{k: base[k] for k in newest},
@@ -4790,6 +4831,16 @@ SELECT sc.doc_id,
        CAST(CAST(s AS DOUBLE) + sqrt(d.n_chars) / 10 AS DOUBLE) AS escore
 FROM sc JOIN documents d USING (doc_id)
 ORDER BY escore DESC, sc.doc_id LIMIT {K}""",
+        "suggest_blended_infix": f"""
+WITH {_BM25_CTES},
+{_TOKP_CTES},
+p AS (SELECT doc_id, min(pos) AS position FROM tokp
+      WHERE term = 'scan' GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(p.position AS BIGINT) AS position,
+       CAST(trunc(d.n_chars * (1.0 - 0.10 * p.position)) AS BIGINT) AS score
+FROM p JOIN documents d USING (doc_id)
+ORDER BY score DESC, d.doc_id LIMIT 10""",
         "facet_params_lang": f"""
 WITH {_BM25_CTES},
 m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{Q_AND[0]}'),
