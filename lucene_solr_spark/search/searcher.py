@@ -3627,6 +3627,7 @@ class IndexSearcher:
         post: str = "</em>",
         window: int = 2,
         prune: bool = True,
+        max_passages: int = 1,
     ) -> DataFrame:
         """Snippet highlighting for the query's top-k docs
         (lucene/highlighter PostingsHighlighter semantics): candidate
@@ -3635,8 +3636,12 @@ class IndexSearcher:
         f32 BM25 idfs of the matching tokens it contains (the
         PassageScorer term-weight ranking, PostingsHighlighter.java:
         97,221-268 — unique-term idf weighting over the passage), and
-        the BEST passage is returned (score desc, earlier center
-        wins ties), every matching token inside wrapped pre/post.
+        the best `max_passages` NON-OVERLAPPING passages are returned
+        (selection score desc, earlier center wins ties —
+        PostingsHighlighter.java:221's maxPassages / Solr hl.snippets),
+        emitted in document order joined by "... " (the default
+        PassageFormatter separator), every matching token inside
+        wrapped pre/post.
         `docs` supplies the stored text (stored fields live in the
         source table; the index stores postings only — Solr's phase-2
         fetch). Matching = the display token's analyzed form is a
@@ -3679,23 +3684,38 @@ class IndexSearcher:
                 if not centers:
                     out.append(" ".join(toks[: 2 * w + 1]))
                     continue
-                # best passage: f64 idf sum over matches in the span,
-                # score desc, earlier center wins ties
-                best, best_score = centers[0], -1.0
-                for i in centers:
-                    sc = sum(
-                        m_idf[j]
-                        for j in range(max(0, i - w), min(i + w + 1, len(toks)))
+                # rank passages: f64 idf sum over matches in the span,
+                # score desc, earlier center wins ties; greedily keep
+                # the top max_passages non-overlapping spans
+                scored = sorted(
+                    (
+                        -sum(
+                            m_idf[j]
+                            for j in range(
+                                max(0, i - w), min(i + w + 1, len(toks))
+                            )
+                        ),
+                        i,
                     )
-                    if sc > best_score:
-                        best, best_score = i, sc
-                lo, hi = max(0, best - w), best + w + 1
-                out.append(
-                    " ".join(
-                        f"{pre}{toks[i]}{post}" if m_idf[i] > 0.0 else toks[i]
-                        for i in range(lo, min(hi, len(toks)))
-                    )
+                    for i in centers
                 )
+                chosen: list[int] = []
+                for _, i in scored:
+                    if len(chosen) >= int(max_passages):
+                        break
+                    if all(abs(i - c) > 2 * w for c in chosen):
+                        chosen.append(i)
+                parts = []
+                for c in sorted(chosen):  # document order in the output
+                    lo, hi = max(0, c - w), c + w + 1
+                    parts.append(
+                        " ".join(
+                            f"{pre}{toks[i]}{post}" if m_idf[i] > 0.0
+                            else toks[i]
+                            for i in range(lo, min(hi, len(toks)))
+                        )
+                    )
+                out.append("... ".join(parts))
             return pd.Series(out, dtype="object")
 
         return (

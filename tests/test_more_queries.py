@@ -281,6 +281,37 @@ def test_highlight_picks_densest_passage(spark, tmp_path):
     assert snip == "<em>table</em> x <em>table</em> <em>table</em> y"
 
 
+def test_highlight_multi_passage(spark, tmp_path):
+    """max_passages > 1 (PostingsHighlighter maxPassages / Solr
+    hl.snippets): top-N non-overlapping passages, emitted in document
+    order joined by '... '."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.query import TermQuery
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    rows = [(0, "table one two three four five table x table table y")]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "hlix2")
+    build_index(
+        spark, src, out,
+        IndexConfig(n_shards=1, segs_per_shard=1, id_col="doc_id",
+                    text_col="text", sharding="range_int"),
+    )
+    s = IndexSearcher(spark, out)
+    snip = s.highlight(
+        TermQuery("table"), src, k=1, window=2, max_passages=2
+    ).first().snippet
+    # best passage = the dense cluster; second = the isolated leading
+    # match; output in DOCUMENT order (leading passage first)
+    assert snip == (
+        "<em>table</em> one two... "
+        "<em>table</em> x <em>table</em> <em>table</em> y"
+    )
+    # max_passages=1 unchanged (regression pin for the entry oracle)
+    one = s.highlight(TermQuery("table"), src, k=1, window=2).first().snippet
+    assert one == "<em>table</em> x <em>table</em> <em>table</em> y"
+
+
 def test_termfreq_rows_matches_dictionary_and_source(spark, docs_index):
     from pyspark.sql import functions as F
 
