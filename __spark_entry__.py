@@ -2392,6 +2392,23 @@ def _q_dismax(spark, sf):
     return _hits(spark, sf, DisjunctionMax(Q_DISMAX, tie=0.3), K)
 
 
+def _q_path_facet(spark, sf):
+    """PathHierarchyTokenizer facet (lucene/analysis/common/.../path/
+    PathHierarchyTokenizer.java: 'a/b/c' emits every prefix a, a/b,
+    a/b/c — so a plain terms facet over the tokenized field counts
+    each hierarchy level at once). Path = lang/source; one explode +
+    one hash-aggregate, counts roll up every ancestor in the same
+    exchange."""
+    docs = _docs(spark, sf)
+    path = F.concat_ws("/", F.col("lang"), F.col("source"))
+    return (
+        docs.select(F.explode(F.array(F.col("lang"), path)).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("path")
+    )
+
+
 def _q_expression(spark, sf):
     """Expressions-module rescore (lucene/expressions/.../
     ExpressionRescorer.java + js/JavascriptCompiler.java): hits
@@ -4560,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surround_topk": _q_surround,
         "expression_score_topk": _q_expression,
         "suggest_blended_infix": _q_suggest_blended,
+        "facet_path_hierarchy": _q_path_facet,
         "facet_params_lang": _q_facet_params,
         "strdist_topk": _q_strdist,
         "block_join_facet_langs": _q_block_join_facet,
@@ -4589,7 +4607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_merge_rank_topk", "stream_reduce_by_lang",
         "facet_params_lang", "strdist_topk", "block_join_facet_langs",
         "complex_phrase_topk", "surround_topk", "expression_score_topk",
-        "suggest_blended_infix",
+        "suggest_blended_infix", "facet_path_hierarchy",
     ]
     return {
         **{k: base[k] for k in newest},
@@ -4841,6 +4859,12 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(trunc(d.n_chars * (1.0 - 0.10 * p.position)) AS BIGINT) AS score
 FROM p JOIN documents d USING (doc_id)
 ORDER BY score DESC, d.doc_id LIMIT 10""",
+        "facet_path_hierarchy": """
+SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT lang AS path FROM documents
+  UNION ALL
+  SELECT lang || '/' || source FROM documents
+) GROUP BY path ORDER BY path""",
         "facet_params_lang": f"""
 WITH {_BM25_CTES},
 m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{Q_AND[0]}'),
