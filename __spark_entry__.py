@@ -2392,6 +2392,36 @@ def _q_dismax(spark, sf):
     return _hits(spark, sf, DisjunctionMax(Q_DISMAX, tie=0.3), K)
 
 
+def _q_ord_function(spark, sf):
+    """ord()/rord() function queries (solr/core/.../search/function/
+    OrdFieldSource.java:105-119 — ord is the 1-based position of the
+    doc's value in the field's sorted value dictionary, 0 = missing;
+    ReverseOrdFieldSource.java:105 — rord = end - ord - 1, i.e.
+    numValues - ord with the missing slot folded out). Documented
+    deviation: ords are GLOBAL (dense_rank over the distinct values),
+    not per-segment — the reference's own javadoc warns segment ords
+    are unstable. The value dictionary is dimension-sized: one window
+    over the distincts, broadcast back to the corpus."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf)
+    vals = docs.select("source").distinct()
+    ranked = vals.withColumn(
+        "ord", F.dense_rank().over(Window.orderBy("source"))
+    )
+    n_vals = vals.count()
+    return (
+        docs.join(F.broadcast(ranked), "source")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("ord").cast("long").alias("ord"),
+            (F.lit(n_vals) - F.col("ord")).cast("long").alias("rord"),
+        )
+        .orderBy("doc_id")
+        .limit(K)
+    )
+
+
 def _q_path_facet(spark, sf):
     """PathHierarchyTokenizer facet (lucene/analysis/common/.../path/
     PathHierarchyTokenizer.java: 'a/b/c' emits every prefix a, a/b,
@@ -4578,6 +4608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expression_score_topk": _q_expression,
         "suggest_blended_infix": _q_suggest_blended,
         "facet_path_hierarchy": _q_path_facet,
+        "ord_function_rows": _q_ord_function,
         "facet_params_lang": _q_facet_params,
         "strdist_topk": _q_strdist,
         "block_join_facet_langs": _q_block_join_facet,
@@ -4608,6 +4639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_params_lang", "strdist_topk", "block_join_facet_langs",
         "complex_phrase_topk", "surround_topk", "expression_score_topk",
         "suggest_blended_infix", "facet_path_hierarchy",
+        "ord_function_rows",
     ]
     return {
         **{k: base[k] for k in newest},
@@ -4865,6 +4897,15 @@ SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM (
   UNION ALL
   SELECT lang || '/' || source FROM documents
 ) GROUP BY path ORDER BY path""",
+        "ord_function_rows": f"""
+WITH dv AS (SELECT DISTINCT source FROM documents),
+v AS (SELECT source, dense_rank() OVER (ORDER BY source) AS ord FROM dv),
+n AS (SELECT count(*) AS c FROM dv)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(v.ord AS BIGINT) AS ord,
+       CAST((SELECT c FROM n) - v.ord AS BIGINT) AS rord
+FROM documents d JOIN v USING (source)
+ORDER BY d.doc_id LIMIT {K}""",
         "facet_params_lang": f"""
 WITH {_BM25_CTES},
 m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{Q_AND[0]}'),
