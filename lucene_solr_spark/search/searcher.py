@@ -1197,6 +1197,15 @@ def _explain_node(
             _explain_node(node["query"], lt, base, norms_map, idfs,
                           caches, doc_local, max_doc, 1.0)
         ]
+    elif kind == "spans":
+        from lucene_solr_spark.search.spans import span_all_terms
+
+        out["terms"] = sorted(set(span_all_terms(node["node"])))
+        out["boost"] = float(boost)
+        out["description"] = (
+            "spans leaf: freq = sum of slop factors over enumerated "
+            "spans (SpanScorer), idf = f32 sum of the scoring terms"
+        )
     elif kind == "dismax":
         out["tie"] = float(node.get("tie", 0.0))
         out["description"] = "max(sub) + tie*(sum-max) (DisjunctionMax)"

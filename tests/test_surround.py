@@ -121,6 +121,18 @@ def test_spans_leaf_pruned_matches_exhaustive(searcher):
     assert a == b
 
 
+def test_explain_tree_with_spans_leaf(searcher):
+    """explain over a boolean tree containing a spans leaf recomposes
+    the search score bitwise and labels the span clause."""
+    q = surround_query("(batch OR big) 2N scan AND table")
+    top = searcher.search(q, k=1).first()
+    ex = searcher.explain(q, int(top.doc_id))
+    assert ex["match"] is True
+    assert np.float32(ex["score"]).tobytes() == np.float32(top.score).tobytes()
+    clause_kinds = [d["kind"] for d in ex["details"][0]["details"]]
+    assert "spans" in clause_kinds and "term" in clause_kinds
+
+
 def test_not_composition(searcher):
     q = surround_query("big 2w scan NOT table")
     docs = {r.doc_id for r in searcher.search(q, k=None).collect()}
