@@ -2612,6 +2612,53 @@ def _q_stream_reduce(spark, sf):
     ).orderBy("lang")
 
 
+def _q_stream_expr_rollup(spark, sf):
+    """The streaming-expression STRING grammar end-to-end
+    (StreamExpressionParser.java:37-81 + StreamFactory.java:66 +
+    RollupStream.java:66-80 with the full metrics/ set): one
+    expression string -> one Catalyst plan (single hash aggregate).
+    Metric tuple keys renamed to driver-safe identifiers only in the
+    final projection."""
+    from lucene_solr_spark.streaming.expr import StreamFactory
+
+    f = StreamFactory({"documents": _docs(spark, sf)})
+    out = f.construct(
+        'rollup(search(documents, q="*:*", fl="lang,n_chars", '
+        'sort="lang asc"), over="lang", count(*), sum(n_chars), '
+        "avg(n_chars), min(n_chars), max(n_chars))"
+    )
+    return out.select(
+        "lang",
+        F.col("count(*)").cast("long").alias("n_docs"),
+        F.col("sum(n_chars)").cast("long").alias("sum_nchars"),
+        F.round(F.col("avg(n_chars)"), 6).alias("avg_nchars"),
+        F.col("min(n_chars)").cast("long").alias("min_nchars"),
+        F.col("max(n_chars)").cast("long").alias("max_nchars"),
+    )
+
+
+def _q_stream_expr_topk(spark, sf):
+    """Nested decorator pipeline from ONE expression string:
+    top(unique(search(q=lang:en))) — the q filter is a pushdown
+    predicate, unique is a key-windowed first-row, top is
+    TakeOrderedAndProject (RankStream.java:61-87 / UniqueStream.java:
+    129-153 / CloudSolrStream.java:97-117)."""
+    from lucene_solr_spark.streaming.expr import StreamFactory
+
+    f = StreamFactory({"documents": _docs(spark, sf)})
+    out = f.construct(
+        f'top(n={K}, unique(search(documents, q="lang:en", '
+        'fl="doc_id,source,n_chars", '
+        'sort="source asc, n_chars desc, doc_id asc"), over="source"), '
+        'sort="n_chars desc, doc_id asc")'
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 WORDBREAK_INPUTS = ("tablescan", "fastslow")
 WORDCOMBINE_INPUT = ("win", "dow", "vec", "tor")
 
@@ -4451,6 +4498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared-fingerprint counts, check_entry-green on addition)."""
     base = {
         # --- (1) new this round (never driver-verified) ---
+        "stream_expr_rollup": _q_stream_expr_rollup,
+        "stream_expr_topk": _q_stream_expr_topk,
         "dup_span_stats": _op_dup_span_stats,
         "clean_dup_spans_docs": _op_clean_dup_spans,
         "dsir_weights_topk": _op_dsir_weights,
@@ -4930,6 +4979,23 @@ m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{Q_TERM}')
 SELECT d.lang, count(DISTINCT d.source)::BIGINT AS n_parents
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang""",
+        "stream_expr_rollup": """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_nchars,
+       CAST(min(n_chars) AS BIGINT) AS min_nchars,
+       CAST(max(n_chars) AS BIGINT) AS max_nchars
+FROM documents GROUP BY lang ORDER BY lang""",
+        "stream_expr_topk": f"""
+WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (PARTITION BY source
+           ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents WHERE lang = 'en'
+)
+SELECT doc_id, source, n_chars FROM r WHERE rn = 1
+ORDER BY n_chars DESC, doc_id LIMIT {K}""",
         "stream_unique_by_source": """
 WITH r AS (
   SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
