@@ -2382,6 +2382,47 @@ def _q_reqopt(spark, sf):
     return _hits(spark, sf, BooleanMustShould(*Q_REQOPT), K)
 
 
+SIMPLE_QP = "table + scan | vector"
+SIMPLE_QP_NOT = "table + -scan"
+
+
+def _q_simple_qp(spark, sf):
+    """SimpleQueryParser grammar end-to-end: 'table + scan | vector'
+    re-folds to ((+table +scan) vector) per buildQueryTree:458-464 —
+    a pure disjunction whose first clause is a conjunction."""
+    from lucene_solr_spark.search.simpleqp import parse_simple_query
+
+    return _hits(spark, sf, parse_simple_query(SIMPLE_QP), K)
+
+
+def _q_simple_qp_not(spark, sf):
+    """SQP negation: '-scan' wraps as (MUST_NOT scan, SHOULD MatchAll)
+    (SimpleQueryParser.java:436-442), so the match-all clause
+    CONTRIBUTES 1.0 to every surviving doc's score — the reference's
+    own scoring for negative clauses, pinned here."""
+    from lucene_solr_spark.search.simpleqp import parse_simple_query
+
+    return _hits(spark, sf, parse_simple_query(SIMPLE_QP_NOT), K)
+
+
+XML_QUERY = """
+<BooleanQuery>
+  <Clause occurs="must"><TermQuery>table</TermQuery></Clause>
+  <Clause occurs="should"><TermQuery boost="2.0">vector</TermQuery></Clause>
+  <Clause occurs="mustNot"><TermQuery>dup</TermQuery></Clause>
+</BooleanQuery>"""
+
+
+def _q_xml_query(spark, sf):
+    """CoreParser XML element registry end-to-end: a BooleanQuery
+    element with must/boosted-should/mustNot clauses — ReqOptSumScorer
+    composition with the boost folded into the should leaf's weight
+    (xml/builders/BooleanQueryBuilder.java + TermQueryBuilder.java)."""
+    from lucene_solr_spark.search.xmlparser import parse_xml_query
+
+    return _hits(spark, sf, parse_xml_query(XML_QUERY), K)
+
+
 def _q_common_terms(spark, sf):
     from lucene_solr_spark.search.query import CommonTermsQuery
 
@@ -4500,6 +4541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (1) new this round (never driver-verified) ---
         "stream_expr_rollup": _q_stream_expr_rollup,
         "stream_expr_topk": _q_stream_expr_topk,
+        "simple_qp_topk": _q_simple_qp,
+        "simple_qp_not_topk": _q_simple_qp_not,
+        "xml_query_topk": _q_xml_query,
         "dup_span_stats": _op_dup_span_stats,
         "clean_dup_spans_docs": _op_clean_dup_spans,
         "dsir_weights_topk": _op_dsir_weights,
@@ -4979,6 +5023,51 @@ m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{Q_TERM}')
 SELECT d.lang, count(DISTINCT d.source)::BIGINT AS n_parents
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang""",
+        "simple_qp_topk": f"""
+WITH {_BM25_CTES}, {_sc_cte(("table", "scan", "vector"))},
+conj AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS cs
+  FROM sc WHERE term IN ('table','scan')
+  GROUP BY doc_id HAVING count(*) = 2
+),
+v AS (SELECT doc_id, s AS vs FROM sc WHERE term = 'vector')
+SELECT doc_id,
+       CAST(CAST(coalesce(CAST(cs AS DOUBLE), 0)
+                 + coalesce(CAST(vs AS DOUBLE), 0) AS REAL) AS DOUBLE)
+         AS score
+FROM conj FULL OUTER JOIN v USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT {K}""",
+        "simple_qp_not_topk": f"""
+WITH {_BM25_CTES}, {_sc_cte(("table",))}
+SELECT doc_id,
+       CAST(CAST(CAST(s AS DOUBLE) + 1.0 AS REAL) AS DOUBLE) AS score
+FROM sc
+WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'scan')
+ORDER BY score DESC, doc_id LIMIT {K}""",
+        "xml_query_topk": f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, tf.term,
+    ((CAST(ln(1 + ((SELECT n FROM a) - dfs.df + 0.5) / (dfs.df + 0.5)) AS REAL)
+       * CASE WHEN tf.term = 'vector' THEN CAST(2.0 AS REAL) ELSE CAST(1.0 AS REAL) END)
+       * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+      * CAST(tf.tf AS REAL) / (CAST(tf.tf AS REAL) + cachet.c) AS s
+  FROM tf JOIN dfs USING (term) JOIN cachet USING (doc_id)
+  WHERE tf.term IN ('table','vector')
+),
+req AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS rs
+  FROM sc WHERE term = 'table' GROUP BY doc_id
+),
+opt AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS os
+  FROM sc WHERE term = 'vector' GROUP BY doc_id
+)
+SELECT r.doc_id,
+       CAST(r.rs + coalesce(o.os, CAST(0 AS REAL)) AS DOUBLE) AS score
+FROM req r LEFT JOIN opt o USING (doc_id)
+WHERE r.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+ORDER BY score DESC, r.doc_id LIMIT {K}""",
         "stream_expr_rollup": """
 SELECT lang, count(*)::BIGINT AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_nchars,

@@ -328,6 +328,18 @@ class FieldValueQuery(Query):
 
 
 @dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    """search/MatchAllDocsQuery.java: matches every live document with
+    constant score 1.0 (times boost). Usable standalone and as a tree
+    clause — SimpleQueryParser wraps every negation as
+    (MUST_NOT sub, SHOULD MatchAllDocs) (SimpleQueryParser.java:436-442),
+    so pure-negative queries are expressible."""
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
 class SpanQuery(Query):
     """Base of the positional interval queries (search/spans/
     SpanQuery.java). Spans enumerate (start, end, width) intervals per

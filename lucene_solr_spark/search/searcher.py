@@ -57,6 +57,7 @@ from lucene_solr_spark.search.query import (
     DisjunctionMax,
     DisMaxQuery,
     FieldValueQuery,
+    MatchAllDocsQuery,
     FuzzyQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -822,7 +823,7 @@ def _tree_cost(node: dict, lt: "_LazyTerms") -> int:
         return sum(lt.local_df(t) for t in node["terms"] if t in lt)
     if k == "constwrap":
         return _tree_cost(node["query"], lt)
-    if k == "field_exists":
+    if k in ("field_exists", "match_all"):
         return 1 << 30
     if k == "dismax":
         return sum(_tree_cost(s, lt) for s in node["clauses"])
@@ -977,6 +978,19 @@ def _eval_tree(
             node["query"], lt, base, norms_map, idfs, caches, 1.0,
             prune=prune, cand=cand, leaf_fn=leaf_fn,
         )
+        return d, np.full(len(d), boost, np.float32)
+
+    if kind == "match_all":
+        # MatchAllDocsQuery leaf: every doc in the segment, constant
+        # score = boost. The default-field norms blob enumerates the
+        # segment's doc space (one byte per doc, zero or not), so the
+        # walk never needs postings.
+        nrm = norms_map.get("")
+        if nrm is None:
+            return E
+        d = np.int64(base) + np.arange(len(nrm), dtype=np.int64)
+        if use_cand:
+            d = d[np.isin(d, cand, assume_unique=True)]
         return d, np.full(len(d), boost, np.float32)
 
     if kind == "field_exists":
@@ -1244,7 +1258,7 @@ def _tree_terms(node: dict) -> list[str]:
         return list(dict.fromkeys(span_all_terms(node["node"])))
     if k == "constwrap":
         return _tree_terms(node["query"])
-    if k == "field_exists":
+    if k in ("field_exists", "match_all"):
         return []
     if k == "dismax":
         return [t for sub in node["clauses"] for t in _tree_terms(sub)]
@@ -1282,8 +1296,11 @@ def _spec_needs_positions(spec: dict) -> bool:
 
 
 def _tree_has_field_exists(node: dict) -> bool:
+    """True when the tree contains a leaf that matches docs WITHOUT
+    touching any query term's postings (field_exists / match_all) —
+    such trees must reach every shard, not only term-matched ones."""
     k = node["kind"]
-    if k == "field_exists":
+    if k in ("field_exists", "match_all"):
         return True
     if k == "constwrap":
         return _tree_has_field_exists(node["query"])
@@ -1911,6 +1928,8 @@ class IndexSearcher:
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery,
                           TermRangeQuery)):
             return {"kind": "const", "terms": self._expand_mtq(q)}
+        if isinstance(q, MatchAllDocsQuery):
+            return {"kind": "match_all"}
         if isinstance(q, FieldValueQuery):
             f = q.field if q.field is not None else self._default_field
             if f != self._default_field and f not in self._field_stats:
@@ -2036,7 +2055,7 @@ class IndexSearcher:
                 "terms": list(dict.fromkeys(span_all_terms(node))),
             }
         if isinstance(q, (BooleanQuery, BoostQuery, ConstantScoreQuery,
-                          DisMaxQuery)):
+                          DisMaxQuery, MatchAllDocsQuery)):
             tree = self._tree(q)
             return {"kind": "tree", "tree": tree, "terms": _tree_terms(tree)}
         if isinstance(q, TermQuery):
