@@ -2423,6 +2423,21 @@ def _q_xml_query(spark, sf):
     return _hits(spark, sf, parse_xml_query(XML_QUERY), K)
 
 
+NB_INPUT = "table scan vector merge"
+
+
+def _op_naive_bayes(spark, sf):
+    """SimpleNaiveBayesClassifier analog over (text, lang): per-class
+    raw log posterior for a fixed input document
+    (classification/SimpleNaiveBayesClassifier.java:137-271)."""
+    from lucene_solr_spark.ops.classify import naive_bayes_scores
+
+    out = naive_bayes_scores(_docs(spark, sf), NB_INPUT)
+    return out.select("cls", F.round("score", 6).alias("score")).orderBy(
+        F.desc("score"), "cls"
+    )
+
+
 def _q_common_terms(spark, sf):
     from lucene_solr_spark.search.query import CommonTermsQuery
 
@@ -4544,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_qp_topk": _q_simple_qp,
         "simple_qp_not_topk": _q_simple_qp_not,
         "xml_query_topk": _q_xml_query,
+        "naive_bayes_scores": _op_naive_bayes,
         "dup_span_stats": _op_dup_span_stats,
         "clean_dup_spans_docs": _op_clean_dup_spans,
         "dsir_weights_topk": _op_dsir_weights,
@@ -5044,6 +5060,41 @@ SELECT doc_id,
 FROM sc
 WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'scan')
 ORDER BY score DESC, doc_id LIMIT {K}""",
+        "naive_bayes_scores": f"""
+WITH {_BM25_CTES},
+pairs AS (
+  SELECT DISTINCT d.lang, t.doc_id, t.term
+  FROM tok2 t JOIN documents d USING (doc_id)
+),
+cls AS (SELECT lang, count(*)::BIGINT AS n_c FROM documents GROUP BY lang),
+tot AS (
+  SELECT count(*)::DOUBLE AS sum_df,
+         count(DISTINCT doc_id)::DOUBLE AS n_docs_tok
+  FROM pairs
+),
+q(term, cnt) AS (VALUES {", ".join(f"('{t}', 1)" for t in NB_INPUT.split())}),
+dfct AS (
+  SELECT lang, term, count(*)::BIGINT AS hits FROM pairs
+  WHERE term IN ({", ".join(f"'{t}'" for t in NB_INPUT.split())})
+  GROUP BY lang, term
+),
+grid AS (
+  SELECT c.lang, c.n_c, q.term, q.cnt, coalesce(d.hits, 0) AS hits
+  FROM cls c CROSS JOIN q
+  LEFT JOIN dfct d ON d.lang = c.lang AND d.term = q.term
+),
+s AS (
+  SELECT lang, n_c,
+         sum(cnt * ln((hits + 1.0)
+             / ((SELECT sum_df / n_docs_tok FROM tot) * n_c
+                + (SELECT count(*) FROM documents)))) AS ll
+  FROM grid GROUP BY lang, n_c
+)
+SELECT lang AS cls,
+       round(ln(n_c::DOUBLE)
+             - ln((SELECT count(*) FROM documents)::DOUBLE) + ll, 6)
+         AS score
+FROM s ORDER BY score DESC, cls""",
         "xml_query_topk": f"""
 WITH {_BM25_CTES},
 sc AS (
