@@ -4551,7 +4551,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     on addition) and scale_function_topk / termfreq_topk (round-6
     min-max ratio; raw integer tf postings decode — each
     check_entry-green on addition) and winnow_pairs_topk (integer
-    shared-fingerprint counts, check_entry-green on addition)."""
+    shared-fingerprint counts, check_entry-green on addition). The
+    fourth continuation batch (stream_expr_rollup / stream_expr_topk /
+    simple_qp_topk / simple_qp_not_topk / xml_query_topk /
+    naive_bayes_scores — each check_entry-green on addition) leads the
+    window; the six entries it displaced past slot 50 were all green in
+    the full 168-entry sweep of 2026-08-19 and re-swept green after
+    displacement."""
     base = {
         # --- (1) new this round (never driver-verified) ---
         "stream_expr_rollup": _q_stream_expr_rollup,
