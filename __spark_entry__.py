@@ -3687,6 +3687,15 @@ def _op_dsir_weights(spark, sf):
     return dsir_weights_topk(_docs(spark, sf))
 
 
+def _op_ccnet_buckets(spark, sf):
+    """CCNet perplexity bucketing (ops/mixing.ccnet_buckets): bigram-LM
+    per-doc means -> head/middle/tail at 0.3/0.3/0.4, ranked by the
+    distributed prefix-sum global rank (no single-partition window)."""
+    from lucene_solr_spark.ops.mixing import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf))
+
+
 def _op_bigram_logprob(spark, sf):
     """Bigram-LM quality score (ops/textstats.py:bigram_logprob_topk):
     per-doc mean conditional log-prob under the corpus bigram MLE,
@@ -4566,6 +4575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_qp_not_topk": _q_simple_qp_not,
         "xml_query_topk": _q_xml_query,
         "naive_bayes_scores": _op_naive_bayes,
+        "ccnet_buckets": _op_ccnet_buckets,
         "dup_span_stats": _op_dup_span_stats,
         "clean_dup_spans_docs": _op_clean_dup_spans,
         "dsir_weights_topk": _op_dsir_weights,
@@ -5475,6 +5485,7 @@ FROM documents GROUP BY lang ORDER BY lang""",
         "dataset_split_stats": _ops_oracles.dataset_split_stats_sql(),
         "unigram_logprob_topk": _ops_oracles.unigram_logprob_sql(),
         "bigram_logprob_topk": _ops_oracles.bigram_logprob_sql(),
+        "ccnet_buckets": _ops_oracles.ccnet_buckets_sql(),
         "winnow_pairs_topk": _ops_oracles.winnow_pairs_sql(),
         "dup_span_stats": _ops_oracles.dup_span_stats_sql(),
         "clean_dup_spans_docs": _ops_oracles.remove_dup_spans_sql(),

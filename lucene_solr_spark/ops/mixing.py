@@ -258,3 +258,106 @@ def dsir_weights_topk(
         .orderBy(F.desc("avg_logratio"), "doc_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------
+# CCNet-style perplexity buckets
+# ---------------------------------------------------------------------
+
+CCNET_FRACTIONS = (0.3, 0.3)  # head / middle; tail = remainder
+_RANK_BUCKETS = 64
+
+
+def _global_rank_desc(
+    per_doc: DataFrame, score_col: str, n_buckets: int = _RANK_BUCKETS
+) -> DataFrame:
+    """0-based global rank over (score DESC, doc_id ASC) WITHOUT a
+    single-partition window — the packing module's distributed
+    prefix-sum (ops/packing.py) applied to rank-by-count:
+
+    1. P contiguous VALUE-range buckets by pure arithmetic on the
+       score (desc: bucket 0 holds the largest scores);
+    2. one P-row count aggregate -> exclusive running offsets,
+       broadcast back;
+    3. bucket-local row_number (P-way parallel) + offset = exact
+       global rank.
+
+    Scores must be pre-rounded so ranking ties are identical across
+    engines; doc_id breaks the remaining ties."""
+    lo, hi = per_doc.agg(F.min(score_col), F.max(score_col)).first()
+    if lo is None:
+        return per_doc.withColumn("_rank", F.lit(0).cast("long"))
+    span = float(hi) - float(lo)
+    width = (span / n_buckets) or 1.0
+    bucket = F.least(
+        F.floor((F.lit(float(hi)) - F.col(score_col)) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    ranked = per_doc.withColumn("_bucket", bucket)
+    totals = ranked.groupBy("_bucket").count().collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["_bucket"]):
+        offsets.append((int(row["_bucket"]), acc))
+        acc += int(row["count"])
+    off_df = F.broadcast(
+        per_doc.sparkSession.createDataFrame(
+            offsets, "_bucket long, _off long"
+        )
+    )
+    w = Window.partitionBy("_bucket").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    return (
+        ranked.join(off_df, "_bucket")
+        .withColumn(
+            "_rank", (F.row_number().over(w) - 1 + F.col("_off")).cast("long")
+        )
+        .drop("_bucket", "_off")
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame, fractions: tuple[float, float] = CCNET_FRACTIONS
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): order documents by language-model score and split into
+    head / middle / tail at fixed corpus fractions — head (lowest
+    perplexity = HIGHEST mean log-prob) is the cleanest slice,
+    tail is usually dropped.
+
+    The LM is the corpus's own bigram MLE (ops/textstats.
+    bigram_logprob semantics, round-6 per-doc mean so cross-engine
+    ranking ties are exact); docs with < 1 bigram are excluded like
+    the textstats op. Returns ONE row per bucket:
+    (bucket, n_docs, min_logprob, max_logprob, avg_logprob round-6),
+    bucket in ('head', 'middle', 'tail').
+
+    Plan: the bigram stats (two map-side-combined aggregates, the
+    counts co-partitioned with the bigram stream), then the
+    distributed-prefix-sum rank (_global_rank_desc — two tiny P-row
+    crossings, NO single-partition window), then one 3-key aggregate.
+    """
+    from lucene_solr_spark.ops.textstats import bigram_logprob_per_doc
+
+    per_doc = bigram_logprob_per_doc(docs).select("doc_id", "mean_logprob")
+    n = per_doc.count()
+    n_head = int(n * fractions[0])
+    n_mid = int(n * (fractions[0] + fractions[1]))
+    ranked = _global_rank_desc(per_doc, "mean_logprob")
+    labeled = ranked.withColumn(
+        "bucket",
+        F.when(F.col("_rank") < n_head, "head")
+        .when(F.col("_rank") < n_mid, "middle")
+        .otherwise("tail"),
+    )
+    return (
+        labeled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("mean_logprob").alias("min_logprob"),
+            F.max("mean_logprob").alias("max_logprob"),
+            F.round(F.avg("mean_logprob"), 6).alias("avg_logprob"),
+        )
+        .orderBy("bucket")
+    )

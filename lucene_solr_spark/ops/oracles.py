@@ -1146,3 +1146,55 @@ pd AS (
 SELECT doc_id, n_feats, round(s / CAST(n_feats AS DOUBLE), 6)
   AS avg_logratio
 FROM pd ORDER BY avg_logratio DESC, doc_id LIMIT {k}"""
+
+
+def ccnet_buckets_sql() -> str:
+    """Oracle for mixing.ccnet_buckets: the same bigram per-doc means,
+    single row_number window (fine at sf0.01 — the engine's
+    distributed prefix-sum rank must match it exactly), fixed
+    0.3/0.3/0.4 head/middle/tail cuts."""
+    return """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM t
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, count(*) AS bc FROM big GROUP BY w1, w2),
+cc AS (SELECT w1, count(*) AS cc FROM big GROUP BY w1),
+p AS (
+  SELECT big.doc_id, count(*)::BIGINT AS n_bigrams,
+    sum(ln(CAST(bc.bc AS DOUBLE) / CAST(cc.cc AS DOUBLE))) AS sum_ln
+  FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1)
+  GROUP BY big.doc_id
+),
+pd AS (
+  SELECT doc_id, round(sum_ln / CAST(n_bigrams AS DOUBLE), 6)
+           AS mean_logprob
+  FROM p
+),
+r AS (
+  SELECT doc_id, mean_logprob,
+    row_number() OVER (ORDER BY mean_logprob DESC, doc_id) - 1 AS rnk,
+    count(*) OVER () AS n
+  FROM pd
+),
+lab AS (
+  SELECT CASE WHEN rnk < floor(n * 0.3) THEN 'head'
+              WHEN rnk < floor(n * 0.6) THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         mean_logprob
+  FROM r
+)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+       min(mean_logprob) AS min_logprob,
+       max(mean_logprob) AS max_logprob,
+       round(avg(mean_logprob), 6) AS avg_logprob
+FROM lab GROUP BY bucket ORDER BY bucket"""

@@ -544,6 +544,14 @@ def bigram_logprob_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     combined) -> the bigram stream joins each count co-partitioned on
     its key (neither is broadcast — web-scale bigram vocab is
     corpus-sized) -> per-doc rollup -> top-k. No Python anywhere."""
+    per_doc = bigram_logprob_per_doc(docs)
+    return per_doc.orderBy("mean_logprob", "doc_id").limit(k)
+
+
+def bigram_logprob_per_doc(docs: DataFrame) -> DataFrame:
+    """The per-doc frame behind bigram_logprob_topk (and the CCNet
+    bucketer, ops/mixing.ccnet_buckets): (doc_id, n_bigrams,
+    mean_logprob round-6) for every doc with >= 1 bigram."""
     arr = F.array_remove(F.split(F.trim(F.col("text")), " +"), "")
     n = F.size(arr)
     pairs = F.arrays_zip(
@@ -556,7 +564,7 @@ def bigram_logprob_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     )
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
     cc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
-    per_doc = (
+    return (
         big.join(bc, ["w1", "w2"])
         .join(cc, "w1")
         .groupBy("doc_id")
@@ -574,4 +582,3 @@ def bigram_logprob_topk(docs: DataFrame, k: int = 20) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
-    return per_doc.orderBy("mean_logprob", "doc_id").limit(k)

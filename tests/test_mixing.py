@@ -7,6 +7,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from lucene_solr_spark.ops.mixing import (
     mixture_weights,
     resample_stats,
@@ -115,3 +117,58 @@ def test_dsir_feature_count_is_unigrams_plus_bigrams(spark):
     out = {r.doc_id: r.n_feats for r in dsir_weights_topk(df, k=10).collect()}
     assert out[0] == 5  # 3 unigrams + 2 bigrams
     assert out[1] == 3  # 2 unigrams + 1 bigram
+
+
+def test_ccnet_buckets_sizes_and_ordering(spark):
+    from lucene_solr_spark.ops.mixing import ccnet_buckets
+
+    # 20 docs with clearly separable bigram regularity: repeated
+    # template docs score high, unique-word docs score low
+    rows = []
+    for i in range(10):
+        rows.append((i, "alpha beta gamma delta alpha beta"))
+    for i in range(10, 20):
+        rows.append((i, f"w{i}a w{i}b w{i}c w{i}d"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.bucket: r for r in ccnet_buckets(df).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    # fractions 0.3/0.3/0.4 of 20 docs
+    assert out["head"].n_docs == 6
+    assert out["middle"].n_docs == 6
+    assert out["tail"].n_docs == 8
+    # bucket boundaries respect the score ordering
+    assert out["head"].min_logprob >= out["middle"].max_logprob
+    assert out["middle"].min_logprob >= out["tail"].max_logprob
+
+
+def test_global_rank_matches_window(spark):
+    from pyspark.sql import Window
+
+    from lucene_solr_spark.ops.mixing import _global_rank_desc
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, round(rng.uniform(-9, -1), 6)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, mean_logprob double")
+    got = {
+        r.doc_id: r._rank
+        for r in _global_rank_desc(df, "mean_logprob").collect()
+    }
+    w = Window.orderBy(F.desc("mean_logprob"), F.asc("doc_id"))
+    want = {
+        r.doc_id: r.rn - 1
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_ccnet_empty_and_tiny(spark):
+    from lucene_solr_spark.ops.mixing import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "c d c d")], "doc_id long, text string"
+    )
+    out = {r.bucket: r.n_docs for r in ccnet_buckets(df).collect()}
+    # n=2: floor(0.6)=0 head, floor(1.2)=1 -> 1 middle, 1 tail
+    assert out.get("middle", 0) == 1 and out.get("tail", 0) == 1
