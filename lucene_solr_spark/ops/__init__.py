@@ -129,4 +129,14 @@ def bench_ops(spark, sf_dir: str) -> dict[str, float]:
     textstats.bigram_logprob_topk(docs).collect()
     out["op_bigram_logprob"] = time.perf_counter() - t0
 
+    from lucene_solr_spark.ops import classify, mixing
+
+    t0 = time.perf_counter()
+    mixing.ccnet_buckets(docs).collect()
+    out["op_ccnet_buckets"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    classify.naive_bayes_scores(docs, "table scan vector merge").collect()
+    out["op_naive_bayes"] = time.perf_counter() - t0
+
     return out
