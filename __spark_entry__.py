@@ -2438,6 +2438,17 @@ def _op_naive_bayes(spark, sf):
     )
 
 
+def _q_analyzing_wildcard(spark, sf):
+    """AnalyzingQueryParser (queryparser/analyzing): 'A-Table*' — the
+    non-wildcard chunk runs through the ANALYSIS CHAIN, so 'A-Table'
+    reduces to the single token 'table' ('a' is a stopword) and the
+    query seeks the 'table' prefix; the classic parser would seek the
+    raw lowercased 'a-table' prefix and match nothing."""
+    from lucene_solr_spark.search.parser import analyzing_parse_query
+
+    return _hits(spark, sf, analyzing_parse_query("A-Table*"), K)
+
+
 def _q_common_terms(spark, sf):
     from lucene_solr_spark.search.query import CommonTermsQuery
 
@@ -4576,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_query_topk": _q_xml_query,
         "naive_bayes_scores": _op_naive_bayes,
         "ccnet_buckets": _op_ccnet_buckets,
+        "analyzing_wildcard_topk": _q_analyzing_wildcard,
         "dup_span_stats": _op_dup_span_stats,
         "clean_dup_spans_docs": _op_clean_dup_spans,
         "dsir_weights_topk": _op_dsir_weights,
@@ -4854,6 +4866,11 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_BM25_CTES} "
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
             f"WHERE term LIKE 'sc%' ORDER BY doc_id LIMIT {K}"
+        ),
+        "analyzing_wildcard_topk": (
+            f"WITH {_BM25_CTES} "
+            "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
+            f"WHERE term LIKE 'table%' ORDER BY doc_id LIMIT {K}"
         ),
         "term_range_constant_topk": (
             f"WITH {_BM25_CTES} "

@@ -185,6 +185,15 @@ class QueryParser:
     def _tokens(self, text: str) -> list[str]:
         return list(self._analyze(pd.Series([text]))[0])
 
+    # multi-term-query text hooks (QueryParserBase
+    # lowercaseExpandedTerms default: lowercase, don't analyze).
+    # AnalyzingQueryParser overrides both to run the analysis chain.
+    def _mtq_chunk(self, text: str) -> str:
+        return text.lower()
+
+    def _wildcard_text(self, word: str) -> str:
+        return word.lower()
+
     def parse(self, s: str) -> Query | None:
         toks = _lex(s)
         q, i = self._parse_query(toks, 0)
@@ -296,14 +305,18 @@ class QueryParser:
         if "*" in word or "?" in word:
             # expanded terms are lowercased, not analyzed
             # (QueryParserBase lowercaseExpandedTerms default true);
+            # the AnalyzingQueryParser subclass overrides the chunk
+            # hooks to run the analysis chain instead;
             # field-scoped expansion when a `field:` prefix is present
-            w = word.lower()
+            w = self._wildcard_text(word)
             if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
                 q: Query = PrefixQuery(w[:-1], field=field)
             else:
                 q = WildcardQuery(w, field=field)
         elif p["fuzzy"]:
-            q = FuzzyQuery(word.lower(), max_edits=p["edits"], field=field)
+            q = FuzzyQuery(
+                self._mtq_chunk(word), max_edits=p["edits"], field=field
+            )
         else:
             toks = self._tokens(word)
             if not toks:
@@ -326,8 +339,8 @@ class QueryParser:
         open bound."""
         from lucene_solr_spark.search.query import TermRangeQuery
 
-        lo = None if p["lower"] == "*" else p["lower"].lower()
-        hi = None if p["upper"] == "*" else p["upper"].lower()
+        lo = None if p["lower"] == "*" else self._mtq_chunk(p["lower"])
+        hi = None if p["upper"] == "*" else self._mtq_chunk(p["upper"])
         q: Query = TermRangeQuery(
             lo,
             hi,
@@ -353,6 +366,44 @@ class QueryParser:
 
 def parse_query(s: str, analyzer: str = "standard") -> Query | None:
     return QueryParser(analyzer).parse(s)
+
+
+class AnalyzingQueryParser(QueryParser):
+    """queryparser/analyzing/AnalyzingQueryParser.java: the classic
+    grammar, but wildcard / prefix / fuzzy / range term text runs
+    through the ANALYSIS CHAIN instead of plain lowercasing —
+    `Café*` under a folding chain seeks the `cafe` prefix, where the
+    classic parser would seek `café` and miss.
+
+    - wildcard terms split on `[?*]+` runs (wildcardPattern, :43);
+      each non-wildcard chunk must analyze to EXACTLY one token
+      (analyzeSingleChunk, :148-180 — 0 or >1 raises, the
+      ParseException analog);
+    - prefix / fuzzy / range text analyzes whole (:124-146;
+      setAnalyzeRangeTerms(true) in the ctor)."""
+
+    def _mtq_chunk(self, text: str) -> str:
+        toks = self._tokens(text)
+        if len(toks) != 1:
+            raise ValueError(
+                f"analyzer returned {len(toks)} terms for multi-term "
+                f"chunk {text!r}; expected 1 (AnalyzingQueryParser."
+                f"analyzeSingleChunk)"
+            )
+        return toks[0]
+
+    def _wildcard_text(self, word: str) -> str:
+        parts = re.split(r"([?*]+)", word)
+        return "".join(
+            p if (not p or p[0] in "?*") else self._mtq_chunk(p)
+            for p in parts
+        )
+
+
+def analyzing_parse_query(
+    s: str, analyzer: str = "standard"
+) -> Query | None:
+    return AnalyzingQueryParser(analyzer).parse(s)
 
 
 def edismax_query(

@@ -346,3 +346,54 @@ def test_termfreq_rows_matches_dictionary_and_source(spark, docs_index):
     }
     got = {keymap[r.doc_id]: r.tf for r in rows}
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# AnalyzingQueryParser (queryparser/analyzing)
+# ---------------------------------------------------------------------
+
+
+def test_analyzing_parser_folds_mtq_text():
+    from lucene_solr_spark.search.parser import (
+        analyzing_parse_query,
+        parse_query,
+    )
+    from lucene_solr_spark.search.query import (
+        FuzzyQuery,
+        PrefixQuery,
+        TermRangeQuery,
+        WildcardQuery,
+    )
+
+    # folding chain: accents fold in analyzed chunks
+    assert analyzing_parse_query(
+        "Café*", analyzer="standard_folding"
+    ) == PrefixQuery("cafe")
+    # classic parser only lowercases — the accent survives
+    assert parse_query("Café*", analyzer="standard_folding") == PrefixQuery(
+        "café"
+    )
+    q = analyzing_parse_query("Ta?le*", analyzer="standard_folding")
+    assert q == WildcardQuery("ta?le*")
+    assert analyzing_parse_query(
+        "tablé~1", analyzer="standard_folding"
+    ) == FuzzyQuery("table", max_edits=1)
+    assert analyzing_parse_query(
+        "[Áa TO Zé]", analyzer="standard_folding"
+    ) == TermRangeQuery("aa", "ze")
+
+
+def test_analyzing_parser_rejects_multi_token_chunks():
+    import pytest as _pytest
+
+    from lucene_solr_spark.search.parser import analyzing_parse_query
+
+    with _pytest.raises(ValueError, match="expected 1"):
+        analyzing_parse_query("x-y*")  # chunk 'x-y' -> two tokens
+    with _pytest.raises(ValueError):
+        # stopword chunk analyzes to zero tokens
+        analyzing_parse_query("the*")
+    # but a chunk whose extra token is a stopword is fine: 'a-b' -> 'b'
+    from lucene_solr_spark.search.query import PrefixQuery
+
+    assert analyzing_parse_query("a-b*") == PrefixQuery("b")
