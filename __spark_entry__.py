@@ -4574,9 +4574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shared-fingerprint counts, check_entry-green on addition). The
     fourth continuation batch (stream_expr_rollup / stream_expr_topk /
     simple_qp_topk / simple_qp_not_topk / xml_query_topk /
-    naive_bayes_scores — each check_entry-green on addition) leads the
-    window; the six entries it displaced past slot 50 were all green in
-    the full 168-entry sweep of 2026-08-19 and re-swept green after
+    naive_bayes_scores / ccnet_buckets / analyzing_wildcard_topk —
+    each check_entry-green on addition) leads the window; the nine
+    entries it displaced past slot 50 were all green in the full
+    168-entry sweep of 2026-08-19 and re-swept green after
     displacement."""
     base = {
         # --- (1) new this round (never driver-verified) ---

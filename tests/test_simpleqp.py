@@ -153,3 +153,21 @@ def test_match_all_standalone_scores(spark, docs_index):
     assert [r.score for r in rows] == [1.0] * 5
     # docID-asc tie-break on the constant score
     assert [r.doc_id for r in rows] == sorted(r.doc_id for r in rows)
+
+
+def test_never_raises_property():
+    """The reference's core contract: SimpleQueryParser NEVER throws on
+    user input (syntax errors degrade). Property-checked over random
+    operator-dense strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list('ab("|+-~*\\) c"~2'))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def check(s):
+        q = parse_simple_query(s)  # must not raise
+        assert q is None or q.terms() is not None
+
+    check()
