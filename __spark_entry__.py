@@ -694,6 +694,31 @@ def _q_group_top1_per_source(spark, sf):
     )
 
 
+def _q_group_topn_per_source(spark, sf):
+    """group.limit > 1: the top-2 docs PER GROUP in group order
+    (grouping/TopGroups second pass with maxDocsPerGroup=2;
+    solr group.limit). Same key-windowed plan as the collapse entry —
+    per-group state stays partition-local at any scale."""
+    from pyspark.sql import Window
+
+    s = _searcher_for(spark, sf)
+    hits = s.search(TermQuery(Q_TERM), k=None)
+    docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "source")
+    j = hits.join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            "source",
+            F.col("rn").cast("long").alias("rn"),
+            "doc_id",
+            F.col("score").cast("double"),
+        )
+        .orderBy("source", "rn")
+    )
+
+
 def _q_prefix_constant(spark, sf):
     """PrefixQuery with CONSTANT_SCORE rewrite (MultiTermQuery.java:68-94):
     docs containing any term starting with 'sc', score=1, doc asc, top-k."""
@@ -4589,6 +4614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes_scores": _op_naive_bayes,
         "ccnet_buckets": _op_ccnet_buckets,
         "analyzing_wildcard_topk": _q_analyzing_wildcard,
+        "group_top2_per_source": _q_group_topn_per_source,
         "dup_span_stats": _op_dup_span_stats,
         "clean_dup_spans_docs": _op_clean_dup_spans,
         "dsir_weights_topk": _op_dsir_weights,
@@ -4862,6 +4888,14 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY d.source ORDER BY sc.s DESC, sc.doc_id) AS rn "
             "FROM sc JOIN documents d USING (doc_id)) "
             "SELECT source, doc_id, score FROM ranked WHERE rn = 1 ORDER BY source"
+        ),
+        "group_top2_per_source": (
+            f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))}, "
+            "ranked AS (SELECT d.source, sc.doc_id, CAST(sc.s AS DOUBLE) AS score, "
+            "row_number() OVER (PARTITION BY d.source ORDER BY sc.s DESC, sc.doc_id) AS rn "
+            "FROM sc JOIN documents d USING (doc_id)) "
+            "SELECT source, rn::BIGINT AS rn, doc_id, score FROM ranked "
+            "WHERE rn <= 2 ORDER BY source, rn"
         ),
         "prefix_constant_topk": (
             f"WITH {_BM25_CTES} "
