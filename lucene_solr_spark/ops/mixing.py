@@ -338,9 +338,18 @@ def ccnet_buckets(
     distributed-prefix-sum rank (_global_rank_desc — two tiny P-row
     crossings, NO single-partition window), then one 3-key aggregate.
     """
+    from pyspark import StorageLevel
+
     from lucene_solr_spark.ops.textstats import bigram_logprob_per_doc
 
-    per_doc = bigram_logprob_per_doc(docs).select("doc_id", "mean_logprob")
+    # the bigram frame costs two corpus aggregates + joins; the rank
+    # needs three passes over it (count, min/max, window) — persist so
+    # the LM is computed once, not three times
+    per_doc = (
+        bigram_logprob_per_doc(docs)
+        .select("doc_id", "mean_logprob")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n = per_doc.count()
     n_head = int(n * fractions[0])
     n_mid = int(n * (fractions[0] + fractions[1]))
