@@ -100,22 +100,38 @@ def reducer_stream(
     exchange on the `by` keys — group state is partition-local."""
     by_cols = [c.strip() for c in by.split(",") if c.strip()]
     others = [c for c in df.columns if c not in by_cols]
-    # lead the struct with the sort columns so array_sort's natural
-    # struct ordering IS the stream sort (asc-only: a desc stream sort
-    # would need array_sort's comparator form)
-    sort_cols: list[str] = []
+    # struct leads with the sort columns; desc directions sort via
+    # array_sort's comparator form (the FieldComparator chain)
+    spec: list[tuple[str, bool]] = []
     for part in sort.split(","):
         bits = part.strip().split()
-        if len(bits) > 1 and bits[1].lower() == "desc":
-            raise ValueError("reducer_stream supports asc stream sorts only")
         if bits and bits[0] not in by_cols:
-            sort_cols.append(bits[0])
+            spec.append(
+                (bits[0], len(bits) > 1 and bits[1].lower() == "desc")
+            )
+    sort_cols = [c for c, _ in spec]
     lead = sort_cols + [c for c in others if c not in sort_cols]
-    grouped = df.groupBy(*by_cols).agg(
-        F.array_sort(
-            F.collect_list(F.struct(*[F.col(c) for c in lead]))
-        ).alias(group_col)
+
+    def comparator(left, right):
+        # nested when-chain: compare field by field, flipping the
+        # sign for desc (io/comp/MultipleFieldComparator semantics)
+        out = F.lit(0)
+        for col, desc in reversed(spec):
+            lo, hi = (1, -1) if desc else (-1, 1)
+            out = (
+                F.when(left[col] < right[col], F.lit(lo))
+                .when(left[col] > right[col], F.lit(hi))
+                .otherwise(out)
+            )
+        return out
+
+    items = F.collect_list(F.struct(*[F.col(c) for c in lead]))
+    sorted_items = (
+        F.array_sort(items, comparator)
+        if any(d for _, d in spec)
+        else F.array_sort(items)
     )
+    grouped = df.groupBy(*by_cols).agg(sorted_items.alias(group_col))
     head = [
         F.col(f"{group_col}")[0][c].alias(c) for c in lead
     ]

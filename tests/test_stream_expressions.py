@@ -71,11 +71,15 @@ def test_reducer_group_head_and_tuples(stream):
     assert len(rows["c"].tuples) == 1
 
 
-def test_reducer_rejects_desc_sort(stream):
-    with pytest.raises(ValueError):
-        reducer_stream(stream, "k", "k asc, v desc")
-
-
 def test_bad_sort_spec(stream):
     with pytest.raises(ValueError):
         search_stream(stream, "v sideways")
+
+
+def test_reducer_desc_stream_sort(stream):
+    # desc directions sort the group tuples via the comparator form
+    r = reducer_stream(stream, "k", "k asc, v desc, id asc").collect()
+    by = {row.k: row for row in r}
+    assert [t.id for t in by["a"].tuples] == [1, 2, 3]  # v desc: 30,30,10
+    assert by["a"].v == 30 and by["a"].id == 1  # head = sort-first tuple
+    assert [t.id for t in by["b"].tuples] == [4, 5]  # 50, 40
