@@ -676,6 +676,54 @@ def _q_range_facet(spark, sf):
     )
 
 
+def _q_date_facet_monthly(spark, sf):
+    """DateFacetProcessor / facet.range over a timestamp with a
+    calendar gap (solr/.../component/RangeFacetProcessor.java +
+    DateMathParser '+1MONTH'): per-month order counts. Month-aligned
+    gap = date_trunc bucketing — ONE map-side-combined aggregate on a
+    tiny key set, no date-join."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("month")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("month")
+    )
+
+
+FACET_QUERIES = ("table", "vector", "merge")
+
+
+def _q_facet_query_counts(spark, sf):
+    """facet.query (SimpleFacets.getFacetQueryCounts): the hit COUNT
+    of each of N arbitrary queries in one response — here N term
+    queries in ONE pass over the token stream (sum-of-CASE per query
+    against distinct (doc,term) pairs; the reference runs N cached
+    filter intersections)."""
+    from lucene_solr_spark.analysis.jvm import standard_tokens_col
+
+    docs = _docs(spark, sf)
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(standard_tokens_col(F.col("text")))
+        ).alias("term"),
+    ).where(F.col("term").isin(*FACET_QUERIES))
+    counts = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    qset = spark.createDataFrame(
+        [(t,) for t in FACET_QUERIES], "term string"
+    )
+    return (
+        qset.join(counts, "term", "left")
+        .select("term", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+        .orderBy("term")
+    )
+
+
 def _q_group_top1_per_source(spark, sf):
     """Collapse analog: best-scoring doc per source for a TermQuery
     (CollapsingQParserPlugin semantics)."""
@@ -4522,7 +4570,10 @@ def _wildcard_capped_sql(k: int) -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract. ORDER MATTERS: the driver's CORRECTNESS check
     covers the FIRST 50 entries only, so entries are ranked by
-    verification need (round-3 verdict #4). The first 50 are EXACTLY
+    verification need (round-3 verdict #4). The date_facet_monthly +
+    facet_query_counts entries (2026-08-20) displaced suggest_infix and
+    text_repetition_topk past the window; both re-swept green with
+    check_entry on displacement. The first 50 are EXACTLY
     the entries with no prior driver-green row: (1) round-4 additions
     — parser ranges, fielded MTQ, stemming/synonyms, the Spans family
     incl. containing/within, the SimilarityBase family (LM/DFR/IB,
@@ -4615,6 +4666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _op_ccnet_buckets,
         "analyzing_wildcard_topk": _q_analyzing_wildcard,
         "group_top2_per_source": _q_group_topn_per_source,
+        "date_facet_monthly": _q_date_facet_monthly,
+        "facet_query_counts": _q_facet_query_counts,
         "dup_span_stats": _op_dup_span_stats,
         "clean_dup_spans_docs": _op_clean_dup_spans,
         "dsir_weights_topk": _op_dsir_weights,
@@ -4889,6 +4942,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc JOIN documents d USING (doc_id)) "
             "SELECT source, doc_id, score FROM ranked WHERE rn = 1 ORDER BY source"
         ),
+        "date_facet_monthly": """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*)::BIGINT AS cnt
+FROM orders GROUP BY 1 ORDER BY month""",
+        "facet_query_counts": f"""
+WITH {_BM25_CTES},
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in FACET_QUERIES)}),
+c AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS cnt FROM tok2
+  WHERE term IN ({", ".join(f"'{t}'" for t in FACET_QUERIES)})
+  GROUP BY term
+)
+SELECT q.term, coalesce(c.cnt, 0)::BIGINT AS cnt
+FROM q LEFT JOIN c USING (term) ORDER BY q.term""",
         "group_top2_per_source": (
             f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))}, "
             "ranked AS (SELECT d.source, sc.doc_id, CAST(sc.s AS DOUBLE) AS score, "
