@@ -724,6 +724,46 @@ def _q_facet_query_counts(spark, sf):
     )
 
 
+def _q_sql_group_agg(spark, sf):
+    """Parallel SQL handler, GROUP BY path (solr/core/.../handler/
+    SQLHandler.java: Presto AST -> rollup metrics with tuple keys ->
+    HavingStream -> RankStream). One SQL string compiles to one
+    Catalyst plan: text predicate map-side, ONE hash aggregate with
+    map-side combine, filter, bounded top-k."""
+    from lucene_solr_spark.search.sql import sql_stream
+
+    docs = _docs(spark, sf)
+    out = sql_stream(
+        "SELECT lang, count(*), sum(n_chars), min(n_chars), max(n_chars) "
+        "FROM documents WHERE text = 'scan' GROUP BY lang "
+        "HAVING count(*) > 2 AND sum(n_chars) >= 1000 "
+        "ORDER BY sum(n_chars) desc, lang asc LIMIT 5",
+        {"documents": docs},
+    )
+    return out.select(
+        "lang",
+        F.col("`count(*)`").cast("long").alias("count(*)"),
+        F.col("`sum(n_chars)`").cast("long").alias("sum(n_chars)"),
+        F.col("`min(n_chars)`").cast("long").alias("min(n_chars)"),
+        F.col("`max(n_chars)`").cast("long").alias("max(n_chars)"),
+    )
+
+
+def _q_sql_select_topk(spark, sf):
+    """Parallel SQL handler, SELECT path: WHERE tree (text equality ->
+    analyzed term predicate; NOT; '[lo TO hi]' range -> pushed-down
+    column predicate) + ORDER BY + LIMIT (SQLHandler.java:235-323)."""
+    from lucene_solr_spark.search.sql import sql_stream
+
+    docs = _docs(spark, sf)
+    return sql_stream(
+        "SELECT doc_id, n_chars FROM documents WHERE "
+        "(text = 'table' AND NOT text = 'dup') AND n_chars = '[100 TO 400]' "
+        "ORDER BY n_chars desc, doc_id asc LIMIT 20",
+        {"documents": docs},
+    )
+
+
 def _q_group_top1_per_source(spark, sf):
     """Collapse analog: best-scoring doc per source for a TermQuery
     (CollapsingQParserPlugin semantics)."""
@@ -4572,8 +4612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covers the FIRST 50 entries only, so entries are ranked by
     verification need (round-3 verdict #4). The date_facet_monthly +
     facet_query_counts entries (2026-08-20) displaced suggest_infix and
-    text_repetition_topk past the window; both re-swept green with
-    check_entry on displacement. The first 50 are EXACTLY
+    text_repetition_topk past the window; the sql_group_agg +
+    sql_select_topk entries (Parallel SQL handler, 2026-08-20) then
+    displaced decontamination_flags and line_dedup_topk; all four
+    re-swept green with check_entry on displacement. The first 50 are
+    EXACTLY
     the entries with no prior driver-green row: (1) round-4 additions
     — parser ranges, fielded MTQ, stemming/synonyms, the Spans family
     incl. containing/within, the SimilarityBase family (LM/DFR/IB,
@@ -4668,6 +4711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_top2_per_source": _q_group_topn_per_source,
         "date_facet_monthly": _q_date_facet_monthly,
         "facet_query_counts": _q_facet_query_counts,
+        "sql_group_agg": _q_sql_group_agg,
+        "sql_select_topk": _q_sql_select_topk,
         "dup_span_stats": _op_dup_span_stats,
         "clean_dup_spans_docs": _op_clean_dup_spans,
         "dsir_weights_topk": _op_dsir_weights,
@@ -4956,6 +5001,25 @@ c AS (
 )
 SELECT q.term, coalesce(c.cnt, 0)::BIGINT AS cnt
 FROM q LEFT JOIN c USING (term) ORDER BY q.term""",
+        "sql_group_agg": f"""
+WITH {_BM25_CTES},
+m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'scan')
+SELECT d.lang,
+       count(*)::BIGINT AS "count(*)",
+       sum(d.n_chars)::BIGINT AS "sum(n_chars)",
+       min(d.n_chars)::BIGINT AS "min(n_chars)",
+       max(d.n_chars)::BIGINT AS "max(n_chars)"
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang
+HAVING count(*) > 2 AND sum(d.n_chars) >= 1000
+ORDER BY "sum(n_chars)" DESC, d.lang ASC LIMIT 5""",
+        "sql_select_topk": f"""
+WITH {_BM25_CTES}
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tok2 WHERE term = 'table')
+  AND d.doc_id NOT IN (SELECT doc_id FROM tok2 WHERE term = 'dup')
+  AND d.n_chars BETWEEN 100 AND 400
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20""",
         "group_top2_per_source": (
             f"WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))}, "
             "ranked AS (SELECT d.source, sc.doc_id, CAST(sc.s AS DOUBLE) AS score, "
