@@ -856,6 +856,19 @@ def _q_wildcard(spark, sf):
     )
 
 
+def _q_leading_wildcard(spark, sf):
+    """Leading wildcard through the reversed dictionary
+    (ReversedWildcardFilterFactory analog): `*er` seeks the
+    rterm-sorted dictionary with a pushed-down StartsWith('re')
+    instead of regex-scanning the vocabulary, then constant-scores
+    the union of the matching terms' postings."""
+    s = _searcher_for(spark, sf)
+    return s.search(WildcardQuery("*er"), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def _phrase_sql(t0: str, t1: str, k: int) -> str:
     """Exact-phrase BM25: positions from the raw token sequence (stop
     removal keeps position gaps), freq = adjacent-pair count, idf =
@@ -4700,6 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     displacement."""
     base = {
         # --- (1) new this round (never driver-verified) ---
+        "leading_wildcard_topk": _q_leading_wildcard,
         "stream_expr_rollup": _q_stream_expr_rollup,
         "stream_expr_topk": _q_stream_expr_topk,
         "simple_qp_topk": _q_simple_qp,
@@ -5318,6 +5332,11 @@ SELECT r.doc_id,
 FROM req r LEFT JOIN opt o USING (doc_id)
 WHERE r.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
 ORDER BY score DESC, r.doc_id LIMIT {K}""",
+        "leading_wildcard_topk": (
+            f"WITH {_BM25_CTES} "
+            "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
+            f"WHERE term LIKE '%er' ORDER BY doc_id LIMIT {K}"
+        ),
         "stream_expr_rollup": """
 SELECT lang, count(*)::BIGINT AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_nchars,

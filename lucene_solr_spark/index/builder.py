@@ -766,6 +766,18 @@ def build_index(
     term_stats.coalesce(max(1, cfg.merge_buckets // 8)).sortWithinPartitions(
         "term"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+    # reversed dictionary (ReversedWildcardFilterFactory analog,
+    # solr/core/.../analysis/ReversedWildcardFilterFactory.java): the
+    # same vocabulary keyed by reverse(term) and SORTED on it, so a
+    # leading-wildcard expansion (*foo -> rterm startswith 'oof')
+    # becomes a min/max-pruned parquet seek instead of a full
+    # dictionary regex scan. Vocabulary-sized — negligible next to
+    # postings.
+    spark.read.parquet(os.path.join(out_dir, "term_stats")).select(
+        F.reverse(F.col("term")).alias("rterm"), "term", "df"
+    ).coalesce(max(1, cfg.merge_buckets // 8)).sortWithinPartitions(
+        "rterm"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats_rev"))
     _pt.mark("term_stats")
 
     # ---- collection stats + manifest ----

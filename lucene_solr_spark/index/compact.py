@@ -396,6 +396,13 @@ def _compact_routed(
         term_stats.coalesce(4).sortWithinPartitions("term").write.mode(
             "overwrite"
         ).parquet(os.path.join(od, "term_stats"))
+        # reversed dictionary for leading-wildcard seeks (kept in sync
+        # with every term_stats rewrite; see index/builder.py)
+        spark.read.parquet(os.path.join(od, "term_stats")).select(
+            F.reverse(F.col("term")).alias("rterm"), "term", "df"
+        ).coalesce(4).sortWithinPartitions("rterm").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(od, "term_stats_rev"))
         sttf = int(route_sttf.get(rt, 0))
         if multi_field:
             field_stats = {

@@ -54,6 +54,7 @@ import os
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 ICEBERG_SCHEME = "iceberg://"
 
@@ -226,6 +227,12 @@ def publish_index(spark: SparkSession, index_dir: str, dest: str) -> dict:
     io.write(s._norms, "norms")
     io.write(s._postings, "postings", partition_by=("shard",))
     io.write(s._term_stats, "term_stats")
+    io.write(
+        s._term_stats.select(
+            F.reverse(F.col("term")).alias("rterm"), "term", "df"
+        ).sortWithinPartitions("rterm"),
+        "term_stats_rev",
+    )
     if s._has_tombstones():
         io.write(s._io.read("tombstones"), "tombstones")
 

@@ -1614,6 +1614,7 @@ class IndexSearcher:
         self._postings = self._io.read("postings")
         self._norms = self._io.read("norms")
         self._term_stats = self._io.read("term_stats")
+        self._rev_stats: DataFrame | None = None  # lazy reversed dict
         self._doc_map = None
         # multi-generation state (NRT delta segments; see streaming/nrt.py):
         # global shard id -> doc_id offset of its generation, and
@@ -1841,11 +1842,12 @@ class IndexSearcher:
         carrying max_expansions take the bounded top-terms rewrite
         instead (_expand_top_terms) and never overflow."""
         pre = self._mtq_prefix(q)
+        frame, cond = self._mtq_scan(q, pre)
         if getattr(q, "max_expansions", None):
-            return self._expand_top_terms(_mtq_cond(q, pre), q.max_expansions)
+            return self._expand_top_terms(cond, q.max_expansions, frame)
         cap = self.max_clause_count
         rows = (
-            self._term_stats.where(_mtq_cond(q, pre))
+            frame.where(cond)
             .select("term")
             .limit(cap + 1)
             .collect()
@@ -1872,7 +1874,63 @@ class IndexSearcher:
             )
         return f"{field}{FIELD_SEP}"
 
-    def _expand_top_terms(self, cond, n: int) -> list[str]:
+    def _mtq_scan(self, q, field_prefix: str = ""):
+        """(dictionary frame, predicate) for a multi-term expansion.
+
+        Leading-wildcard patterns take the REVERSED dictionary
+        (ReversedWildcardFilterFactory analog, solr/core/.../analysis/
+        ReversedWildcardFilterFactory.java shouldReverse: pattern leads
+        with * or ?): the internal key pattern is string-reversed, its
+        literal prefix becomes a pushed-down `rterm startswith` on the
+        rterm-sorted parquet dictionary (min/max row-group pruning),
+        and the full reversed wildcard runs as a post-scan rlike. A
+        `*foo` over a billion-term dictionary seeks one key range
+        instead of regex-scanning the vocabulary. Falls back to the
+        forward dictionary + _mtq_cond for every other shape."""
+        import re as _re
+
+        if isinstance(q, WildcardQuery) and q.pattern[:1] in ("*", "?"):
+            rpat = (field_prefix + q.pattern)[::-1]
+            i = 0
+            while i < len(rpat) and rpat[i] not in "*?":
+                i += 1
+            rprefix = rpat[:i]
+            if rprefix:
+                regex = "^" + "".join(
+                    ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                    for ch in rpat
+                ) + "$"
+                cond = F.col("rterm").startswith(rprefix) & F.col(
+                    "rterm"
+                ).rlike(regex)
+                if not field_prefix:
+                    cond = cond & ~F.col("rterm").contains(FIELD_SEP)
+                return self._rev_dict(), cond
+        return self._term_stats, _mtq_cond(q, field_prefix)
+
+    def _rev_dict(self) -> DataFrame:
+        """The reversed term dictionary (rterm = reverse(term), sorted
+        by rterm). Indexes written before the reversed-dictionary file
+        existed — and multi-generation NRT views, whose stats are a
+        runtime union — derive it from term_stats on the fly (correct,
+        no pruning)."""
+        if self._rev_stats is None:
+            base = None
+            if not self._gens:
+                try:
+                    base = self._io.read("term_stats_rev")
+                    base.schema  # force resolution (missing path raises)
+                except Exception:
+                    base = None
+            if base is None:
+                base = self._term_stats.select(
+                    F.reverse(F.col("term")).alias("rterm"), "term", "df"
+                )
+            self._rev_stats = base
+        return self._rev_stats
+
+    def _expand_top_terms(self, cond, n: int,
+                          frame: DataFrame | None = None) -> list[str]:
         """df-bounded top-terms rewrite (TopTermsRewrite.java,
         MultiTermQuery.java:68-115): keep the n highest-df matching
         terms (df desc, term asc — for constant-score rewrites every
@@ -1880,7 +1938,7 @@ class IndexSearcher:
         that preserves the most matches). Runs as a distributed
         top-n over the tiny (term, df) dictionary."""
         rows = (
-            self._term_stats.where(cond)
+            (self._term_stats if frame is None else frame).where(cond)
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(int(n))
             .select("term")
@@ -3130,13 +3188,23 @@ class IndexSearcher:
         first (driver-side tiny list) and the postings scan filters to
         those terms — the TopTermsRewrite-to-constant-score path."""
         pre = self._mtq_prefix(q)
+        frame, cond = self._mtq_scan(q, pre)
         if getattr(q, "max_expansions", None):
-            top = self._expand_top_terms(_mtq_cond(q, pre), q.max_expansions)
+            top = self._expand_top_terms(cond, q.max_expansions, frame)
             if not top:
                 return self._empty()
             matched = self._postings.where(F.col("term").isin(top))
+        elif frame is not self._term_stats:
+            # reversed-dictionary path: seek the rterm-sorted dict for
+            # the matching vocabulary (pushed-down prefix range), then
+            # LEFT SEMI it into postings — the postings scan filters on
+            # `term IN (dictionary hits)` (AQE broadcasts the small
+            # side) instead of regex-evaluating every posting row
+            matched = self._postings.join(
+                frame.where(cond).select("term"), "term", "left_semi"
+            )
         else:
-            matched = self._postings.where(_mtq_cond(q, pre))
+            matched = self._postings.where(cond)
         offsets = dict(self._doc_offsets)
         codec = self._codec
 
