@@ -856,6 +856,26 @@ def _q_wildcard(spark, sf):
     )
 
 
+def _q_date_math_range(spark, sf):
+    """Solr date-math bounds (DateMathParser.java) resolved on the
+    driver, then a plain pushed-down timestamp range over events —
+    fq=ts:[NOW/DAY-7DAYS TO NOW/HOUR+1HOUR] with a pinned NOW."""
+    from datetime import datetime
+
+    from lucene_solr_spark.functions.datemath import parse_date_math
+
+    now = datetime(2024, 1, 25, 13, 47, 9)
+    lo = parse_date_math("NOW/DAY-7DAYS", now).replace(tzinfo=None)
+    hi = parse_date_math("NOW/HOUR+1HOUR", now).replace(tzinfo=None)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def _q_leading_wildcard(spark, sf):
     """Leading wildcard through the reversed dictionary
     (ReversedWildcardFilterFactory analog): `*er` seeks the
@@ -4714,6 +4734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # --- (1) new this round (never driver-verified) ---
         "leading_wildcard_topk": _q_leading_wildcard,
+        "date_math_range_counts": _q_date_math_range,
         "stream_expr_rollup": _q_stream_expr_rollup,
         "stream_expr_topk": _q_stream_expr_topk,
         "simple_qp_topk": _q_simple_qp,
@@ -5332,6 +5353,18 @@ SELECT r.doc_id,
 FROM req r LEFT JOIN opt o USING (doc_id)
 WHERE r.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
 ORDER BY score DESC, r.doc_id LIMIT {K}""",
+        # the oracle RECOMPUTES the date math (trunc + interval), so a
+        # rounding/arithmetic bug in datemath.py would hash-mismatch
+        "date_math_range_counts": (
+            "WITH b AS (SELECT "
+            "date_trunc('day', TIMESTAMP '2024-01-25 13:47:09')"
+            " - INTERVAL 7 DAY AS lo, "
+            "date_trunc('hour', TIMESTAMP '2024-01-25 13:47:09')"
+            " + INTERVAL 1 HOUR AS hi) "
+            "SELECT event_type, count(*)::BIGINT AS n FROM events, b "
+            "WHERE ts >= b.lo AND ts < b.hi "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
         "leading_wildcard_topk": (
             f"WITH {_BM25_CTES} "
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "

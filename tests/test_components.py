@@ -17,7 +17,12 @@ def searcher(spark, docs_index):
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").cache()
+    # unpersist on module teardown: a leaked cache of the bare scan
+    # makes Spark's CacheManager substitute an InMemoryRelation into
+    # every later test that reads the same path, hiding PushedFilters
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_significant_terms_seed_has_max_possible_fg(searcher, docs):

@@ -10,12 +10,19 @@ from tests.conftest import SF_SMALL
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").cache()
+    # unpersist on module teardown: a leaked cache of the bare scan
+    # makes Spark's CacheManager substitute an InMemoryRelation into
+    # every later test that reads the same path, hiding PushedFilters
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 # ---------------------------------------------------------------- dedup
