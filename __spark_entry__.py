@@ -856,6 +856,20 @@ def _q_wildcard(spark, sf):
     )
 
 
+def _q_text_profile(spark, sf):
+    """Nutch/Solr TextProfileSignature fuzzy content signatures
+    (update/processor/TextProfileSignature.java) for the first 50
+    docs — the value hash pins tokenization, quantization, profile
+    order and md5 end-to-end."""
+    from lucene_solr_spark.ops.dedup import text_profile_signature
+
+    return (
+        text_profile_signature(_docs(spark, sf))
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
 def _q_date_math_range(spark, sf):
     """Solr date-math bounds (DateMathParser.java) resolved on the
     driver, then a plain pushed-down timestamp range over events —
@@ -4735,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (1) new this round (never driver-verified) ---
         "leading_wildcard_topk": _q_leading_wildcard,
         "date_math_range_counts": _q_date_math_range,
+        "text_profile_signatures": _q_text_profile,
         "stream_expr_rollup": _q_stream_expr_rollup,
         "stream_expr_topk": _q_stream_expr_topk,
         "simple_qp_topk": _q_simple_qp,
@@ -5353,6 +5368,7 @@ SELECT r.doc_id,
 FROM req r LEFT JOIN opt o USING (doc_id)
 WHERE r.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
 ORDER BY score DESC, r.doc_id LIMIT {K}""",
+        "text_profile_signatures": _ops_oracles.text_profile_signature_sql(),
         # the oracle RECOMPUTES the date math (trunc + interval), so a
         # rounding/arithmetic bug in datemath.py would hash-mismatch
         "date_math_range_counts": (

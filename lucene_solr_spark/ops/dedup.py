@@ -107,6 +107,122 @@ def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def text_profile_signature(
+    docs: DataFrame,
+    quant_rate: float = 0.01,
+    min_token_len: int = 2,
+) -> DataFrame:
+    """Nutch/Solr TextProfileSignature — the fuzzy content signature of
+    SignatureUpdateProcessorFactory (solr/core/.../update/processor/
+    TextProfileSignature.java:70-138): letter/digit runs lowercased,
+    tokens of length > min_token_len counted, counts rounded DOWN to
+    the nearest multiple of QUANT (= round(maxFreq*quant_rate), floored
+    at 2 when maxFreq > 1, else 1), sub-QUANT tokens discarded, the
+    surviving "token cnt" lines joined by \\n in decreasing-count order
+    and MD5-hashed. Near-identical pages (differing in rare tokens)
+    collapse to one signature.
+
+    Deviations (documented): the reference's count-tie order is the
+    JVM HashMap iteration order (unspecified) — here ties sort by
+    token ascending, deterministically; quant uses f64 arithmetic
+    where the reference multiplies in f32.
+
+    Plan: one explode + one (doc,token) hash-aggregate + one per-doc
+    hash-aggregate; the profile sort/join/md5 are higher-order
+    expressions inside codegen. Per-doc state is vocabulary-of-one-doc
+    sized — nothing corpus-wide is collected or broadcast. Returns
+    (doc_id, signature)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+', 0)")
+        ).alias("tok"),
+    ).where(F.length("tok") > min_token_len)
+    freq = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("int").alias("cnt")
+    )
+    per_doc = freq.groupBy("doc_id").agg(
+        F.max("cnt").alias("maxfreq"),
+        F.collect_list(F.struct("tok", "cnt")).alias("toks"),
+    )
+    quant = (
+        F.when(F.round(F.col("maxfreq") * F.lit(quant_rate)) >= 2,
+               F.round(F.col("maxfreq") * F.lit(quant_rate)).cast("int"))
+        .when(F.col("maxfreq") > 1, F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    q = per_doc.withColumn("quant", quant)
+    # quantize, discard < quant, order by (cnt desc, tok asc), join
+    profile = (
+        q.withColumn(
+            "prof",
+            F.filter(
+                F.transform(
+                    "toks",
+                    lambda t: F.struct(
+                        (F.floor(t["cnt"] / F.col("quant"))
+                         * F.col("quant")).cast("int").alias("qcnt"),
+                        t["tok"].alias("tok"),
+                    ),
+                ),
+                lambda s: s["qcnt"] >= F.col("quant"),
+            ),
+        )
+        .withColumn(
+            "prof",
+            F.array_sort(
+                F.transform(
+                    "prof",
+                    lambda s: F.struct(
+                        (-s["qcnt"]).alias("negq"), s["tok"].alias("tok")
+                    ),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        "prof",
+                        lambda s: F.concat_ws(
+                            " ", s["tok"], (-s["negq"]).cast("string")
+                        ),
+                    ),
+                    "\n",
+                ).cast("binary")
+            ).alias("signature"),
+        )
+    )
+    # docs whose every token quantizes away (or that have no tokens)
+    # sign the empty profile, like the reference's super.add("")
+    return (
+        docs.select("doc_id")
+        .join(profile, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "signature", F.lit("d41d8cd98f00b204e9800998ecf8427e")
+            ).alias("signature"),
+        )
+    )
+
+
+def text_profile_dup_groups(docs: DataFrame, **kw) -> DataFrame:
+    """Signature groups with more than one member — the overwriteDupes
+    view of SignatureUpdateProcessorFactory (dup docs share the
+    signature key, the first doc_id is the canonical copy)."""
+    sig = text_profile_signature(docs, **kw)
+    return (
+        sig.groupBy("signature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
 # ----------------------------------------------------------------------
 # 2. exact n-gram Jaccard (truth oracle for near-dup)
 # ----------------------------------------------------------------------

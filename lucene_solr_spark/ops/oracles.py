@@ -1198,3 +1198,39 @@ SELECT bucket, count(*)::BIGINT AS n_docs,
        max(mean_logprob) AS max_logprob,
        round(avg(mean_logprob), 6) AS avg_logprob
 FROM lab GROUP BY bucket ORDER BY bucket"""
+
+
+def text_profile_signature_sql(k: int = 50) -> str:
+    """TextProfileSignature (Nutch/Solr) recomputed in SQL: same
+    tokenization, quantization, deterministic (cnt desc, tok asc)
+    profile order and md5 — value-hash pins the whole pipeline."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{Nd}}]+')) AS tok
+  FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM tk WHERE length(tok) > 2),
+fr AS (SELECT doc_id, tok, count(*)::INT AS cnt FROM t2 GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(cnt) AS maxfreq FROM fr GROUP BY 1),
+qv AS (
+  SELECT doc_id,
+         CASE WHEN round(maxfreq * 0.01) >= 2
+                THEN round(maxfreq * 0.01)::INT
+              WHEN maxfreq > 1 THEN 2 ELSE 1 END AS quant
+  FROM mx
+),
+pr AS (
+  SELECT f.doc_id, f.tok, (f.cnt // q.quant) * q.quant AS qcnt, q.quant
+  FROM fr f JOIN qv q USING (doc_id)
+  WHERE (f.cnt // q.quant) * q.quant >= q.quant
+),
+ln AS (
+  SELECT doc_id,
+         string_agg(tok || ' ' || qcnt, chr(10)
+                    ORDER BY qcnt DESC, tok ASC) AS profile
+  FROM pr GROUP BY doc_id
+)
+SELECT d.doc_id, md5(coalesce(l.profile, '')) AS signature
+FROM documents d LEFT JOIN ln l USING (doc_id)
+ORDER BY d.doc_id LIMIT {k}"""
