@@ -856,6 +856,31 @@ def _q_wildcard(spark, sf):
     )
 
 
+def _q_phonetic(spark, sf):
+    """Sounds-like search (lucene/analysis/phonetic PhoneticFilter +
+    Soundex): the misspelled query word codes to the same Soundex
+    class as its dictionary equivalents; the expansion is a
+    dictionary-sized scan (never postings) and the match is a scoring
+    OR — FuzzyQuery's expansion shape with a phonetic predicate."""
+    from lucene_solr_spark.functions.phonetic import soundex, soundex_col
+    from lucene_solr_spark.index.builder import FIELD_SEP
+
+    s = _searcher_for(spark, sf)
+    code = soundex("filtur")
+    terms = sorted(
+        r.term
+        for r in s._term_stats.where(
+            ~F.col("term").contains(FIELD_SEP)
+            & (soundex_col(F.col("term")) == code)
+        )
+        .select("term")
+        .collect()
+    )
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return _hits(spark, sf, BooleanOr(tuple(terms)), K)
+
+
 def _q_text_profile(spark, sf):
     """Nutch/Solr TextProfileSignature fuzzy content signatures
     (update/processor/TextProfileSignature.java) for the first 50
@@ -955,6 +980,28 @@ sc AS (
       * CAST(tf.tf AS REAL) / (CAST(tf.tf AS REAL) + cachet.c) AS s
   FROM tf JOIN dfs USING (term) JOIN cachet USING (doc_id)
   WHERE levenshtein(tf.term, '{q}') <= {max_edits}
+)
+SELECT doc_id, CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _phonetic_sql(q: str, k: int) -> str:
+    """Scoring-OR over the Soundex equivalence class of q — the
+    expansion predicate is the soundex_sql() expression, so the
+    oracle recomputes the coding (same shape as _fuzzy_sql)."""
+    from lucene_solr_spark.functions.phonetic import soundex, soundex_sql
+
+    code = soundex(q)
+    return f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, tf.term,
+    (CAST(ln(1 + ((SELECT n FROM a) - dfs.df + 0.5) / (dfs.df + 0.5)) AS REAL)
+       * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+      * CAST(tf.tf AS REAL) / (CAST(tf.tf AS REAL) + cachet.c) AS s
+  FROM tf JOIN dfs USING (term) JOIN cachet USING (doc_id)
+  WHERE {soundex_sql('tf.term')} = '{code}'
 )
 SELECT doc_id, CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
 FROM sc GROUP BY doc_id
@@ -4750,6 +4797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leading_wildcard_topk": _q_leading_wildcard,
         "date_math_range_counts": _q_date_math_range,
         "text_profile_signatures": _q_text_profile,
+        "phonetic_match_topk": _q_phonetic,
         "stream_expr_rollup": _q_stream_expr_rollup,
         "stream_expr_topk": _q_stream_expr_topk,
         "simple_qp_topk": _q_simple_qp,
@@ -5369,6 +5417,7 @@ FROM req r LEFT JOIN opt o USING (doc_id)
 WHERE r.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
 ORDER BY score DESC, r.doc_id LIMIT {K}""",
         "text_profile_signatures": _ops_oracles.text_profile_signature_sql(),
+        "phonetic_match_topk": _phonetic_sql("filtur", K),
         # the oracle RECOMPUTES the date math (trunc + interval), so a
         # rounding/arithmetic bug in datemath.py would hash-mismatch
         "date_math_range_counts": (
