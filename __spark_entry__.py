@@ -109,6 +109,35 @@ def _simple_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_WDF_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _wdf_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index over the derived 'lang-source' field analyzed with the
+    WordDelimiterFilter chain (miscellaneous/WordDelimiterFilter.java:
+    whitespace split -> case/alnum-boundary sub-split -> lowercase):
+    'de-src7' indexes as parts de | src | 7, so sub-word terms are
+    directly searchable."""
+    key = f"{sf_dir}:wdf:{_engine_fingerprint()}"
+    if key in _WDF_SEARCHERS:
+        return _WDF_SEARCHERS[key]
+    digest = hashlib.sha256(key.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), "lss_index_cache", digest)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "tagline", F.concat_ws("-", "lang", "source")
+        )
+        build_index(
+            spark, src, out,
+            IndexConfig(n_shards=4, segs_per_shard=2,
+                        analyzer="word_delimiter", id_col="doc_id",
+                        text_col="tagline", sharding="range_int"),
+        )
+    s = IndexSearcher(spark, out)
+    _WDF_SEARCHERS[key] = s
+    return s
+
+
 _ENGLISH_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -332,6 +361,48 @@ tok2 AS (
 tok2 AS (SELECT doc_id, term FROM toks),""",
 )
 assert "regexp_extract_all" in _BM25_CTES_SIMPLE, "CTE rewrite failed"
+
+
+# WordDelimiterFilter variant over the derived lang-source field
+# (analyzer="word_delimiter", no stop filter). The boundary inserts
+# are capture-group rewrites because RE2 lacks lookaround; two passes
+# per direction cover back-to-back boundaries ("j2se": pass1 j|2se,
+# pass2 2|se). Case-transition passes included for completeness (the
+# corpus field is lowercase, so they are no-ops here; the full
+# semantics are pinned cross-engine in tests/test_analyzer.py).
+_BM25_CTES_WDF = _BM25_CTES.replace(
+    """toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok2 AS (
+  SELECT doc_id, term FROM toks
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
+),""".replace("{_STOP}", _STOP),
+    r"""toks AS (
+  SELECT doc_id, unnest(string_split_regex(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lang || '-' || source,
+      '([a-z])([A-Z])', '\1 \2', 'g'),
+      '([A-Z])([A-Z][a-z])', '\1 \2', 'g'),
+      '([a-zA-Z])([0-9])', '\1 \2', 'g'),
+      '([0-9])([a-zA-Z])', '\1 \2', 'g'),
+    '[^a-zA-Z0-9]+')) AS term
+  FROM documents
+),
+tok2 AS (
+  SELECT doc_id, lower(term) AS term FROM toks
+  WHERE term <> '' AND length(term) <= 255
+),""",
+)
+assert "string_split_regex" in _BM25_CTES_WDF, "WDF CTE rewrite failed"
+
+
+def _wdf_term_sql(term: str, k: int) -> str:
+    return (
+        f"WITH {_BM25_CTES_WDF}, {_sc_cte((term,))} "
+        f"SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
+        f"ORDER BY s DESC, doc_id LIMIT {k}"
+    )
 
 
 # Shingle variant (analyzer="shingle": unigrams + bigram shingles, NO
@@ -851,6 +922,17 @@ def _q_fuzzy(spark, sf):
 def _q_wildcard(spark, sf):
     s = _searcher_for(spark, sf)
     return s.search(WildcardQuery("v?lue"), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_wdf_subword(spark, sf):
+    """BM25 over the WDF-analyzed 'lang-source' field: term '7'
+    reaches exactly the source=src7 docs ('src17' splits as src|17,
+    digit RUNS stay whole)."""
+    s = _wdf_searcher_for(spark, sf)
+    return s.search(TermQuery("7"), k=K).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("score").cast("double").alias("score"),
     )
@@ -4798,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_math_range_counts": _q_date_math_range,
         "text_profile_signatures": _q_text_profile,
         "phonetic_match_topk": _q_phonetic,
+        "wdf_subword_topk": _q_wdf_subword,
         "stream_expr_rollup": _q_stream_expr_rollup,
         "stream_expr_topk": _q_stream_expr_topk,
         "simple_qp_topk": _q_simple_qp,
@@ -5418,6 +5501,7 @@ WHERE r.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
 ORDER BY score DESC, r.doc_id LIMIT {K}""",
         "text_profile_signatures": _ops_oracles.text_profile_signature_sql(),
         "phonetic_match_topk": _phonetic_sql("filtur", K),
+        "wdf_subword_topk": _wdf_term_sql("7", K),
         # the oracle RECOMPUTES the date math (trunc + interval), so a
         # rounding/arithmetic bug in datemath.py would hash-mismatch
         "date_math_range_counts": (

@@ -392,6 +392,56 @@ def tokenize_shingle_with_positions(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.findall(_TOKEN_RE).map(_shingle_pairs)
 
 
+# WordDelimiterFilter analog (analysis/common/.../miscellaneous/
+# WordDelimiterFilter.java, the common Solr indexing config:
+# generateWordParts=1, generateNumberParts=1, splitOnCaseChange=1,
+# splitOnNumerics=1, catenate*=0, preserveOriginal=0). Chain =
+# WhitespaceTokenizer + WDF + LowerCaseFilter. Boundaries: lower->
+# upper ("powerShell" -> power|Shell), end of an upper run before a
+# lowered tail ("XMLParser" -> XML|Parser), letter<->digit ("src7" ->
+# src|7, "j2se" -> j|2|se); any non-alphanumeric (incl. '_') is a
+# delimiter ("wi-fi" -> wi|fi). Each part consumes one position
+# (posIncr 1 — the filter renumbers downstream tokens), so positions
+# are sequential over the flattened part stream; overlong (>255)
+# parts are dropped but still advance the position
+# (FilteringTokenFilter semantics). Subset notes: case classes are
+# ASCII ([a-z]/[A-Z]) where the reference uses Character.isUpperCase;
+# no catenate/preserveOriginal variants.
+WDF_BOUNDARY_PAT = (
+    r"(?<=[a-z])(?=[A-Z])"
+    r"|(?<=[A-Z])(?=[A-Z][a-z])"
+    r"|(?<=[^\W\d_])(?=\d)"
+    r"|(?<=\d)(?=[^\W\d_])"
+)
+WDF_DELIM_PAT = r"[\W_]+"
+_WDF_BOUNDARY = re.compile(WDF_BOUNDARY_PAT, re.UNICODE)
+_WDF_DELIM = re.compile(WDF_DELIM_PAT, re.UNICODE)
+
+
+def _wdf_pairs(text: str) -> list[tuple[str, int]]:
+    parts = [
+        p
+        for tok in text.split()
+        for p in _WDF_DELIM.split(_WDF_BOUNDARY.sub(" ", tok))
+        if p
+    ]
+    return [
+        (p.lower(), i)
+        for i, p in enumerate(parts)
+        if len(p) <= MAX_TOKEN_LENGTH
+    ]
+
+
+def tokenize_word_delimiter(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(
+        lambda t: [w for w, _ in _wdf_pairs(t)]
+    )
+
+
+def tokenize_word_delimiter_with_positions(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(_wdf_pairs)
+
+
 def _english_analyzers():
     from lucene_solr_spark.analysis.stem import minimal_stem_en, porter_stem
 
@@ -415,6 +465,7 @@ ANALYZERS = {
     "uax29_url_email": tokenize_url_email,
     "standard_folding": tokenize_standard_folding,
     "shingle": tokenize_shingle,
+    "word_delimiter": tokenize_word_delimiter,
     **_EN,
 }
 
@@ -427,6 +478,7 @@ ANALYZERS_POS = {
     "uax29_url_email": tokenize_url_email_with_positions,
     "standard_folding": tokenize_standard_folding_with_positions,
     "shingle": tokenize_shingle_with_positions,
+    "word_delimiter": tokenize_word_delimiter_with_positions,
     **_EN_POS,
 }
 

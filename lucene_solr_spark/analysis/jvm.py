@@ -23,6 +23,8 @@ from lucene_solr_spark.analysis.analyzers import (
     MAX_TOKEN_LENGTH,
     TOKEN_PAT,
     URL_EMAIL_PAT,
+    WDF_BOUNDARY_PAT,
+    WDF_DELIM_PAT,
 )
 
 # Java regex equivalent of analyzers._TOKEN_RE: the SAME pattern source
@@ -283,6 +285,49 @@ def shingle_tokens_col(text: Column) -> Column:
     return F.transform(shingle_tokens_pos_col(text), lambda s: s["term"])
 
 
+# WordDelimiterFilter analog (see analyzers.WDF_BOUNDARY_PAT for the
+# chain doc). Whitespace split -> boundary-insert -> delimiter split,
+# lowercase; positions sequential over the flattened parts, overlong
+# parts dropped with their position consumed. Pattern SOURCES are
+# shared with the pandas engine (drift-proof by construction).
+WDF_BOUNDARY_JAVA = "(?U)(?:" + WDF_BOUNDARY_PAT + ")"
+WDF_DELIM_JAVA = "(?U)" + WDF_DELIM_PAT
+
+
+def _wdf_parts(text: Column) -> Column:
+    raw = F.filter(
+        F.split(_lstrip_ws(text), "\\s+"), lambda t: t != F.lit("")
+    )
+    return F.flatten(
+        F.transform(
+            raw,
+            lambda t: F.filter(
+                F.split(
+                    F.regexp_replace(t, WDF_BOUNDARY_JAVA, " "),
+                    WDF_DELIM_JAVA,
+                ),
+                lambda p: p != F.lit(""),
+            ),
+        )
+    )
+
+
+def word_delimiter_tokens_pos_col(text: Column) -> Column:
+    pairs = F.transform(
+        _wdf_parts(text),
+        lambda t, i: F.struct(
+            F.lower(t).alias("term"), i.cast("int").alias("pos")
+        ),
+    )
+    return F.filter(pairs, lambda s: F.length(s["term"]) <= MAX_TOKEN_LENGTH)
+
+
+def word_delimiter_tokens_col(text: Column) -> Column:
+    return F.transform(
+        word_delimiter_tokens_pos_col(text), lambda s: s["term"]
+    )
+
+
 JVM_ANALYZERS = {
     "standard": standard_tokens_col,
     "whitespace": whitespace_tokens_col,
@@ -292,6 +337,7 @@ JVM_ANALYZERS = {
     "uax29_url_email": url_email_tokens_col,
     "standard_folding": standard_folding_tokens_col,
     "shingle": shingle_tokens_col,
+    "word_delimiter": word_delimiter_tokens_col,
     "english": english_tokens_col,
     "english_minimal": english_tokens_col,
 }
@@ -304,6 +350,7 @@ JVM_ANALYZERS_POS = {
     "uax29_url_email": url_email_tokens_pos_col,
     "standard_folding": standard_folding_tokens_pos_col,
     "shingle": shingle_tokens_pos_col,
+    "word_delimiter": word_delimiter_tokens_pos_col,
     "english": english_tokens_pos_col,
     "english_minimal": english_tokens_pos_col,
 }

@@ -331,3 +331,66 @@ def test_shingle_phrase_as_term_search(spark, tmp_path):
     s = IndexSearcher(spark, out)
     hits = [r.doc_id for r in s.search(TermQuery("table scan"), k=5).collect()]
     assert hits[0] == 2 and set(hits) == {0, 2}
+
+
+# --- WordDelimiterFilter analog (analyzer="word_delimiter") ---
+
+
+def test_word_delimiter_goldens():
+    from lucene_solr_spark.analysis.analyzers import (
+        tokenize_word_delimiter,
+        tokenize_word_delimiter_with_positions,
+    )
+
+    cases = {
+        "wi-fi": ["wi", "fi"],
+        "powerShell": ["power", "shell"],
+        "XMLParser": ["xml", "parser"],
+        "src7": ["src", "7"],
+        "j2se": ["j", "2", "se"],
+        "O'Neil's": ["o", "neil", "s"],
+        "500-42": ["500", "42"],
+        "snake_case_id": ["snake", "case", "id"],
+        "de-src7 plain": ["de", "src", "7", "plain"],
+        "": [],
+        "---": [],
+    }
+    for text, want in cases.items():
+        got = tokenize_word_delimiter(pd.Series([text])).iloc[0]
+        assert got == want, (text, got)
+    # every part consumes one position (posIncr 1, renumbered stream)
+    assert tokenize_word_delimiter_with_positions(
+        pd.Series(["wi-fi hotSpot"])
+    ).iloc[0] == [("wi", 0), ("fi", 1), ("hot", 2), ("spot", 3)]
+
+
+def test_word_delimiter_jvm_parity(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.analyzers import (
+        tokenize_word_delimiter,
+        tokenize_word_delimiter_with_positions,
+    )
+    from lucene_solr_spark.analysis.jvm import (
+        word_delimiter_tokens_col,
+        word_delimiter_tokens_pos_col,
+    )
+
+    texts = [
+        "wi-fi powerShell XMLParser src7 j2se",
+        "O'Neil's 500-42 snake_case",
+        "",
+        "---",
+        "MixedCASEWords under_score42",
+        "tab\tand\nnewline splits too",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    j = [r[0] for r in df.select(word_delimiter_tokens_col(F.col("text"))).collect()]
+    p = list(tokenize_word_delimiter(pd.Series(texts)))
+    assert j == p
+    jp = [
+        [(s["term"], s["pos"]) for s in r[0]]
+        for r in df.select(word_delimiter_tokens_pos_col(F.col("text"))).collect()
+    ]
+    pp = list(tokenize_word_delimiter_with_positions(pd.Series(texts)))
+    assert jp == [list(x) for x in pp]
