@@ -138,6 +138,32 @@ def _wdf_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_EDGE_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _edge_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index analyzed with the EdgeNGram chain (ngram/
+    EdgeNGramTokenFilter.java, minGram=1 maxGram=10): every token's
+    prefixes are indexed terms, so prefix search is a TERM lookup —
+    no query-time dictionary expansion."""
+    key = f"{sf_dir}:edge:{_engine_fingerprint()}"
+    if key in _EDGE_SEARCHERS:
+        return _EDGE_SEARCHERS[key]
+    digest = hashlib.sha256(key.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), "lss_index_cache", digest)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_index(
+            spark, src, out,
+            IndexConfig(n_shards=4, segs_per_shard=2,
+                        analyzer="edge_ngram", id_col="doc_id",
+                        text_col="text", sharding="range_int"),
+        )
+    s = IndexSearcher(spark, out)
+    _EDGE_SEARCHERS[key] = s
+    return s
+
+
 _ENGLISH_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -395,6 +421,35 @@ tok2 AS (
 ),""",
 )
 assert "string_split_regex" in _BM25_CTES_WDF, "WDF CTE rewrite failed"
+
+
+# EdgeNGram variant: tok2 = all (<=10-char) prefixes of the standard
+# chain's emitted tokens; dl counts every gram (each is a token)
+_BM25_CTES_EDGE = _BM25_CTES.replace(
+    """tok2 AS (
+  SELECT doc_id, term FROM toks
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
+),""".replace("{_STOP}", _STOP),
+    """tok1 AS (
+  SELECT doc_id, term FROM toks
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
+),
+tok2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, least(length(term), 10) + 1),
+                               g -> substr(term, 1, CAST(g AS INT)))) AS term
+  FROM tok1
+),""".replace("{_STOP}", _STOP),
+)
+assert "list_transform" in _BM25_CTES_EDGE, "edge CTE rewrite failed"
+
+
+def _edge_term_sql(term: str, k: int) -> str:
+    return (
+        f"WITH {_BM25_CTES_EDGE}, {_sc_cte((term,))} "
+        f"SELECT doc_id, CAST(s AS DOUBLE) AS score FROM sc "
+        f"ORDER BY s DESC, doc_id LIMIT {k}"
+    )
 
 
 def _wdf_term_sql(term: str, k: int) -> str:
@@ -922,6 +977,18 @@ def _q_fuzzy(spark, sf):
 def _q_wildcard(spark, sf):
     s = _searcher_for(spark, sf)
     return s.search(WildcardQuery("v?lue"), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_edge_prefix(spark, sf):
+    """Prefix search as a TERM lookup over the edge-ngram index:
+    'tab' is an indexed gram of 'table', scored with the gram
+    corpus's own BM25 statistics (df of the gram, gram-counting doc
+    lengths) — the autocomplete-field pattern."""
+    s = _edge_searcher_for(spark, sf)
+    return s.search(TermQuery("tab"), k=K).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("score").cast("double").alias("score"),
     )
@@ -4881,6 +4948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_signatures": _q_text_profile,
         "phonetic_match_topk": _q_phonetic,
         "wdf_subword_topk": _q_wdf_subword,
+        "edge_ngram_prefix_topk": _q_edge_prefix,
         "stream_expr_rollup": _q_stream_expr_rollup,
         "stream_expr_topk": _q_stream_expr_topk,
         "simple_qp_topk": _q_simple_qp,
@@ -5502,6 +5570,7 @@ ORDER BY score DESC, r.doc_id LIMIT {K}""",
         "text_profile_signatures": _ops_oracles.text_profile_signature_sql(),
         "phonetic_match_topk": _phonetic_sql("filtur", K),
         "wdf_subword_topk": _wdf_term_sql("7", K),
+        "edge_ngram_prefix_topk": _edge_term_sql("tab", K),
         # the oracle RECOMPUTES the date math (trunc + interval), so a
         # rounding/arithmetic bug in datemath.py would hash-mismatch
         "date_math_range_counts": (

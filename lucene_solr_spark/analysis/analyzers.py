@@ -392,6 +392,42 @@ def tokenize_shingle_with_positions(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.findall(_TOKEN_RE).map(_shingle_pairs)
 
 
+# EdgeNGramTokenFilter analog (analysis/common/.../ngram/
+# EdgeNGramTokenFilter.java, minGram=1 maxGram=10): every emitted
+# standard-chain token additionally emits its prefixes, ALL at the
+# source token's position (the filter's grams keep the original
+# offset/position; same same-position mechanics as the synonym
+# injection). Index-time edge grams turn prefix search into a plain
+# TERM lookup — the autocomplete scale path: no query-time wildcard
+# expansion over the dictionary at all.
+EDGE_MAX_GRAM = 10
+
+
+def _edge_pairs(toks: list[str]) -> list[tuple[str, int]]:
+    out: list[tuple[str, int]] = []
+    pos = -1
+    for t in toks:
+        pos += 1  # stop/overlong drops still advance (standard chain)
+        if len(t) > MAX_TOKEN_LENGTH or t in ENGLISH_STOP_WORDS:
+            continue
+        for g in range(1, min(len(t), EDGE_MAX_GRAM) + 1):
+            out.append((t[:g], pos))
+    return out
+
+
+def tokenize_edge_ngram(texts: pd.Series) -> pd.Series:
+    return (
+        texts.fillna("")
+        .str.lower()
+        .str.findall(_TOKEN_RE)
+        .map(lambda ts: [t for t, _ in _edge_pairs(ts)])
+    )
+
+
+def tokenize_edge_ngram_with_positions(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").str.lower().str.findall(_TOKEN_RE).map(_edge_pairs)
+
+
 # WordDelimiterFilter analog (analysis/common/.../miscellaneous/
 # WordDelimiterFilter.java, the common Solr indexing config:
 # generateWordParts=1, generateNumberParts=1, splitOnCaseChange=1,
@@ -466,6 +502,7 @@ ANALYZERS = {
     "standard_folding": tokenize_standard_folding,
     "shingle": tokenize_shingle,
     "word_delimiter": tokenize_word_delimiter,
+    "edge_ngram": tokenize_edge_ngram,
     **_EN,
 }
 
@@ -479,6 +516,7 @@ ANALYZERS_POS = {
     "standard_folding": tokenize_standard_folding_with_positions,
     "shingle": tokenize_shingle_with_positions,
     "word_delimiter": tokenize_word_delimiter_with_positions,
+    "edge_ngram": tokenize_edge_ngram_with_positions,
     **_EN_POS,
 }
 

@@ -23,6 +23,7 @@ from lucene_solr_spark.analysis.analyzers import (
     MAX_TOKEN_LENGTH,
     TOKEN_PAT,
     URL_EMAIL_PAT,
+    EDGE_MAX_GRAM,
     WDF_BOUNDARY_PAT,
     WDF_DELIM_PAT,
 )
@@ -285,6 +286,32 @@ def shingle_tokens_col(text: Column) -> Column:
     return F.transform(shingle_tokens_pos_col(text), lambda s: s["term"])
 
 
+# EdgeNGramTokenFilter analog (ngram/EdgeNGramTokenFilter.java,
+# minGram=1 maxGram=EDGE_MAX_GRAM): all prefixes of every standard-
+# chain token at the source token's position.
+def edge_ngram_tokens_pos_col(text: Column) -> Column:
+    base = standard_tokens_pos_col(text)
+    return F.flatten(
+        F.transform(
+            base,
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.length(s["term"]), F.lit(EDGE_MAX_GRAM)),
+                ),
+                lambda g: F.struct(
+                    s["term"].substr(F.lit(1), g).alias("term"),
+                    s["pos"].alias("pos"),
+                ),
+            ),
+        )
+    )
+
+
+def edge_ngram_tokens_col(text: Column) -> Column:
+    return F.transform(edge_ngram_tokens_pos_col(text), lambda s: s["term"])
+
+
 # WordDelimiterFilter analog (see analyzers.WDF_BOUNDARY_PAT for the
 # chain doc). Whitespace split -> boundary-insert -> delimiter split,
 # lowercase; positions sequential over the flattened parts, overlong
@@ -338,6 +365,7 @@ JVM_ANALYZERS = {
     "standard_folding": standard_folding_tokens_col,
     "shingle": shingle_tokens_col,
     "word_delimiter": word_delimiter_tokens_col,
+    "edge_ngram": edge_ngram_tokens_col,
     "english": english_tokens_col,
     "english_minimal": english_tokens_col,
 }
@@ -351,6 +379,7 @@ JVM_ANALYZERS_POS = {
     "standard_folding": standard_folding_tokens_pos_col,
     "shingle": shingle_tokens_pos_col,
     "word_delimiter": word_delimiter_tokens_pos_col,
+    "edge_ngram": edge_ngram_tokens_pos_col,
     "english": english_tokens_pos_col,
     "english_minimal": english_tokens_pos_col,
 }

@@ -394,3 +394,54 @@ def test_word_delimiter_jvm_parity(spark):
     ]
     pp = list(tokenize_word_delimiter_with_positions(pd.Series(texts)))
     assert jp == [list(x) for x in pp]
+
+
+# --- EdgeNGramTokenFilter analog (analyzer="edge_ngram") ---
+
+
+def test_edge_ngram_tokens_and_positions():
+    from lucene_solr_spark.analysis.analyzers import (
+        tokenize_edge_ngram,
+        tokenize_edge_ngram_with_positions,
+    )
+
+    assert tokenize_edge_ngram(pd.Series(["cab"])).iloc[0] == [
+        "c", "ca", "cab",
+    ]
+    # grams share the SOURCE token's position; stops advance it
+    assert tokenize_edge_ngram_with_positions(
+        pd.Series(["the cab hi"])
+    ).iloc[0] == [("c", 1), ("ca", 1), ("cab", 1), ("h", 2), ("hi", 2)]
+    # maxGram caps the prefixes
+    got = tokenize_edge_ngram(pd.Series(["extraordinarily"])).iloc[0]
+    assert len(got) == 10 and got[-1] == "extraordin"
+
+
+def test_edge_ngram_jvm_parity(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.analyzers import (
+        tokenize_edge_ngram,
+        tokenize_edge_ngram_with_positions,
+    )
+    from lucene_solr_spark.analysis.jvm import (
+        edge_ngram_tokens_col,
+        edge_ngram_tokens_pos_col,
+    )
+
+    texts = [
+        "The Quick brown fox",
+        "extraordinarily long words here",
+        "",
+        "o'neil's café 42",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    j = [r[0] for r in df.select(edge_ngram_tokens_col(F.col("text"))).collect()]
+    p = list(tokenize_edge_ngram(pd.Series(texts)))
+    assert j == p
+    jp = [
+        [(s["term"], s["pos"]) for s in r[0]]
+        for r in df.select(edge_ngram_tokens_pos_col(F.col("text"))).collect()
+    ]
+    pp = list(tokenize_edge_ngram_with_positions(pd.Series(texts)))
+    assert jp == [list(x) for x in pp]
