@@ -1064,6 +1064,61 @@ def _q_date_math_range(spark, sf):
     )
 
 
+def _q_date_math_facet(spark, sf):
+    """facet.range over a date field with a DateMathParser gap
+    (RangeFacetRequest.java:540-620 semantics, include=lower default,
+    hardend=false so the END EXTENDS to the last gap edge,
+    other=all): buckets [lo, lo+gap) labeled by lo; before = ts <
+    start (upper-exclusive because lower is included); after =
+    ts > computedEnd (lower-exclusive); between = [start,
+    computedEnd) = the bucket total. One scan: a when-cascade labels
+    each event, one hash aggregate, empty buckets restored by a
+    left join from the tiny literal bucket frame."""
+    from datetime import datetime
+
+    from lucene_solr_spark.functions.datemath import parse_date_math, parse_math
+
+    now = datetime(2024, 1, 25, 13, 47, 9)
+    start = parse_date_math("NOW/DAY-14DAYS", now).replace(tzinfo=None)
+    end = parse_date_math("NOW/DAY", now).replace(tzinfo=None)
+    edges = []
+    low = start
+    while low < end:
+        high = parse_math("+3DAYS", low).replace(tzinfo=None)
+        if end < high:
+            end = high  # hardend=false: extend the end
+        edges.append((low, high))
+        low = high
+    iso = lambda d: d.strftime("%Y-%m-%dT%H:%M:%SZ")  # noqa: E731
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    lab = F.when(F.col("ts") < F.lit(start), F.lit("before"))
+    for lo, hi in edges:
+        lab = lab.when(
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)),
+            F.lit(iso(lo)),
+        )
+    lab = lab.when(F.col("ts") > F.lit(end), F.lit("after"))
+    agg = (
+        ev.select(lab.alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    labels = spark.createDataFrame(
+        [(iso(lo),) for lo, _ in edges] + [("before",), ("after",)],
+        "bucket string",
+    )
+    counts = labels.join(agg, "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    between = (
+        counts.where(F.col("bucket").rlike("^\\d"))
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(F.lit("between").alias("bucket"), "n")
+    )
+    return counts.unionByName(between).orderBy("bucket")
+
+
 def _q_leading_wildcard(spark, sf):
     """Leading wildcard through the reversed dictionary
     (ReversedWildcardFilterFactory analog): `*er` seeks the
@@ -4945,6 +5000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (1) new this round (never driver-verified) ---
         "leading_wildcard_topk": _q_leading_wildcard,
         "date_math_range_counts": _q_date_math_range,
+        "date_math_range_facet": _q_date_math_facet,
         "text_profile_signatures": _q_text_profile,
         "phonetic_match_topk": _q_phonetic,
         "wdf_subword_topk": _q_wdf_subword,
@@ -5583,6 +5639,37 @@ ORDER BY score DESC, r.doc_id LIMIT {K}""",
             "WHERE ts >= b.lo AND ts < b.hi "
             "GROUP BY event_type ORDER BY event_type"
         ),
+        "date_math_range_facet": """
+WITH p AS (
+  SELECT date_trunc('day', TIMESTAMP '2024-01-25 13:47:09')
+           - INTERVAL 14 DAY AS s,
+         date_trunc('day', TIMESTAMP '2024-01-25 13:47:09') AS e0
+),
+edges AS (
+  SELECT unnest(generate_series(s, e0 - INTERVAL 1 SECOND,
+                                INTERVAL 3 DAY)) AS lo
+  FROM p
+),
+b AS (SELECT lo, lo + INTERVAL 3 DAY AS hi FROM edges),
+ce AS (SELECT max(hi) AS computed_end FROM b),
+bc AS (
+  SELECT strftime(b.lo, '%Y-%m-%dT%H:%M:%SZ') AS bucket,
+         count(e.ts)::BIGINT AS n
+  FROM b LEFT JOIN events e ON e.ts >= b.lo AND e.ts < b.hi
+  GROUP BY 1
+),
+oth AS (
+  SELECT 'before' AS bucket,
+         (SELECT count(*) FROM events, p WHERE ts < p.s)::BIGINT AS n
+  UNION ALL
+  SELECT 'after',
+         (SELECT count(*) FROM events, ce WHERE ts > ce.computed_end)::BIGINT
+  UNION ALL
+  SELECT 'between', (SELECT sum(n) FROM bc)::BIGINT
+)
+SELECT bucket, n FROM bc
+UNION ALL SELECT bucket, n FROM oth
+ORDER BY bucket""",
         "leading_wildcard_topk": (
             f"WITH {_BM25_CTES} "
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
