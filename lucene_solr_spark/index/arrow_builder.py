@@ -89,6 +89,15 @@ def make_arrow_segment_builder(
     positions / doc lengths are untouched (stemming drops nothing)."""
 
     def build_segment(tbl: pa.Table) -> pa.Table:
+        # One Spark task = one core slot: cap Arrow's internal thread
+        # pool (it defaults to ALL host cores) so concurrent tasks
+        # don't oversubscribe the machine. On a cluster this is the
+        # correct per-slot budget; locally it also makes the N-core
+        # level actually USE N cores — without it a local[2] run
+        # silently multithreads inside pyarrow and any measured
+        # scaling efficiency vs local[8] is fiction.
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
         schema = _arrow_schema()
         if tbl.num_rows == 0:
             return schema.empty_table()

@@ -63,6 +63,10 @@ def bench_ops(spark, sf_dir: str) -> dict[str, float]:
     out["op_line_dedup"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    dedup.text_profile_signature(docs).count()
+    out["op_text_profile"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     textstats.unigram_logprob_topk(docs).collect()
     out["op_unigram_logprob"] = time.perf_counter() - t0
 

@@ -80,12 +80,24 @@ def _make_spark(cpus: int):
     apply_worker_malloc_env()
     from pyspark.sql import SparkSession
 
+    # Pin the JVM's ancillary thread pools to the measured level: GC
+    # and parquet-committer threads default to the HOST core count
+    # (32), which would let the "N-core" level borrow extra cores and
+    # overstate rate@N (understating scaling efficiency). A real
+    # N-core executor gets N cores for everything.
+    gc_threads = max(2, cpus)
+    java_opts = (
+        f"-XX:ParallelGCThreads={gc_threads} "
+        f"-XX:ConcGCThreads={max(1, gc_threads // 4)} "
+        f"-XX:ActiveProcessorCount={cpus}"
+    )
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"lss-scale-{cpus}")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
