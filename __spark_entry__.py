@@ -982,6 +982,51 @@ def _q_wildcard(spark, sf):
     )
 
 
+def _q_luke(spark, sf):
+    """LukeRequestHandler analog (solr/core/.../handler/admin/
+    LukeRequestHandler.java getIndexedFieldsInfo): per-field index
+    introspection — distinct terms, sumDocFreq (Σdf),
+    sumTotalTermFreq (Σcf) — straight off the term dictionary (one
+    vocabulary-sized aggregate, postings untouched)."""
+    from lucene_solr_spark.index.builder import FIELD_SEP
+
+    s = _fielded_searcher_for(spark, sf)
+    field = F.when(
+        F.col("term").contains(FIELD_SEP),
+        F.substring_index("term", FIELD_SEP, 1),
+    ).otherwise(F.lit("text"))
+    return (
+        s._term_stats.groupBy(field.alias("field"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("sum_df"),
+            F.sum("cf").cast("long").alias("sum_cf"),
+        )
+        .orderBy("field")
+    )
+
+
+def _q_sort_expr(spark, sf):
+    """Sort-by-function-query (Solr sort=<expr> desc; the
+    ExpressionSortField path of the expressions module): the
+    Javascript-grammar expression compiles to ONE Catalyst column and
+    drives a bounded top-k."""
+    from lucene_solr_spark.functions.expressions import compile_expression
+
+    docs = _docs(spark, sf)
+    e = compile_expression(
+        "sqrt(n_chars) + ln(1 + doc_id % 7)",
+        {"n_chars": F.col("n_chars"), "doc_id": F.col("doc_id")},
+    )
+    return (
+        docs.select(
+            "doc_id", F.round(e, 6).cast("double").alias("sort_val")
+        )
+        .orderBy(F.desc("sort_val"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
 def _q_edge_prefix(spark, sf):
     """Prefix search as a TERM lookup over the edge-ngram index:
     'tab' is an indexed gram of 'table', scored with the gram
@@ -5005,6 +5050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_match_topk": _q_phonetic,
         "wdf_subword_topk": _q_wdf_subword,
         "edge_ngram_prefix_topk": _q_edge_prefix,
+        "luke_field_stats": _q_luke,
+        "sort_by_expression_topk": _q_sort_expr,
         "stream_expr_rollup": _q_stream_expr_rollup,
         "stream_expr_topk": _q_stream_expr_topk,
         "simple_qp_topk": _q_simple_qp,
@@ -5627,6 +5674,30 @@ ORDER BY score DESC, r.doc_id LIMIT {K}""",
         "phonetic_match_topk": _phonetic_sql("filtur", K),
         "wdf_subword_topk": _wdf_term_sql("7", K),
         "edge_ngram_prefix_topk": _edge_term_sql("tab", K),
+        "luke_field_stats": f"""
+WITH {_BM25_CTES},
+tf_text AS (SELECT doc_id, term FROM tok2),
+txt AS (
+  SELECT 'text' AS field,
+         count(DISTINCT term)::BIGINT AS n_terms,
+         (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tf_text))::BIGINT AS sum_df,
+         count(*)::BIGINT AS sum_cf
+  FROM tf_text
+),
+src AS (
+  SELECT 'source' AS field,
+         count(DISTINCT source)::BIGINT AS n_terms,
+         count(*)::BIGINT AS sum_df,
+         count(*)::BIGINT AS sum_cf
+  FROM documents
+)
+SELECT * FROM src UNION ALL SELECT * FROM txt ORDER BY field""",
+        "sort_by_expression_topk": f"""
+SELECT doc_id,
+       round(sqrt(CAST(n_chars AS DOUBLE))
+             + ln(1 + CAST(doc_id % 7 AS DOUBLE)), 6) AS sort_val
+FROM documents
+ORDER BY sort_val DESC, doc_id ASC LIMIT {K}""",
         # the oracle RECOMPUTES the date math (trunc + interval), so a
         # rounding/arithmetic bug in datemath.py would hash-mismatch
         "date_math_range_counts": (
