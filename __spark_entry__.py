@@ -982,6 +982,55 @@ def _q_wildcard(spark, sf):
     )
 
 
+_PAYLOAD_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _payload_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index with FloatEncoder payloads (DelimitedPayloadTokenFilter
+    chain): every token of `text` is suffixed `|<0-based position>`
+    on the way in, so each posting position carries its token index
+    as a float payload in the .pay stream (pos_enc-aligned <f4)."""
+    key = f"{sf_dir}:payload:{_engine_fingerprint()}"
+    if key in _PAYLOAD_SEARCHERS:
+        return _PAYLOAD_SEARCHERS[key]
+    digest = hashlib.sha256(key.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), "lss_index_cache", digest)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "ptext",
+            F.array_join(
+                F.transform(
+                    F.split(F.trim(F.col("text")), "\\s+"),
+                    lambda t, i: F.concat_ws("|", t, i.cast("string")),
+                ),
+                " ",
+            ),
+        )
+        build_index(
+            spark, src, out,
+            IndexConfig(n_shards=4, segs_per_shard=2,
+                        analyzer="delimited_payload", id_col="doc_id",
+                        text_col="ptext", sharding="range_int",
+                        index_positions=True, index_payloads=True),
+        )
+    s = IndexSearcher(spark, out)
+    _PAYLOAD_SEARCHERS[key] = s
+    return s
+
+
+def _q_payload_max(spark, sf):
+    """PayloadTermQuery analog (core/.../search/payloads/
+    PayloadTermQuery.java, includeSpanScore=false +
+    MaxPayloadFunction.java:31-38): docs containing Q_TERM ranked by
+    the MAX float payload at its match positions — here the token
+    index, so 'latest occurrence wins'. Exercises the whole .pay
+    seam: delimited_payload analysis, pay_enc segment write + merge
+    concat, distributed posting+payload decode. Integer-valued f32
+    payloads keep the scores hash-exact."""
+    s = _payload_searcher_for(spark, sf)
+    return s.payload_score_topk(Q_TERM, k=K, fn="max")
+
+
 def _q_luke(spark, sf):
     """LukeRequestHandler analog (solr/core/.../handler/admin/
     LukeRequestHandler.java getIndexedFieldsInfo): per-field index
@@ -5040,9 +5089,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each check_entry-green on addition) leads the window; the nine
     entries it displaced past slot 50 were all green in the full
     168-entry sweep of 2026-08-19 and re-swept green after
-    displacement."""
+    displacement. The payload_max_topk entry (new .pay stream path,
+    2026-08-20) leads the window and displaced lm_jm_topk (driver-
+    green r04 window candidate, path unchanged) to the tail head;
+    lm_jm_topk re-swept green with check_entry on displacement."""
     base = {
         # --- (1) new this round (never driver-verified) ---
+        "payload_max_topk": _q_payload_max,
         "leading_wildcard_topk": _q_leading_wildcard,
         "date_math_range_counts": _q_date_math_range,
         "date_math_range_facet": _q_date_math_facet,
@@ -5741,6 +5794,21 @@ oth AS (
 SELECT bucket, n FROM bc
 UNION ALL SELECT bucket, n FROM oth
 ORDER BY bucket""",
+        # recomputes the payload derivation (token -> token|index) from
+        # raw text: MAX payload of Q_TERM == its last 0-based position
+        "payload_max_topk": f"""
+WITH s AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok,
+         unnest(range(len(l))) AS pos
+  FROM s
+)
+SELECT doc_id, CAST(MAX(pos) AS REAL) AS score
+FROM toks WHERE tok = '{Q_TERM}'
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {K}""",
         "leading_wildcard_topk": (
             f"WITH {_BM25_CTES} "
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "

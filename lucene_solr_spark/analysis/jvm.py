@@ -355,6 +355,44 @@ def word_delimiter_tokens_col(text: Column) -> Column:
     )
 
 
+# DelimitedPayloadTokenFilter analog (analysis/common/.../payloads/
+# DelimitedPayloadTokenFilter.java:29-37 + FloatEncoder.java): whitespace
+# tokens split at the FIRST delimiter occurrence (the reference scans
+# the term buffer left-to-right and truncates at the first hit); the
+# entire suffix after it parses as a float payload (FloatEncoder =
+# Float.parseFloat -> 4-byte payload). Tokens without the delimiter
+# carry NO payload (pay = null); an unparseable suffix also yields
+# null (documented deviation: FloatEncoder throws
+# NumberFormatException — Spark's try-cast semantics fit the
+# vectorized path better than a per-token throw).
+def delimited_payload_tokens_pos_col(
+    text: Column, delimiter: str = "|"
+) -> Column:
+    toks = F.split(_lstrip_ws(text), "\\s+")
+    d = F.lit(delimiter)
+
+    def entry(t: Column, i: Column) -> Column:
+        prefix = F.substring_index(t, delimiter, 1)  # before the FIRST delimiter
+        has = t.contains(d)
+        suffix = t.substr(F.length(prefix) + F.lit(2), F.length(t))
+        return F.struct(
+            prefix.alias("term"),
+            i.cast("int").alias("pos"),
+            F.when(has, suffix.try_cast("float"))
+            .otherwise(F.lit(None).cast("float"))
+            .alias("pay"),
+        )
+
+    pairs = F.transform(toks, entry)
+    return F.filter(pairs, lambda s: s["term"] != F.lit(""))
+
+
+def delimited_payload_tokens_col(text: Column) -> Column:
+    return F.transform(
+        delimited_payload_tokens_pos_col(text), lambda s: s["term"]
+    )
+
+
 JVM_ANALYZERS = {
     "standard": standard_tokens_col,
     "whitespace": whitespace_tokens_col,
@@ -368,6 +406,7 @@ JVM_ANALYZERS = {
     "edge_ngram": edge_ngram_tokens_col,
     "english": english_tokens_col,
     "english_minimal": english_tokens_col,
+    "delimited_payload": delimited_payload_tokens_col,
 }
 JVM_ANALYZERS_POS = {
     "standard": standard_tokens_pos_col,
@@ -382,4 +421,5 @@ JVM_ANALYZERS_POS = {
     "edge_ngram": edge_ngram_tokens_pos_col,
     "english": english_tokens_pos_col,
     "english_minimal": english_tokens_pos_col,
+    "delimited_payload": delimited_payload_tokens_pos_col,
 }

@@ -51,6 +51,7 @@ def _arrow_schema():
             ("block_max_tf", _LIST_I32),
             ("block_max_norm", _LIST_I32),
             ("pos_enc", pa.binary()),
+            ("pay_enc", pa.binary()),
             ("field", pa.string()),
             ("sum_dl", pa.int64()),
             ("keys_enc", pa.binary()),
@@ -75,7 +76,7 @@ def _list_array(parts: list[np.ndarray], dtype) -> pa.Array:
 
 def make_arrow_segment_builder(
     key_kind: str, index_positions: bool, field_name: str = "text",
-    codec: str = "vbyte", stem=None,
+    codec: str = "vbyte", stem=None, with_payloads: bool = False,
 ):
     """Returns the applyInArrow function building ONE segment's rows.
 
@@ -121,11 +122,19 @@ def make_arrow_segment_builder(
         total = int(doc_lens.sum())
 
         pos_encs = None
+        pay_encs = None
         if total:
             if index_positions:
-                vals = toks.values  # StructArray(term, pos)
+                vals = toks.values  # StructArray(term, pos[, pay])
                 terms_flat = vals.field("term")
                 flat_pos = vals.field("pos").to_numpy().astype(np.int64)
+                if with_payloads:
+                    # nulls (no payload at that position) -> NaN
+                    flat_pay = (
+                        vals.field("pay")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float32)
+                    )
             else:
                 terms_flat = toks.values
             denc = pc.dictionary_encode(terms_flat)
@@ -170,6 +179,17 @@ def make_arrow_segment_builder(
                 dfs = np.bincount(term_of_run, minlength=n_terms).astype(np.int64)
                 pos_per_term = np.bincount(c_s, minlength=n_terms).astype(np.int64)
                 pos_encs = encode_position_lists(p_s, tfs, pos_per_term)
+                if with_payloads:
+                    # .pay analog: raw <f4 stream aligned 1:1 with the
+                    # position stream (same (term, doc, pos) order);
+                    # per-doc runs are delimited by the SAME tf counts,
+                    # so merge is plain byte concat like pos_enc
+                    pay_s = flat_pay[order]
+                    bounds = np.cumsum(pos_per_term)[:-1]
+                    pay_encs = [
+                        chunk.astype("<f4").tobytes()
+                        for chunk in np.split(pay_s, bounds)
+                    ]
             else:
                 pair = codes * n_docs + doc_ord
                 upair, tfs = np.unique(pair, return_counts=True)
@@ -214,6 +234,9 @@ def make_arrow_segment_builder(
                 arrays.append(pa.nulls(1, typ))
         arrays.append(
             col((pos_encs if pos_encs is not None else none_post) + [None], pa.binary())
+        )
+        arrays.append(
+            col((pay_encs if pay_encs is not None else none_post) + [None], pa.binary())
         )
         arrays.append(col(none_post + [field_name], pa.string()))
         arrays.append(col(none_post + [int(doc_lens.sum())], pa.int64()))

@@ -113,6 +113,12 @@ class IndexConfig:
     # frames, ForUtil.java:36-47 analog — the PForDelta-family variant
     # the north star names). Pluggable behind one seam (index/codec.py).
     codec: str = "vbyte"
+    # write the .pay analog (per-position float payload streams,
+    # raw <f4 aligned 1:1 with pos_enc — FieldInfo.IndexOptions
+    # ..._AND_PAYLOADS). Requires index_positions and an analyzer
+    # whose token structs carry a `pay` field (delimited_payload).
+    # Arrow engine only; incompatible with index-time synonyms.
+    index_payloads: bool = False
     # index-time synonym map {term: (syn, ...)} applied to the DEFAULT
     # field after the analyzer chain (SynonymFilter analog with
     # includeOrig=true — see analysis/synonyms.py for the mirrored
@@ -136,6 +142,7 @@ SEGMENT_SCHEMA = StructType(
         StructField("block_max_tf", ArrayType(IntegerType())),
         StructField("block_max_norm", ArrayType(IntegerType())),
         StructField("pos_enc", BinaryType()),  # .pos analog (optional)
+        StructField("pay_enc", BinaryType()),  # .pay analog (optional)
         # meta-row payloads (one 'm' row per segment AND FIELD)
         StructField("field", StringType()),  # meta rows: which field
         StructField("sum_dl", LongType()),  # Σ doc_len of this field
@@ -162,6 +169,7 @@ POSTINGS_SCHEMA = StructType(
         StructField("block_max_tf", ArrayType(IntegerType())),
         StructField("block_max_norm", ArrayType(IntegerType())),
         StructField("pos_enc", BinaryType()),
+        StructField("pay_enc", BinaryType()),
     ]
 )
 
@@ -322,6 +330,7 @@ def _make_segment_builder(
                             "block_max_tf": enc["block_max_tf"],
                             "block_max_norm": enc["block_max_norm"],
                             "pos_enc": pos_encs if pos_encs is not None else None,
+                            "pay_enc": None,  # pandas engine: no payloads
                         }
                     )
                 )
@@ -395,7 +404,7 @@ def _make_merger(
         out = {name: [] for name in (
             "shard", "term", "part", "df", "cf", "doc_enc", "tf_enc",
             "block_last", "block_doc_off", "block_tf_off", "block_max_tf",
-            "block_max_norm", "pos_enc",
+            "block_max_norm", "pos_enc", "pay_enc",
         )}
         terms = pdf["term"].to_numpy()
         parts = pdf["part"].to_numpy()
@@ -408,6 +417,7 @@ def _make_merger(
         b_mtf = pdf["block_max_tf"].to_numpy()
         b_mnorm = pdf["block_max_norm"].to_numpy()
         pos_encs = pdf["pos_enc"].to_numpy() if "pos_enc" in pdf else None
+        pay_encs = pdf["pay_enc"].to_numpy() if "pay_enc" in pdf else None
         dfs = pdf["df"].to_numpy()
         cfs = pdf["cf"].to_numpy()
 
@@ -421,6 +431,7 @@ def _make_merger(
             doc_parts: list[bytes] = []
             tf_parts: list[bytes] = []
             pos_parts: list[bytes] = []
+            pay_parts: list[bytes] = []
             blast_parts, bdoff_parts, btoff_parts = [], [], []
             bmtf_parts, bmnorm_parts = [], []
             doc_bytes_acc = 0
@@ -458,6 +469,9 @@ def _make_merger(
                 if pos_encs is not None and pos_encs[r] is not None:
                     # positions are doc-local deltas: plain concat, no rebase
                     pos_parts.append(bytes(pos_encs[r]))
+                if pay_encs is not None and pay_encs[r] is not None:
+                    # payloads are raw <f4 aligned with pos: plain concat
+                    pay_parts.append(bytes(pay_encs[r]))
                 blast = np.asarray(b_last[r], np.int64) + base
                 bdoff = np.asarray(b_doff[r], np.int64).copy()
                 bdoff[1:] += shift
@@ -477,6 +491,7 @@ def _make_merger(
             out["doc_enc"].append(b"".join(doc_parts))
             out["tf_enc"].append(b"".join(tf_parts))
             out["pos_enc"].append(b"".join(pos_parts) if pos_parts else None)
+            out["pay_enc"].append(b"".join(pay_parts) if pay_parts else None)
             out["block_last"].append(np.concatenate(blast_parts))
             out["block_doc_off"].append(np.concatenate(bdoff_parts).astype(np.int32))
             out["block_tf_off"].append(np.concatenate(btoff_parts).astype(np.int32))
@@ -518,6 +533,19 @@ def build_index(
                 "synonyms are incompatible with stemming analyzers: the "
                 "arrow engine stems AFTER expansion and the pandas engine "
                 "before it — configure one or the other"
+            )
+    if cfg.index_payloads:
+        if not cfg.index_positions:
+            raise ValueError("index_payloads requires index_positions")
+        if cfg.engine != "arrow" or cfg.extra_fields or cfg.synonyms:
+            raise ValueError(
+                "index_payloads is an arrow-engine, single-field, "
+                "no-synonyms path (the .pay stream mirrors pos_enc)"
+            )
+        if cfg.analyzer != "delimited_payload":
+            raise ValueError(
+                "index_payloads needs a payload-bearing analyzer chain "
+                "(delimited_payload)"
             )
     ensure_on_workers(spark)
     os.makedirs(out_dir, exist_ok=True)
@@ -602,6 +630,7 @@ def build_index(
             make_arrow_segment_builder(
                 key_kind, cfg.index_positions, field_name=cfg.text_col,
                 codec=cfg.codec, stem=DICT_STEMMERS.get(cfg.analyzer),
+                with_payloads=cfg.index_payloads,
             ),
             SEGMENT_SCHEMA,
         )

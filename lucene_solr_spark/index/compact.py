@@ -356,8 +356,13 @@ def _compact_routed(
                     out[kcol].append(enc[kcol][0])
                 # positions survive: per-doc runs are doc-local, so keep
                 # the alive docs' runs and re-encode (no rebase needed)
+                pay_enc = getattr(row, "pay_enc", None)  # absent pre-.pay indexes
+                keep_rep = (
+                    np.repeat(sel, t)
+                    if (pos_abs is not None or pay_enc is not None)
+                    else None
+                )
                 if pos_abs is not None:
-                    keep_rep = np.repeat(sel, t)
                     out["pos_enc"].append(
                         encode_position_lists(
                             pos_abs[keep_rep], new_t,
@@ -366,6 +371,13 @@ def _compact_routed(
                     )
                 else:
                     out["pos_enc"].append(None)
+                # payloads are raw <f4 aligned with the position
+                # stream: keep the alive docs' values, no re-encode
+                if pay_enc is not None:
+                    pay_vals = np.frombuffer(bytes(pay_enc), "<f4")
+                    out["pay_enc"].append(pay_vals[keep_rep].tobytes())
+                else:
+                    out["pay_enc"].append(None)
         return pd.DataFrame(out)[cols]
 
     new_post = (

@@ -2285,7 +2285,9 @@ class IndexSearcher:
         )
         m = self._matched(terms)
         if not _spec_needs_positions(spec):
-            m = m.drop("pos_enc")  # prune the heaviest column pre-shuffle
+            m = m.drop("pos_enc", "pay_enc")  # prune the heaviest columns pre-shuffle
+        else:
+            m = m.drop("pay_enc")  # positions needed; payloads never are
         matched, norms_side = self._cogroup_inputs(m, all_shards)
 
         caches = dict(self._caches)
@@ -2380,7 +2382,7 @@ class IndexSearcher:
         terms = sorted(set(clause_terms))
         matched, norms_side = self._cogroup_inputs(
             self._matched(terms).drop(
-                *( ["pos_enc"] if "pos_enc" in self._postings.columns else [])
+                *( ["pos_enc", "pay_enc"] if "pos_enc" in self._postings.columns else [])
             )
         )
         caches = dict(self._caches)
@@ -2669,7 +2671,7 @@ class IndexSearcher:
             return leaves[t](tf, nb, float(boost))
 
         matched, norms_side = self._cogroup_inputs(
-            self._matched(terms).drop("pos_enc")
+            self._matched(terms).drop("pos_enc", "pay_enc")
         )
         offsets = dict(self._doc_offsets)
         default_field = self._default_field
@@ -2831,7 +2833,7 @@ class IndexSearcher:
         pdf = (
             self._matched(sorted(set(clause_terms)))
             .where(F.col("shard") == shard)
-            .drop("pos_enc")
+            .drop("pos_enc", "pay_enc")
             .toPandas()
         )
         if len(pdf) == 0:
@@ -2949,7 +2951,7 @@ class IndexSearcher:
         pdf = (
             self._matched(sorted(set(clause_terms)))
             .where(F.col("shard") == shard)
-            .drop("pos_enc")
+            .drop("pos_enc", "pay_enc")
             .toPandas()
         )
         if len(pdf) == 0:
@@ -3129,7 +3131,9 @@ class IndexSearcher:
         all_terms = sorted({t for s in specs.values() for t in s["terms"]})
         m = self._matched(all_terms)
         if not any(_spec_needs_positions(s) for s in specs.values()):
-            m = m.drop("pos_enc")  # prune the heaviest column pre-shuffle
+            m = m.drop("pos_enc", "pay_enc")  # prune the heaviest columns pre-shuffle
+        else:
+            m = m.drop("pay_enc")  # positions needed; payloads never are
         matched, norms_side = self._cogroup_inputs(m)
 
         caches = dict(self._caches)
@@ -3268,6 +3272,103 @@ class IndexSearcher:
                 self.deleted_df().select("doc_id"), "doc_id", "left_anti"
             )
         return out
+
+    def payload_rows(self, term: str, fn: str = "max") -> DataFrame:
+        """PayloadTermQuery analog (core/.../search/payloads/
+        PayloadTermQuery.java:108-181 with includeSpanScore=false):
+        per-document aggregate of the float payloads at the term's
+        match positions, as written by the delimited_payload chain
+        (FloatEncoder 4-byte payloads; the payload factor is
+        PayloadHelper.decodeFloat, the canonical payload-scoring
+        similarity hook). `fn` picks the PayloadFunction:
+        'max'/'min'/'avg'/'sum' per MaxPayloadFunction.java:31-38,
+        MinPayloadFunction.java, AveragePayloadFunction.java:30-37
+        (sum = Average's currentScore without the final division).
+        Positions whose token carried no payload are skipped
+        (payloadsSeen does not advance — DelimitedPayloadTokenFilter
+        leaves payAtt null); a matching doc with NO payloads seen
+        scores the reference's default docScore = 1.
+
+        Distributed exactly like termfreq_rows: pushed-down
+        single-term postings seek, mapInPandas decode of the
+        (doc, tf, pay) blocks — the .pay stream is raw <f4 aligned
+        1:1 with the position stream, so per-doc runs are delimited
+        by the tf counts. max/min are bitwise f32-exact; avg/sum
+        accumulate in f64 and cast (documented deviation: the
+        reference adds sequentially in f32 — last-ULP differences
+        possible)."""
+        if "pay_enc" not in self._postings.columns:
+            raise ValueError(
+                "index has no .pay stream — build with "
+                "IndexConfig(index_payloads=True, index_positions=True, "
+                "analyzer='delimited_payload')"
+            )
+        if fn not in ("max", "min", "avg", "sum"):
+            raise ValueError(f"unknown payload function: {fn}")
+        matched = self._postings.where(F.col("term") == term)
+        offsets = dict(self._doc_offsets)
+        codec = self._codec
+
+        def dec(batches):
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    d, t = decode_posting_list(
+                        bytes(row.doc_enc), bytes(row.tf_enc), int(row.df),
+                        codec=codec,
+                    )
+                    if row.pay_enc is None:
+                        score = np.ones(len(d), np.float32)
+                    else:
+                        pay = np.frombuffer(bytes(row.pay_enc), "<f4")
+                        starts = np.cumsum(t) - t
+                        isnan = np.isnan(pay)
+                        seen = np.add.reduceat(
+                            (~isnan).astype(np.int64), starts
+                        )
+                        if fn == "max":
+                            agg = np.maximum.reduceat(
+                                np.where(isnan, -np.inf, pay), starts
+                            ).astype(np.float32)
+                        elif fn == "min":
+                            agg = np.minimum.reduceat(
+                                np.where(isnan, np.inf, pay), starts
+                            ).astype(np.float32)
+                        else:
+                            s = np.add.reduceat(
+                                np.where(isnan, 0.0, pay.astype(np.float64)),
+                                starts,
+                            )
+                            if fn == "avg":
+                                s = s / np.maximum(seen, 1)
+                            agg = s.astype(np.float32)
+                        score = np.where(
+                            seen > 0, agg, np.float32(1.0)
+                        ).astype(np.float32)
+                    yield pd.DataFrame(
+                        {"doc_id": d + offsets.get(int(row.shard), 0),
+                         "score": score}
+                    )
+
+        out = matched.select(
+            "shard", "df", "doc_enc", "tf_enc", "pay_enc"
+        ).mapInPandas(dec, "doc_id long, score float")
+        if self._has_tombstones():
+            out = out.join(
+                self.deleted_df().select("doc_id"), "doc_id", "left_anti"
+            )
+        return out
+
+    def payload_score_topk(
+        self, term: str, k: int = 10, fn: str = "max"
+    ) -> DataFrame:
+        """Top-k docs by payload score (PayloadTermQuery ranking; global
+        top-k is a TakeOrderedAndProject over payload_rows, ties break
+        by doc asc like every collector in this engine)."""
+        return (
+            self.payload_rows(term, fn=fn)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
 
     def _expand_fuzzy(self, q: FuzzyQuery) -> list[str]:
         """Dictionary expansion by Levenshtein distance, distributed
@@ -3422,7 +3523,9 @@ class IndexSearcher:
         if kind in ("tree", "phrase", "multi_phrase", "spans"):
             m = self._matched(sorted(set(terms)))
             if not _spec_needs_positions(spec):
-                m = m.drop("pos_enc")  # heaviest column; boolean trees
+                m = m.drop("pos_enc", "pay_enc")  # heaviest columns; boolean trees
+            else:
+                m = m.drop("pay_enc")
             pdf = m.where(F.col("shard") == shard).toPandas()
             nr = (
                 self._norms_for_query(None)
