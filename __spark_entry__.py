@@ -1031,6 +1031,24 @@ def _q_payload_max(spark, sf):
     return s.payload_score_topk(Q_TERM, k=K, fn="max")
 
 
+def _q_span_paycheck(spark, sf):
+    """SpanPayloadCheckQuery analog (core/.../search/payloads/
+    SpanPayloadCheckQuery.java:118-141): spans of Q_TERM whose
+    collected payload equals 3.0 — on the payload index (payload =
+    0-based token position) that is 'Q_TERM at position 3'. Scoring
+    is ordinary span scoring over the surviving spans (freq = 1.0,
+    unit width), BM25 over the WHITESPACE corpus statistics (the
+    delimited chain keeps stopwords, so df/doc_len differ from the
+    standard index)."""
+    from lucene_solr_spark.search.query import (
+        SpanPayloadCheckQuery, SpanTermQuery,
+    )
+
+    s = _payload_searcher_for(spark, sf)
+    q = SpanPayloadCheckQuery(SpanTermQuery(Q_TERM), (3.0,))
+    return s.search(q, k=K)
+
+
 def _q_luke(spark, sf):
     """LukeRequestHandler analog (solr/core/.../handler/admin/
     LukeRequestHandler.java getIndexedFieldsInfo): per-field index
@@ -5089,13 +5107,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each check_entry-green on addition) leads the window; the nine
     entries it displaced past slot 50 were all green in the full
     168-entry sweep of 2026-08-19 and re-swept green after
-    displacement. The payload_max_topk entry (new .pay stream path,
-    2026-08-20) leads the window and displaced lm_jm_topk (driver-
-    green r04 window candidate, path unchanged) to the tail head;
-    lm_jm_topk re-swept green with check_entry on displacement."""
+    displacement. The payload_max_topk + span_paycheck_topk entries
+    (new .pay stream paths, 2026-08-20) lead the window and displaced
+    lm_jm_topk + dfr_inl2_topk (paths unchanged) to the tail head;
+    both re-swept green with check_entry on displacement."""
     base = {
         # --- (1) new this round (never driver-verified) ---
         "payload_max_topk": _q_payload_max,
+        "span_paycheck_topk": _q_span_paycheck,
         "leading_wildcard_topk": _q_leading_wildcard,
         "date_math_range_counts": _q_date_math_range,
         "date_math_range_facet": _q_date_math_facet,
@@ -5809,6 +5828,57 @@ SELECT doc_id, CAST(MAX(pos) AS REAL) AS score
 FROM toks WHERE tok = '{Q_TERM}'
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {K}""",
+        # span scoring over the WHITESPACE corpus (stopwords kept):
+        # fresh dl/norm/cachet CTEs; freq = 1 (one token per position)
+        "span_paycheck_topk": f"""
+WITH s AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM s
+),
+dl AS (SELECT doc_id, len(l)::BIGINT AS doc_len FROM s),
+a AS (
+  SELECT CAST((SELECT sum(doc_len) FROM dl)
+              / CAST((SELECT count(*) FROM s) AS DOUBLE) AS REAL) AS avgdl,
+         (SELECT count(*) FROM s)::BIGINT AS n
+),
+nrm AS (
+  SELECT doc_id, doc_len,
+    CASE WHEN doc_len = 0 THEN CAST(0 AS REAL)
+         ELSE CAST(1.0 AS REAL) / CAST(sqrt(CAST(doc_len AS DOUBLE)) AS REAL) END AS f
+  FROM dl
+),
+quant AS (
+  SELECT doc_id,
+    CASE WHEN doc_len = 0 THEN NULL
+         ELSE CAST(floor(f * power(2.0, 2 - floor(log2(f)))) * power(2.0, floor(log2(f)) - 2) AS REAL) END AS d315
+  FROM nrm
+),
+cachet AS (
+  SELECT doc_id,
+    CAST(1.2 AS REAL) * ((CAST(1.0 AS REAL) - CAST(0.75 AS REAL))
+      + CAST(0.75 AS REAL) * (CAST(1.0 AS REAL)/(d315*d315)) / (SELECT avgdl FROM a)) AS c
+  FROM quant
+),
+dfs AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS df FROM toks WHERE term = '{Q_TERM}'
+),
+ph AS (
+  SELECT doc_id, CAST(1.0 AS REAL) AS freq
+  FROM toks WHERE term = '{Q_TERM}' AND pos = 3
+),
+idfs AS (
+  SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL) AS s
+  FROM dfs
+)
+SELECT ph.doc_id,
+  CAST(((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+       * ph.freq / (ph.freq + cachet.c) AS DOUBLE) AS score
+FROM ph JOIN cachet USING (doc_id)
+ORDER BY CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
+       * ph.freq / (ph.freq + cachet.c) AS REAL) DESC, ph.doc_id
+LIMIT {K}""",
         "leading_wildcard_topk": (
             f"WITH {_BM25_CTES} "
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "

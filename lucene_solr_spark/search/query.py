@@ -446,6 +446,26 @@ class SpanWithinQuery(SpanQuery):
 
 
 @dataclass(frozen=True)
+class SpanPayloadCheckQuery(SpanQuery):
+    """Match spans whose collected payloads equal `payloads`
+    (core/.../search/payloads/SpanPayloadCheckQuery.java:118-141:
+    same count AND elementwise equality, in sub-span collection
+    order; positions without a payload are skipped by the collector,
+    PayloadSpanCollector.java:31-38). Payloads here are the
+    FloatEncoder floats of the delimited_payload chain; equality is
+    f32-exact. Requires an index built with index_payloads=True
+    (a payload-less index collects nothing, so only an empty
+    `payloads` tuple could match). Scoring is ordinary span scoring
+    over the surviving spans."""
+
+    match: SpanQuery
+    payloads: tuple  # expected f32 payload values, in order
+
+    def terms(self) -> list[str]:
+        return self.match.terms()
+
+
+@dataclass(frozen=True)
 class SpanMultiTermQueryWrapper(SpanQuery):
     """Lift a multi-term query (Prefix/Wildcard/Regexp/TermRange) into
     span position (spans/SpanMultiTermQueryWrapper.java): rewrites to a

@@ -78,6 +78,7 @@ from lucene_solr_spark.search.query import (
     TooManyClauses,
     WildcardQuery,
     rewrite,
+    SpanPayloadCheckQuery,
 )
 
 
@@ -169,6 +170,15 @@ class _LazyTerms:
         if not self.has_pos:
             return None
         ps = [bytes(r.pos_enc) for r in self.rows[term] if r.pos_enc is not None]
+        return b"".join(ps) if ps else None
+
+    def pay_stream(self, term: str) -> bytes | None:
+        """Concatenated .pay analog (raw <f4 aligned with pos_stream —
+        same part order, same per-doc tf delimiting)."""
+        rows = self.rows[term]
+        if not rows or not hasattr(rows[0], "pay_enc"):
+            return None
+        ps = [bytes(r.pay_enc) for r in rows if r.pay_enc is not None]
         return b"".join(ps) if ps else None
 
     def block_bounds(self, term: str):
@@ -1295,6 +1305,16 @@ def _spec_needs_positions(spec: dict) -> bool:
     return False
 
 
+def _spec_needs_payloads(spec: dict) -> bool:
+    """Only a spans tree containing a paycheck node reads the .pay
+    stream — everything else drops `pay_enc` before the exchange."""
+    if spec["kind"] != "spans":
+        return False
+    from lucene_solr_spark.search.spans import span_needs_payloads
+
+    return span_needs_payloads(spec["node"])
+
+
 def _tree_has_field_exists(node: dict) -> bool:
     """True when the tree contains a leaf that matches docs WITHOUT
     touching any query term's postings (field_exists / match_all) —
@@ -2089,6 +2109,12 @@ class IndexSearcher:
                 "big": self._span_node(q.big),
                 "little": self._span_node(q.little),
             }
+        if isinstance(q, SpanPayloadCheckQuery):
+            return {
+                "op": "paycheck",
+                "match": self._span_node(q.match),
+                "payloads": [float(v) for v in q.payloads],
+            }
         if isinstance(q, SpanMultiTermQueryWrapper):
             # SCORING_SPAN_QUERY_REWRITE: SpanOr over the expanded
             # dictionary terms (term order; _expand_mtq applies the
@@ -2286,8 +2312,8 @@ class IndexSearcher:
         m = self._matched(terms)
         if not _spec_needs_positions(spec):
             m = m.drop("pos_enc", "pay_enc")  # prune the heaviest columns pre-shuffle
-        else:
-            m = m.drop("pay_enc")  # positions needed; payloads never are
+        elif not _spec_needs_payloads(spec):
+            m = m.drop("pay_enc")  # positions needed; payloads only for paycheck
         matched, norms_side = self._cogroup_inputs(m, all_shards)
 
         caches = dict(self._caches)
@@ -3132,8 +3158,8 @@ class IndexSearcher:
         m = self._matched(all_terms)
         if not any(_spec_needs_positions(s) for s in specs.values()):
             m = m.drop("pos_enc", "pay_enc")  # prune the heaviest columns pre-shuffle
-        else:
-            m = m.drop("pay_enc")  # positions needed; payloads never are
+        elif not any(_spec_needs_payloads(s) for s in specs.values()):
+            m = m.drop("pay_enc")  # positions needed; payloads only for paycheck
         matched, norms_side = self._cogroup_inputs(m)
 
         caches = dict(self._caches)
@@ -3524,7 +3550,7 @@ class IndexSearcher:
             m = self._matched(sorted(set(terms)))
             if not _spec_needs_positions(spec):
                 m = m.drop("pos_enc", "pay_enc")  # heaviest columns; boolean trees
-            else:
+            elif not _spec_needs_payloads(spec):
                 m = m.drop("pay_enc")
             pdf = m.where(F.col("shard") == shard).toPandas()
             nr = (

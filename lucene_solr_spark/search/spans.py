@@ -47,12 +47,16 @@ NMP = 1 << 40
 
 class TermSpans:
     """One term's positions in ONE doc (TermSpans.java:96-110):
-    spans are (pos, pos+1), width 0."""
+    spans are (pos, pos+1), width 0. `pay` (optional) is the f32
+    payload per position, NaN = none; collect() appends the current
+    position's payload if present (TermSpans.java:115-117 via
+    PayloadSpanCollector.collectLeaf, which SKIPS null payloads)."""
 
-    __slots__ = ("pos", "i", "start", "end", "width")
+    __slots__ = ("pos", "pay", "i", "start", "end", "width")
 
-    def __init__(self, pos: np.ndarray):
+    def __init__(self, pos: np.ndarray, pay: np.ndarray | None = None):
         self.pos = pos
+        self.pay = pay
         self.i = -1
         self.start = -1
         self.end = -1
@@ -66,6 +70,12 @@ class TermSpans:
         self.start = int(self.pos[self.i])
         self.end = self.start + 1
         return self.start
+
+    def collect(self, out: list) -> None:
+        if self.pay is not None:
+            v = self.pay[self.i]
+            if not np.isnan(v):
+                out.append(np.float32(v))
 
 
 class NearOrderedSpans:
@@ -103,6 +113,10 @@ class NearOrderedSpans:
                 return self.start
         self.start = self.end = NMP
         return NMP
+
+    def collect(self, out: list) -> None:
+        for s in self.subs:  # subSpans order = clause order
+            s.collect(out)
 
 
 class NearUnorderedSpans:
@@ -168,6 +182,10 @@ class NearUnorderedSpans:
             if self._at_match():
                 return self._emit()
 
+    def collect(self, out: list) -> None:
+        for c in self.cells:  # subSpans order = clause order
+            c.collect(out)
+
 
 class OrSpans:
     """SpanOrQuery.java:237-295: all sub-span intervals merged in
@@ -197,6 +215,10 @@ class OrSpans:
         top = self.heap[0][3]
         self.start, self.end, self.width = top.start, top.end, top.width
         return self.start
+
+    def collect(self, out: list) -> None:
+        if self.heap:  # the emitting sub-span
+            self.heap[0][3].collect(out)
 
 
 class NotSpans:
@@ -236,6 +258,9 @@ class NotSpans:
         self.start = self.end = NMP
         return NMP
 
+    def collect(self, out: list) -> None:
+        self.inc.collect(out)
+
 
 class ContainingSpans:
     """SpanContainingQuery (ContainSpans.java + SpanContainingQuery.
@@ -266,6 +291,9 @@ class ContainingSpans:
         self.start = self.end = NMP
         return NMP
 
+    def collect(self, out: list) -> None:
+        self.big.collect(out)  # source spans = big
+
 
 class WithinSpans:
     """SpanWithinQuery: little spans lying inside a big span. Iterate
@@ -294,6 +322,9 @@ class WithinSpans:
         self.start = self.end = NMP
         return NMP
 
+    def collect(self, out: list) -> None:
+        self.little.collect(out)  # source spans = little
+
 
 class FirstSpans:
     """SpanFirstQuery.java (SpanPositionRangeQuery with range [0, E)):
@@ -318,6 +349,43 @@ class FirstSpans:
                 return self.start
         self.start = self.end = NMP
         return NMP
+
+    def collect(self, out: list) -> None:
+        self.m.collect(out)
+
+
+class PayCheckSpans:
+    """SpanPayloadCheckQuery (core/.../payloads/SpanPayloadCheckQuery.
+    java:118-141 checkPayloads + the FilterSpans accept loop): a match
+    span survives iff the payloads collected from its term positions
+    (in sub-span order, nulls skipped) equal the expected list —
+    same count AND elementwise f32 equality (Arrays.equals on the
+    FloatEncoder bytes)."""
+
+    __slots__ = ("m", "expect", "start", "end", "width")
+
+    def __init__(self, m, expect: tuple):
+        self.m = m
+        self.expect = expect
+        self.start = self.end = -1
+        self.width = 0
+
+    def next(self) -> int:
+        while self.m.next() != NMP:
+            got: list = []
+            self.m.collect(got)
+            if len(got) == len(self.expect) and all(
+                np.float32(a) == np.float32(b)
+                for a, b in zip(got, self.expect)
+            ):
+                self.start, self.end = self.m.start, self.m.end
+                self.width = self.m.width
+                return self.start
+        self.start = self.end = NMP
+        return NMP
+
+    def collect(self, out: list) -> None:
+        self.m.collect(out)
 
 
 def _resolve(node: dict, lt) -> dict | None:
@@ -363,6 +431,11 @@ def _resolve(node: dict, lt) -> dict | None:
         if big is None or little is None:
             return None
         return {**node, "big": big, "little": little}
+    if op == "paycheck":
+        m = _resolve(node["match"], lt)
+        if m is None:
+            return None
+        return {**node, "match": m}
     raise ValueError(f"unknown span node {op}")
 
 
@@ -381,6 +454,29 @@ def span_all_terms(node: dict) -> list[str]:
         return span_all_terms(node["match"])
     if op in ("containing", "within"):
         return span_all_terms(node["big"]) + span_all_terms(node["little"])
+    if op == "paycheck":
+        return span_all_terms(node["match"])
+    raise ValueError(f"unknown span node {op}")
+
+
+def span_needs_payloads(node: dict) -> bool:
+    """True when the tree contains a paycheck node — only then do the
+    .pay streams ship through the shard exchange and decode."""
+    op = node["op"]
+    if op == "paycheck":
+        return True
+    if op == "term":
+        return False
+    if op in ("near", "or"):
+        return any(span_needs_payloads(c) for c in node["clauses"])
+    if op == "not":
+        return (span_needs_payloads(node["include"])
+                or span_needs_payloads(node["exclude"]))
+    if op == "first":
+        return span_needs_payloads(node["match"])
+    if op in ("containing", "within"):
+        return (span_needs_payloads(node["big"])
+                or span_needs_payloads(node["little"]))
     raise ValueError(f"unknown span node {op}")
 
 
@@ -398,6 +494,8 @@ def _scoring_terms(node: dict) -> list[str]:
         return _scoring_terms(node["match"])
     if op in ("containing", "within"):
         return _scoring_terms(node["big"]) + _scoring_terms(node["little"])
+    if op == "paycheck":
+        return _scoring_terms(node["match"])
     raise ValueError(f"unknown span node {op}")
 
 
@@ -425,6 +523,8 @@ def _cand_docs(node: dict, lt) -> np.ndarray:
         a = _cand_docs(node["big"], lt)
         b = _cand_docs(node["little"], lt)
         return a[np.isin(a, b, assume_unique=True)]
+    if op == "paycheck":
+        return _cand_docs(node["match"], lt)
     raise ValueError(f"unknown span node {op}")
 
 
@@ -433,12 +533,16 @@ def _build(node: dict, lo_hi, posmap: dict, doc: int):
     doc (possible under or/not where candidates are a union)."""
     op = node["op"]
     if op == "term":
-        doc_rep, pos_abs = posmap[node["term"]]
+        entry = posmap[node["term"]]
+        doc_rep, pos_abs = entry[0], entry[1]
+        pay = entry[2] if len(entry) > 2 else None
         lo = np.searchsorted(doc_rep, doc, "left")
         hi = np.searchsorted(doc_rep, doc, "right")
         if lo == hi:
             return None
-        return TermSpans(pos_abs[lo:hi])
+        return TermSpans(
+            pos_abs[lo:hi], pay[lo:hi] if pay is not None else None
+        )
     if op == "near":
         kids = [_build(c, lo_hi, posmap, doc) for c in node["clauses"]]
         if any(k is None for k in kids):
@@ -471,6 +575,11 @@ def _build(node: dict, lo_hi, posmap: dict, doc: int):
             return None
         cls = ContainingSpans if op == "containing" else WithinSpans
         return cls(big, little)
+    if op == "paycheck":
+        m = _build(node["match"], lo_hi, posmap, doc)
+        if m is None:
+            return None
+        return PayCheckSpans(m, tuple(node["payloads"]))
     raise ValueError(f"unknown span node {op}")
 
 
@@ -508,13 +617,23 @@ def eval_spans(
     cand = _alive(_cand_docs(resolved, lt), deleted)
     if len(cand) == 0:
         return E
+    with_pay = span_needs_payloads(resolved)
     posmap = {}
     for t in set(span_all_terms(resolved)):
         d, tf = lt.full(t)
         pos_abs = decode_position_lists(lt.pos_stream(t), tf)
         doc_rep = np.repeat(d, tf)
         mask = np.isin(doc_rep, cand, assume_unique=False)
-        posmap[t] = (doc_rep[mask], pos_abs[mask])
+        if with_pay:
+            ps = lt.pay_stream(t)
+            pay_abs = np.frombuffer(ps, "<f4") if ps is not None else None
+            if pay_abs is None or len(pay_abs) != len(doc_rep):
+                # payload-less index (or mixed generations): every
+                # position counts as no-payload
+                pay_abs = np.full(len(doc_rep), np.nan, np.float32)
+            posmap[t] = (doc_rep[mask], pos_abs[mask], pay_abs[mask])
+        else:
+            posmap[t] = (doc_rep[mask], pos_abs[mask])
     docs_out: list[int] = []
     freqs: list[float] = []
     for doc in cand:

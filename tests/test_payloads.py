@@ -121,15 +121,25 @@ def test_payload_topk_order(pay_index):
     ]
 
 
-def test_payloads_survive_compaction(spark, pay_index, tmp_path):
+def test_payloads_survive_compaction(spark, tmp_path):
     """Delete a doc, compact, re-run the payload query: the .pay
-    stream keeps only the alive docs' values (compact.py rewrite)."""
+    stream keeps only the alive docs' values (compact.py rewrite).
+    Builds its OWN index — delete_by_keys mutates the index dir, so
+    the shared module fixture must stay pristine."""
     from lucene_solr_spark.index.compact import compact
     from lucene_solr_spark.index.deletes import delete_by_keys
 
-    delete_by_keys(spark, pay_index.index_dir, [0])
+    ix = str(tmp_path / "own")
+    df = spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    build_index(
+        spark, df, ix,
+        IndexConfig(n_shards=2, segs_per_shard=2,
+                    analyzer="delimited_payload", index_positions=True,
+                    index_payloads=True),
+    )
+    delete_by_keys(spark, ix, [0])
     out = str(tmp_path / "compacted")
-    compact(spark, pay_index.index_dir, out)
+    compact(spark, ix, out)
     s2 = IndexSearcher(spark, out)
     got = {
         r.doc_id: r.score for r in s2.payload_rows("apple", fn="max").collect()
@@ -162,3 +172,52 @@ def test_config_validation(spark):
         build_index(spark, df, "/tmp/_never",
                     IndexConfig(analyzer="standard", index_positions=True,
                                 index_payloads=True))
+
+
+# ---- SpanPayloadCheckQuery ----------------------------------------------
+
+def test_span_paycheck(spark, pay_index):
+    """SpanPayloadCheckQuery.java:118-141: same count + elementwise
+    payload equality, collector skips null payloads."""
+    from lucene_solr_spark.search.query import (
+        SpanNearQuery, SpanPayloadCheckQuery, SpanTermQuery,
+    )
+
+    # 'apple' with payload 2.0: only doc 0 ("apple|2.0 ...")
+    q = SpanPayloadCheckQuery(SpanTermQuery("apple"), (2.0,))
+    assert [r.doc_id for r in pay_index.search(q, k=10).collect()] == [0]
+    # payload 0.5 -> doc 2
+    q = SpanPayloadCheckQuery(SpanTermQuery("apple"), (0.5,))
+    assert [r.doc_id for r in pay_index.search(q, k=10).collect()] == [2]
+    # doc 1's 'apple' carries NO payload: collected [] != [anything]
+    q = SpanPayloadCheckQuery(SpanTermQuery("apple"), (99.0,))
+    assert pay_index.search(q, k=10).collect() == []
+    # near(apple, banana, 0, ordered) with payloads (2.0, 1.5): doc 0
+    near = SpanNearQuery(
+        (SpanTermQuery("apple"), SpanTermQuery("banana")), 0, True
+    )
+    q = SpanPayloadCheckQuery(near, (2.0, 1.5))
+    assert [r.doc_id for r in pay_index.search(q, k=10).collect()] == [0]
+    # same near, wrong second payload -> empty
+    q = SpanPayloadCheckQuery(near, (2.0, 9.0))
+    assert pay_index.search(q, k=10).collect() == []
+
+
+def test_span_paycheck_score_matches_plain_span(pay_index):
+    """A check that every span passes scores EXACTLY like the
+    unwrapped span query (FilterSpans preserves freq)."""
+    from lucene_solr_spark.search.query import (
+        SpanPayloadCheckQuery, SpanTermQuery,
+    )
+
+    base = {(r.doc_id, r.score)
+            for r in pay_index.search(SpanTermQuery("banana"), k=10).collect()}
+    # banana payloads: 1.5 (doc0), 3.0 (doc1), none (doc3), 4.0 (doc4)
+    got = {}
+    for p in (1.5, 3.0, 4.0):
+        q = SpanPayloadCheckQuery(SpanTermQuery("banana"), (p,))
+        for r in pay_index.search(q, k=10).collect():
+            got[r.doc_id] = r.score
+    base_d = dict(base)
+    for d, s in got.items():
+        assert s == base_d[d]
