@@ -1031,6 +1031,41 @@ def _q_payload_max(spark, sf):
     return s.payload_score_topk(Q_TERM, k=K, fn="max")
 
 
+
+# whitespace-corpus BM25 CTEs (the delimited_payload chain keeps
+# stopwords: df / doc_len / norms differ from the standard index)
+_WS_CTES = """s AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM s
+),
+dl AS (SELECT doc_id, len(l)::BIGINT AS doc_len FROM s),
+a AS (
+  SELECT CAST((SELECT sum(doc_len) FROM dl)
+              / CAST((SELECT count(*) FROM s) AS DOUBLE) AS REAL) AS avgdl,
+         (SELECT count(*) FROM s)::BIGINT AS n
+),
+nrm AS (
+  SELECT doc_id, doc_len,
+    CASE WHEN doc_len = 0 THEN CAST(0 AS REAL)
+         ELSE CAST(1.0 AS REAL) / CAST(sqrt(CAST(doc_len AS DOUBLE)) AS REAL) END AS f
+  FROM dl
+),
+quant AS (
+  SELECT doc_id,
+    CASE WHEN doc_len = 0 THEN NULL
+         ELSE CAST(floor(f * power(2.0, 2 - floor(log2(f)))) * power(2.0, floor(log2(f)) - 2) AS REAL) END AS d315
+  FROM nrm
+),
+cachet AS (
+  SELECT doc_id,
+    CAST(1.2 AS REAL) * ((CAST(1.0 AS REAL) - CAST(0.75 AS REAL))
+      + CAST(0.75 AS REAL) * (CAST(1.0 AS REAL)/(d315*d315)) / (SELECT avgdl FROM a)) AS c
+  FROM quant
+),
+wdfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term)"""
+
 def _q_span_paycheck(spark, sf):
     """SpanPayloadCheckQuery analog (core/.../search/payloads/
     SpanPayloadCheckQuery.java:118-141): spans of Q_TERM whose
@@ -1046,6 +1081,22 @@ def _q_span_paycheck(spark, sf):
 
     s = _payload_searcher_for(spark, sf)
     q = SpanPayloadCheckQuery(SpanTermQuery(Q_TERM), (3.0,))
+    return s.search(q, k=K)
+
+
+def _q_payload_near(spark, sf):
+    """PayloadNearQuery analog (core/.../search/payloads/
+    PayloadNearQuery.java:151-189): ordered adjacent spans of
+    (Q_AND[0], Q_AND[1]); score = span BM25 (whitespace corpus
+    stats) times the avg of the payloads collected at the matched
+    spans' positions — on the payload index those are the token
+    positions themselves, so early co-occurrences score lower."""
+    from lucene_solr_spark.search.query import PayloadNearQuery, SpanTermQuery
+
+    s = _payload_searcher_for(spark, sf)
+    q = PayloadNearQuery(
+        (SpanTermQuery(Q_AND[0]), SpanTermQuery(Q_AND[1])), 0, True, "avg"
+    )
     return s.search(q, k=K)
 
 
@@ -5107,14 +5158,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each check_entry-green on addition) leads the window; the nine
     entries it displaced past slot 50 were all green in the full
     168-entry sweep of 2026-08-19 and re-swept green after
-    displacement. The payload_max_topk + span_paycheck_topk entries
-    (new .pay stream paths, 2026-08-20) lead the window and displaced
-    lm_jm_topk + dfr_inl2_topk (paths unchanged) to the tail head;
-    both re-swept green with check_entry on displacement."""
+    displacement. The payload_max_topk + span_paycheck_topk +
+    payload_near_avg_topk entries (new .pay stream paths, 2026-08-20)
+    lead the window and displaced lm_jm_topk + dfr_inl2_topk +
+    ib_spl_topk (paths unchanged) to the tail head; all three
+    re-swept green with check_entry on displacement."""
     base = {
         # --- (1) new this round (never driver-verified) ---
         "payload_max_topk": _q_payload_max,
         "span_paycheck_topk": _q_span_paycheck,
+        "payload_near_avg_topk": _q_payload_near,
         "leading_wildcard_topk": _q_leading_wildcard,
         "date_math_range_counts": _q_date_math_range,
         "date_math_range_facet": _q_date_math_facet,
@@ -5831,46 +5884,14 @@ ORDER BY score DESC, doc_id ASC LIMIT {K}""",
         # span scoring over the WHITESPACE corpus (stopwords kept):
         # fresh dl/norm/cachet CTEs; freq = 1 (one token per position)
         "span_paycheck_topk": f"""
-WITH s AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
-),
-toks AS (
-  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM s
-),
-dl AS (SELECT doc_id, len(l)::BIGINT AS doc_len FROM s),
-a AS (
-  SELECT CAST((SELECT sum(doc_len) FROM dl)
-              / CAST((SELECT count(*) FROM s) AS DOUBLE) AS REAL) AS avgdl,
-         (SELECT count(*) FROM s)::BIGINT AS n
-),
-nrm AS (
-  SELECT doc_id, doc_len,
-    CASE WHEN doc_len = 0 THEN CAST(0 AS REAL)
-         ELSE CAST(1.0 AS REAL) / CAST(sqrt(CAST(doc_len AS DOUBLE)) AS REAL) END AS f
-  FROM dl
-),
-quant AS (
-  SELECT doc_id,
-    CASE WHEN doc_len = 0 THEN NULL
-         ELSE CAST(floor(f * power(2.0, 2 - floor(log2(f)))) * power(2.0, floor(log2(f)) - 2) AS REAL) END AS d315
-  FROM nrm
-),
-cachet AS (
-  SELECT doc_id,
-    CAST(1.2 AS REAL) * ((CAST(1.0 AS REAL) - CAST(0.75 AS REAL))
-      + CAST(0.75 AS REAL) * (CAST(1.0 AS REAL)/(d315*d315)) / (SELECT avgdl FROM a)) AS c
-  FROM quant
-),
-dfs AS (
-  SELECT count(DISTINCT doc_id)::BIGINT AS df FROM toks WHERE term = '{Q_TERM}'
-),
+WITH {_WS_CTES},
 ph AS (
   SELECT doc_id, CAST(1.0 AS REAL) AS freq
   FROM toks WHERE term = '{Q_TERM}' AND pos = 3
 ),
 idfs AS (
   SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL) AS s
-  FROM dfs
+  FROM wdfs WHERE term = '{Q_TERM}'
 )
 SELECT ph.doc_id,
   CAST(((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
@@ -5878,6 +5899,41 @@ SELECT ph.doc_id,
 FROM ph JOIN cachet USING (doc_id)
 ORDER BY CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
        * ph.freq / (ph.freq + cachet.c) AS REAL) DESC, ph.doc_id
+LIMIT {K}""",
+        # PayloadNearQuery("table","scan", slop 0, ordered, avg):
+        # adjacent pairs; payloads are the token positions, so the
+        # payload factor is the f32 avg of (a, a+1) over matched pairs
+        "payload_near_avg_topk": f"""
+WITH {_WS_CTES},
+pairs AS (
+  SELECT x.doc_id, x.pos AS p0, x.y AS p1
+  FROM (
+    SELECT t0.doc_id, t0.pos,
+      (SELECT min(t1.pos) FROM toks t1
+       WHERE t1.doc_id = t0.doc_id AND t1.term = '{Q_AND[1]}'
+         AND t1.pos > t0.pos) AS y
+    FROM toks t0 WHERE t0.term = '{Q_AND[0]}'
+  ) x
+  WHERE x.y IS NOT NULL AND x.y - x.pos - 1 <= 0
+),
+ph AS (
+  SELECT doc_id, CAST(count(*) AS REAL) AS freq,
+         CAST(CAST(sum(p0 + p1) AS DOUBLE)
+              / (2 * count(*)) AS REAL) AS pay
+  FROM pairs GROUP BY doc_id
+),
+idfs AS (
+  SELECT (SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL)
+          FROM wdfs WHERE term = '{Q_AND[0]}')
+       + (SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL)
+          FROM wdfs WHERE term = '{Q_AND[1]}') AS s
+)
+SELECT ph.doc_id,
+  CAST(CAST(((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+       * ph.freq / (ph.freq + cachet.c) AS REAL) * ph.pay AS DOUBLE) AS score
+FROM ph JOIN cachet USING (doc_id)
+ORDER BY CAST(CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
+       * ph.freq / (ph.freq + cachet.c) AS REAL) * ph.pay AS REAL) DESC, ph.doc_id
 LIMIT {K}""",
         "leading_wildcard_topk": (
             f"WITH {_BM25_CTES} "

@@ -446,6 +446,25 @@ class SpanWithinQuery(SpanQuery):
 
 
 @dataclass(frozen=True)
+class PayloadNearQuery(SpanQuery):
+    """SpanNearQuery whose score is spanScore * PayloadFunction
+    docScore over the payloads collected at each matched span
+    (core/.../search/payloads/PayloadNearQuery.java:151-174:
+    setFreqCurrentDoc folds every span's payloads into the running
+    payload score; scoreCurrentDoc multiplies). `fn` is
+    'avg' (the reference default) / 'max' / 'min' / 'sum';
+    docScore defaults to 1 when no payloads were seen."""
+
+    clauses: tuple  # of SpanQuery
+    slop: int
+    in_order: bool = True
+    fn: str = "avg"
+
+    def terms(self) -> list[str]:
+        return [t for c in self.clauses for t in c.terms()]
+
+
+@dataclass(frozen=True)
 class SpanPayloadCheckQuery(SpanQuery):
     """Match spans whose collected payloads equal `payloads`
     (core/.../search/payloads/SpanPayloadCheckQuery.java:118-141:

@@ -78,6 +78,7 @@ from lucene_solr_spark.search.query import (
     TooManyClauses,
     WildcardQuery,
     rewrite,
+    PayloadNearQuery,
     SpanPayloadCheckQuery,
 )
 
@@ -2108,6 +2109,17 @@ class IndexSearcher:
                        else "within"),
                 "big": self._span_node(q.big),
                 "little": self._span_node(q.little),
+            }
+        if isinstance(q, PayloadNearQuery):
+            return {
+                "op": "payscore",
+                "fn": q.fn,
+                "match": {
+                    "op": "near",
+                    "clauses": [self._span_node(c) for c in q.clauses],
+                    "slop": int(q.slop),
+                    "in_order": bool(q.in_order),
+                },
             }
         if isinstance(q, SpanPayloadCheckQuery):
             return {

@@ -431,7 +431,7 @@ def _resolve(node: dict, lt) -> dict | None:
         if big is None or little is None:
             return None
         return {**node, "big": big, "little": little}
-    if op == "paycheck":
+    if op in ("paycheck", "payscore"):
         m = _resolve(node["match"], lt)
         if m is None:
             return None
@@ -454,7 +454,7 @@ def span_all_terms(node: dict) -> list[str]:
         return span_all_terms(node["match"])
     if op in ("containing", "within"):
         return span_all_terms(node["big"]) + span_all_terms(node["little"])
-    if op == "paycheck":
+    if op in ("paycheck", "payscore"):
         return span_all_terms(node["match"])
     raise ValueError(f"unknown span node {op}")
 
@@ -463,7 +463,7 @@ def span_needs_payloads(node: dict) -> bool:
     """True when the tree contains a paycheck node — only then do the
     .pay streams ship through the shard exchange and decode."""
     op = node["op"]
-    if op == "paycheck":
+    if op in ("paycheck", "payscore"):
         return True
     if op == "term":
         return False
@@ -494,7 +494,7 @@ def _scoring_terms(node: dict) -> list[str]:
         return _scoring_terms(node["match"])
     if op in ("containing", "within"):
         return _scoring_terms(node["big"]) + _scoring_terms(node["little"])
-    if op == "paycheck":
+    if op in ("paycheck", "payscore"):
         return _scoring_terms(node["match"])
     raise ValueError(f"unknown span node {op}")
 
@@ -523,7 +523,7 @@ def _cand_docs(node: dict, lt) -> np.ndarray:
         a = _cand_docs(node["big"], lt)
         b = _cand_docs(node["little"], lt)
         return a[np.isin(a, b, assume_unique=True)]
-    if op == "paycheck":
+    if op in ("paycheck", "payscore"):
         return _cand_docs(node["match"], lt)
     raise ValueError(f"unknown span node {op}")
 
@@ -580,6 +580,8 @@ def _build(node: dict, lo_hi, posmap: dict, doc: int):
         if m is None:
             return None
         return PayCheckSpans(m, tuple(node["payloads"]))
+    if op == "payscore":
+        return _build(node["match"], lo_hi, posmap, doc)
     raise ValueError(f"unknown span node {op}")
 
 
@@ -593,6 +595,41 @@ def doc_freq_spans(node: dict, posmap: dict, doc: int) -> float:
     while sp.next() != NMP:
         acc += 1.0 / (1.0 + sp.width)
     return acc
+
+
+def doc_freq_payload(node: dict, posmap: dict, doc: int, fn: str):
+    """One doc's (sloppy freq, PayloadFunction docScore) — the
+    PayloadNearSpanScorer.setFreqCurrentDoc walk
+    (PayloadNearQuery.java:151-166): per matched span, freq += slop
+    factor, collect the span's payloads (sub-span order, nulls
+    skipped) and fold each into the running payload score
+    (Max/Min/Average currentScore); docScore defaults to 1 when no
+    payloads were seen. avg accumulates f64 then casts (documented
+    deviation: the reference adds sequentially in f32)."""
+    sp = _build(node, None, posmap, doc)
+    if sp is None:
+        return 0.0, np.float32(1.0)
+    acc = 0.0
+    pscore = 0.0
+    seen = 0
+    while sp.next() != NMP:
+        acc += 1.0 / (1.0 + sp.width)
+        got: list = []
+        sp.collect(got)
+        for v in got:
+            v = float(np.float32(v))
+            if fn == "max":
+                pscore = v if seen == 0 else max(pscore, v)
+            elif fn == "min":
+                pscore = v if seen == 0 else min(pscore, v)
+            else:  # avg / sum accumulate
+                pscore = pscore + v
+            seen += 1
+    if seen == 0:
+        return acc, np.float32(1.0)
+    if fn == "avg":
+        return acc, np.float32(pscore / seen)
+    return acc, np.float32(pscore)
 
 
 def eval_spans(
@@ -634,13 +671,21 @@ def eval_spans(
             posmap[t] = (doc_rep[mask], pos_abs[mask], pay_abs[mask])
         else:
             posmap[t] = (doc_rep[mask], pos_abs[mask])
+    pay_fn = resolved["fn"] if resolved["op"] == "payscore" else None
+    walk_node = resolved["match"] if pay_fn is not None else resolved
     docs_out: list[int] = []
     freqs: list[float] = []
+    pay_mults: list[np.float32] = []
     for doc in cand:
-        f = doc_freq_spans(resolved, posmap, int(doc))
+        if pay_fn is not None:
+            f, pm = doc_freq_payload(walk_node, posmap, int(doc), pay_fn)
+        else:
+            f, pm = doc_freq_spans(resolved, posmap, int(doc)), None
         if f > 0.0:
             docs_out.append(int(doc))
             freqs.append(f)
+            if pm is not None:
+                pay_mults.append(pm)
     if not docs_out:
         return E
     udocs = np.asarray(docs_out, np.int64)
@@ -653,5 +698,10 @@ def eval_spans(
     nrm, cch = _nc(sterms[0], norms_map, caches)
     scores = bm25.score_term(
         freqs32, nrm[udocs - base], idf_sum, cch, boost=boost
-    )
-    return udocs, scores.astype(np.float32)
+    ).astype(np.float32)
+    if pay_mults:
+        # PayloadNearSpanScorer.scoreCurrentDoc: spanScore * docScore
+        scores = (scores * np.asarray(pay_mults, np.float32)).astype(
+            np.float32
+        )
+    return udocs, scores

@@ -221,3 +221,35 @@ def test_span_paycheck_score_matches_plain_span(pay_index):
     base_d = dict(base)
     for d, s in got.items():
         assert s == base_d[d]
+
+
+def test_payload_near_score(pay_index):
+    """PayloadNearQuery.java:151-189: score = span score times the
+    PayloadFunction docScore over every matched span's payloads."""
+    from lucene_solr_spark.search.query import (
+        PayloadNearQuery, SpanNearQuery, SpanTermQuery,
+    )
+
+    near = SpanNearQuery(
+        (SpanTermQuery("apple"), SpanTermQuery("banana")), 0, True
+    )
+    base = {r.doc_id: r.score
+            for r in pay_index.search(near, k=10).collect()}
+    # adjacent (apple, banana): doc 0 (pay 2.0, 1.5), doc 1 (apple has
+    # no payload, banana 3.0 -> avg over [3.0]), doc 3 (apple null pay,
+    # banana none -> no payloads seen -> docScore 1)
+    q = PayloadNearQuery(
+        (SpanTermQuery("apple"), SpanTermQuery("banana")), 0, True, "avg"
+    )
+    got = {r.doc_id: r.score for r in pay_index.search(q, k=10).collect()}
+    assert set(got) == set(base)
+    expect_mult = {0: np.float32((2.0 + 1.5) / 2), 1: np.float32(3.0),
+                   3: np.float32(1.0)}
+    for d, m in expect_mult.items():
+        assert got[d] == np.float32(np.float32(base[d]) * m)
+    # max folds differently on doc 0
+    qm = PayloadNearQuery(
+        (SpanTermQuery("apple"), SpanTermQuery("banana")), 0, True, "max"
+    )
+    gm = {r.doc_id: r.score for r in pay_index.search(qm, k=10).collect()}
+    assert gm[0] == np.float32(np.float32(base[0]) * np.float32(2.0))
