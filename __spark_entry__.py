@@ -1084,6 +1084,56 @@ def _q_span_paycheck(spark, sf):
     return s.search(q, k=K)
 
 
+_ADDED_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _added_searcher_for(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Two disjoint half-corpus indexes folded into one via
+    add_indexes (IndexWriter.addIndexes analog). range_int sharding
+    keeps internal doc order == key order in each half, and the fold
+    offsets the second half above the first — so internal tie order
+    equals key order and the merged index is rank- AND score-bitwise
+    equal to a full-corpus build (global df/avgdl from the fold)."""
+    key = f"{sf_dir}:added:{_engine_fingerprint()}"
+    if key in _ADDED_SEARCHERS:
+        return _ADDED_SEARCHERS[key]
+    digest = hashlib.sha256(key.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), "lss_index_cache", digest)
+    if not os.path.exists(os.path.join(out, "merged", "manifest.json")):
+        from lucene_solr_spark.index.storage import add_indexes
+
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cut = src.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+        halves = []
+        for name, part in (
+            ("a", src.where(F.col("doc_id") <= F.lit(int(cut)))),
+            ("b", src.where(F.col("doc_id") > F.lit(int(cut)))),
+        ):
+            d = os.path.join(out, name)
+            build_index(
+                spark, part, d,
+                IndexConfig(n_shards=2, segs_per_shard=2,
+                            analyzer="standard", id_col="doc_id",
+                            text_col="text", sharding="range_int"),
+            )
+            halves.append(d)
+        add_indexes(spark, halves, os.path.join(out, "merged"))
+    s = IndexSearcher.open(spark, os.path.join(out, "merged"))
+    _ADDED_SEARCHERS[key] = s
+    return s
+
+
+def _q_add_indexes(spark, sf):
+    """addIndexes round-trip: BM25 top-k on the folded index, keyed by
+    the ORIGINAL doc ids (search_with_keys) — must equal the full-
+    corpus oracle bitwise (global stats prove the fold is real)."""
+    s = _added_searcher_for(spark, sf)
+    return s.search_with_keys(TermQuery(Q_TERM), k=K).select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def _q_payload_near(spark, sf):
     """PayloadNearQuery analog (core/.../search/payloads/
     PayloadNearQuery.java:151-189): ordered adjacent spans of
@@ -5159,15 +5209,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries it displaced past slot 50 were all green in the full
     168-entry sweep of 2026-08-19 and re-swept green after
     displacement. The payload_max_topk + span_paycheck_topk +
-    payload_near_avg_topk entries (new .pay stream paths, 2026-08-20)
-    lead the window and displaced lm_jm_topk + dfr_inl2_topk +
-    ib_spl_topk (paths unchanged) to the tail head; all three
-    re-swept green with check_entry on displacement."""
+    payload_near_avg_topk + add_indexes_term_topk entries (new .pay
+    stream + addIndexes paths, 2026-08-20) lead the window and
+    displaced span_within_topk + lm_dirichlet_topk + lm_jm_topk +
+    dfr_inl2_topk (+ ib_spl_topk, paths unchanged) to the tail head;
+    every displaced entry re-swept green with check_entry on
+    displacement."""
     base = {
         # --- (1) new this round (never driver-verified) ---
         "payload_max_topk": _q_payload_max,
         "span_paycheck_topk": _q_span_paycheck,
         "payload_near_avg_topk": _q_payload_near,
+        "add_indexes_term_topk": _q_add_indexes,
         "leading_wildcard_topk": _q_leading_wildcard,
         "date_math_range_counts": _q_date_math_range,
         "date_math_range_facet": _q_date_math_facet,
@@ -5903,6 +5956,7 @@ LIMIT {K}""",
         # PayloadNearQuery("table","scan", slop 0, ordered, avg):
         # adjacent pairs; payloads are the token positions, so the
         # payload factor is the f32 avg of (a, a+1) over matched pairs
+        "add_indexes_term_topk": _term_sql(Q_TERM, K),
         "payload_near_avg_topk": f"""
 WITH {_WS_CTES},
 pairs AS (

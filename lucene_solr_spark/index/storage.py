@@ -213,14 +213,44 @@ def publish_index(spark: SparkSession, index_dir: str, dest: str) -> dict:
     from lucene_solr_spark.search.searcher import IndexSearcher
 
     s = IndexSearcher.open(spark, index_dir)
-    io = resolve_io(spark, dest)
-    if isinstance(io, ParquetIO) and _os.path.abspath(
-        io.index_dir
-    ) == _os.path.abspath(index_dir):
+    _check_dest(index_dir, dest)
+    return _publish_view(spark, s, dest, str(index_dir))
+
+
+def _check_dest(src_dir: str, dest: str) -> None:
+    import os as _os
+
+    if not str(dest).startswith("iceberg://") and _os.path.abspath(
+        dest
+    ) == _os.path.abspath(src_dir):
         raise ValueError(
             "publish destination equals the source index directory — "
             "publishing reads the source while writing the destination"
         )
+
+
+def add_indexes(spark: SparkSession, dirs: list[str], dest: str) -> dict:
+    """IndexWriter.addIndexes analog (index/IndexWriter.java
+    addIndexes(Directory...)): fold SEVERAL independent indexes into
+    one consistent index at ``dest``. The reference copies segments
+    in and rebases docIDs via MergeState docBase maps; here the
+    open_multi view (cumulative docBase remap + global stats over the
+    union) is published exactly like an NRT fold — so BM25 df/avgdl
+    become corpus-global and ranks/scores equal an index built over
+    the concatenated corpus (pinned in tests/test_add_indexes.py).
+    Keys are NOT deduplicated (the reference's addIndexes does not
+    dedup either); sources must share codec and default field and be
+    tombstone-free (compact first)."""
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher.open_multi(spark, list(dirs))
+    for d in dirs:
+        _check_dest(d, dest)
+    return _publish_view(spark, s, dest, ",".join(str(d) for d in dirs))
+
+
+def _publish_view(spark: SparkSession, s, dest: str, origin: str) -> dict:
+    io = resolve_io(spark, dest)
 
     # every data table lands before the manifest (commit-point-last)
     io.write(s.doc_map(), "doc_map")
@@ -257,6 +287,6 @@ def publish_index(spark: SparkSession, index_dir: str, dest: str) -> dict:
     manifest["field_stats"] = {
         f: int(v) for f, v in s._field_stats.items()
     }
-    manifest["published_from"] = str(index_dir)
+    manifest["published_from"] = origin
     io.write_manifest(manifest)
     return manifest

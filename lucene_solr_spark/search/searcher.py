@@ -1676,16 +1676,58 @@ class IndexSearcher:
         gens = s.manifest.get("delta_generations") or []
         if not gens:
             return s
+        return s._fold_dirs([os.path.join(index_dir, g["dir"]) for g in gens])
+
+    @classmethod
+    def open_multi(cls, spark: SparkSession, dirs: list[str]) -> "IndexSearcher":
+        """MultiReader analog (index/MultiReader.java): one point-in-
+        time view over SEVERAL independent indexes. Exactly open()'s
+        generation fold with the extra indexes as the generations:
+        cumulative docBase remap, global BM25 stats over the union.
+        Keys are NOT deduplicated (MultiReader composes readers as-is);
+        sources must share the codec and default field. Tombstoned
+        sources are rejected — compact them first (the view's tombstone
+        resolve is single-source)."""
+        if not dirs:
+            raise ValueError("open_multi needs at least one index dir")
+        s = cls(spark, dirs[0])
+        if s.manifest.get("delta_generations"):
+            raise ValueError(
+                "open_multi sources must be single-generation — "
+                "publish/compact NRT indexes first"
+            )
+        from lucene_solr_spark.index.storage import resolve_io
+
+        extra = list(dirs[1:])
+        for d in [dirs[0]] + extra:
+            if resolve_io(spark, d).exists("tombstones"):
+                raise ValueError(
+                    f"open_multi source {d} has tombstones — compact it "
+                    "first (multi-view tombstone resolve is single-source)"
+                )
+        if not extra:
+            return s
+        return s._fold_dirs(extra)
+
+    def _fold_dirs(self, gen_dirs: list[str]) -> "IndexSearcher":
+        """Fold extra index directories into this searcher as doc-range
+        generations (shard ids offset, docIDs remapped by cumulative
+        docBase, stats summed — MergeState.java:129-142)."""
+        s = self
         shard_off = max(int(x) for x in s.manifest["shard_bases"]) + 1
         doc_off = s.max_doc
         sttf = s.manifest["sum_total_term_freq"]
         postings = [s._postings]
         norms = [s._norms]
         stats = [s._term_stats]
-        for g in gens:
-            gdir = os.path.join(index_dir, g["dir"])
+        for gdir in gen_dirs:
             with open(os.path.join(gdir, "manifest.json")) as fh:
                 gm = json.load(fh)
+            if gm["config"].get("codec", "vbyte") != s._codec:
+                raise ValueError(
+                    f"codec mismatch folding {gdir}: "
+                    f"{gm['config'].get('codec')} != {s._codec}"
+                )
             gp = s.spark.read.parquet(os.path.join(gdir, "postings"))
             gn = s.spark.read.parquet(os.path.join(gdir, "norms"))
             postings.append(
