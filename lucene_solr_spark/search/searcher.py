@@ -3450,6 +3450,50 @@ class IndexSearcher:
             .limit(int(k))
         )
 
+    def explain_payload(self, term: str, doc_id: int, fn: str = "max") -> dict:
+        """PayloadTermQuery explain (PayloadTermQuery.java:196-213 with
+        includeSpanScore=false: 'btq, result of: <PayloadFunction
+        explain>'): the per-doc payload list at the term's match
+        positions, the function fold, and the docScore — recomposed
+        bitwise equal to payload_rows' score for the doc. Returns
+        {} when the doc does not match (Explanation.noMatch)."""
+        row = (
+            self.payload_rows(term, fn=fn)
+            .where(F.col("doc_id") == int(doc_id))
+            .collect()
+        )
+        if not row:
+            return {}
+        score = np.float32(row[0].score)
+        # re-derive the payload list for the explanation body
+        pays: list[float] = []
+        post = (
+            self._postings.where(F.col("term") == term)
+            .select("shard", "df", "doc_enc", "tf_enc", "pay_enc")
+            .collect()
+        )
+        for r in post:
+            d, t = decode_posting_list(
+                bytes(r.doc_enc), bytes(r.tf_enc), int(r.df),
+                codec=self._codec,
+            )
+            off = self._doc_offsets.get(int(r.shard), 0)
+            hit = np.nonzero(d + off == int(doc_id))[0]
+            if len(hit) == 0 or r.pay_enc is None:
+                continue
+            pay = np.frombuffer(bytes(r.pay_enc), "<f4")
+            starts = np.cumsum(t) - t
+            i = int(hit[0])
+            seg = pay[starts[i]: starts[i] + int(t[i])]
+            pays.extend(float(v) for v in seg[~np.isnan(seg)])
+        return {
+            "value": float(score),
+            "description": f"btq(includeSpanScore=false), {fn} of payloads:",
+            "payloads_seen": len(pays),
+            "payloads": pays,
+            "default_applied": len(pays) == 0,
+        }
+
     def _expand_fuzzy(self, q: FuzzyQuery) -> list[str]:
         """Dictionary expansion by Levenshtein distance, distributed
         (JVM levenshtein over the term dict — the FuzzyTermsEnum

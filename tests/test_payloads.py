@@ -253,3 +253,18 @@ def test_payload_near_score(pay_index):
     )
     gm = {r.doc_id: r.score for r in pay_index.search(qm, k=10).collect()}
     assert gm[0] == np.float32(np.float32(base[0]) * np.float32(2.0))
+
+
+def test_explain_payload(pay_index):
+    """explain recomposes payload_rows' score bitwise and lists the
+    payloads seen; non-matching doc -> {} (Explanation.noMatch)."""
+    scores = {r.doc_id: r.score
+              for r in pay_index.payload_rows("apple", fn="max").collect()}
+    for d, s in scores.items():
+        ex = pay_index.explain_payload("apple", d, fn="max")
+        assert np.float32(ex["value"]) == np.float32(s)
+        if ex["payloads_seen"]:
+            assert np.float32(max(ex["payloads"])) == np.float32(s)
+        else:
+            assert ex["default_applied"] and s == 1.0
+    assert pay_index.explain_payload("apple", 999) == {}
