@@ -1150,6 +1150,35 @@ def _q_payload_near(spark, sf):
     return s.search(q, k=K)
 
 
+def _q_span_posrange(spark, sf):
+    """SpanPositionRangeQuery (spans/SpanPositionRangeQuery.java
+    acceptPosition): unit spans of Q_TERM with 2 <= pos and
+    pos + 1 <= 10 — the two-bound generalization of SpanFirst."""
+    from lucene_solr_spark.search.query import (
+        SpanPositionRangeQuery, SpanTermQuery,
+    )
+
+    s = _searcher_for(spark, sf)
+    return s.search(
+        SpanPositionRangeQuery(SpanTermQuery(Q_TERM), 2, 10), k=K
+    )
+
+
+def _q_boosting(spark, sf):
+    """BoostingQuery (queries/BoostingQuery.java): rank by Q_TERM,
+    halve the score of docs that also contain 'dup' (soft NOT —
+    demoted, not excluded)."""
+    from lucene_solr_spark.search.query import BoostingQuery
+
+    s = _searcher_for(spark, sf)
+    return s.search_boosting(
+        TermQuery(Q_TERM), TermQuery("dup"), 0.5, k=K
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def _q_luke(spark, sf):
     """LukeRequestHandler analog (solr/core/.../handler/admin/
     LukeRequestHandler.java getIndexedFieldsInfo): per-field index
@@ -2037,6 +2066,18 @@ def _span_first_sql(t: str, end: int, k: int) -> str:
 ph AS (
   SELECT doc_id, CAST(count(*) AS REAL) AS freq
   FROM tokp WHERE term = '{t}' AND pos + 1 <= {end} GROUP BY doc_id
+)"""
+    return _span_sql(ph, (t,), k)
+
+
+def _span_posrange_sql(t: str, start: int, end: int, k: int) -> str:
+    """SpanPositionRangeQuery(term, S, E): unit spans with
+    pos >= S and pos + 1 <= E."""
+    ph = f"""
+ph AS (
+  SELECT doc_id, CAST(count(*) AS REAL) AS freq
+  FROM tokp WHERE term = '{t}' AND pos >= {start} AND pos + 1 <= {end}
+  GROUP BY doc_id
 )"""
     return _span_sql(ph, (t,), k)
 
@@ -5208,19 +5249,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each check_entry-green on addition) leads the window; the nine
     entries it displaced past slot 50 were all green in the full
     168-entry sweep of 2026-08-19 and re-swept green after
-    displacement. The payload_max_topk + span_paycheck_topk +
-    payload_near_avg_topk + add_indexes_term_topk entries (new .pay
-    stream + addIndexes paths, 2026-08-20) lead the window and
-    displaced span_within_topk + lm_dirichlet_topk + lm_jm_topk +
-    dfr_inl2_topk (+ ib_spl_topk, paths unchanged) to the tail head;
-    every displaced entry re-swept green with check_entry on
-    displacement."""
+    displacement. The six 2026-08-20 entries (payload_max_topk,
+    span_paycheck_topk, payload_near_avg_topk, add_indexes_term_topk,
+    span_posrange_topk, boosting_query_topk — the .pay stream,
+    addIndexes, posrange and boosting paths) lead the window and
+    displaced span_not_topk, span_containing_topk, span_within_topk,
+    lm_dirichlet_topk, lm_jm_topk, dfr_inl2_topk (+ ib_spl_topk; all
+    paths unchanged) to the tail head; every displaced entry re-swept
+    green with check_entry on displacement, and the full 194-entry
+    sweep of 2026-08-20 was green before the last two were added."""
     base = {
         # --- (1) new this round (never driver-verified) ---
         "payload_max_topk": _q_payload_max,
         "span_paycheck_topk": _q_span_paycheck,
         "payload_near_avg_topk": _q_payload_near,
         "add_indexes_term_topk": _q_add_indexes,
+        "span_posrange_topk": _q_span_posrange,
+        "boosting_query_topk": _q_boosting,
         "leading_wildcard_topk": _q_leading_wildcard,
         "date_math_range_counts": _q_date_math_range,
         "date_math_range_facet": _q_date_math_facet,
@@ -5957,6 +6002,19 @@ LIMIT {K}""",
         # adjacent pairs; payloads are the token positions, so the
         # payload factor is the f32 avg of (a, a+1) over matched pairs
         "add_indexes_term_topk": _term_sql(Q_TERM, K),
+        "span_posrange_topk": _span_posrange_sql(Q_TERM, 2, 10, K),
+        "boosting_query_topk": f"""
+WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))},
+ctx AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+b AS (
+  SELECT sc.doc_id,
+    CASE WHEN ctx.doc_id IS NOT NULL
+         THEN CAST(sc.s * CAST(0.5 AS REAL) AS REAL)
+         ELSE sc.s END AS s
+  FROM sc LEFT JOIN ctx USING (doc_id)
+)
+SELECT doc_id, CAST(s AS DOUBLE) AS score FROM b
+ORDER BY s DESC, doc_id LIMIT {K}""",
         "payload_near_avg_topk": f"""
 WITH {_WS_CTES},
 pairs AS (

@@ -446,6 +446,36 @@ class SpanWithinQuery(SpanQuery):
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery(SpanQuery):
+    """Spans of `match` lying fully inside positions [start, end)
+    (spans/SpanPositionRangeQuery.java acceptPosition: start_pos >= S
+    and end_pos <= E; SpanFirstQuery is the S=0 case)."""
+
+    match: SpanQuery
+    start: int
+    end: int
+
+    def terms(self) -> list[str]:
+        return self.match.terms()
+
+
+@dataclass(frozen=True)
+class BoostingQuery(Query):
+    """queries/BoostingQuery.java: score by `match`; demote (or
+    promote) docs that ALSO match `context` by multiplying their
+    score with `boost` (context-only matches are ignored — the
+    reference zeroes the context boost). The canonical use is
+    boost < 1: downweight without excluding (a soft NOT)."""
+
+    match: Query
+    context: Query
+    boost: float
+
+    def terms(self) -> list[str]:
+        return self.match.terms()
+
+
+@dataclass(frozen=True)
 class PayloadNearQuery(SpanQuery):
     """SpanNearQuery whose score is spanScore * PayloadFunction
     docScore over the payloads collected at each matched span

@@ -78,8 +78,10 @@ from lucene_solr_spark.search.query import (
     TooManyClauses,
     WildcardQuery,
     rewrite,
+    BoostingQuery,
     PayloadNearQuery,
     SpanPayloadCheckQuery,
+    SpanPositionRangeQuery,
 )
 
 
@@ -2145,6 +2147,13 @@ class IndexSearcher:
                 "match": self._span_node(q.match),
                 "end": int(q.end),
             }
+        if isinstance(q, SpanPositionRangeQuery):
+            return {
+                "op": "posrange",
+                "match": self._span_node(q.match),
+                "start": int(q.start),
+                "end": int(q.end),
+            }
         if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
             return {
                 "op": ("containing" if isinstance(q, SpanContainingQuery)
@@ -3449,6 +3458,40 @@ class IndexSearcher:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(int(k))
         )
+
+    def search_boosting(
+        self, match: Query, context: Query, boost: float, k: int | None = 10
+    ) -> DataFrame:
+        """BoostingQuery analog (queries/BoostingQuery.java:34-88):
+        rank by `match`; docs that ALSO match `context` have their
+        score multiplied by `boost` (f32 multiply, exactly the
+        reference's matchScorer.score() * boost); context-only matches
+        never appear (the context weight scores nothing). boost < 1 is
+        the canonical soft-NOT.
+
+        Distributed: full sorted export of the match query (k=None
+        path), context match SET via the same engine, one doc_id
+        left join (AQE picks broadcast when the context set is small),
+        then a TakeOrderedAndProject for the global top-k."""
+        m = self.search(match, k=None)
+        c = self.search(context, k=None).select(
+            F.col("doc_id").alias("_ctx_doc")
+        )
+        out = (
+            m.join(c, m["doc_id"] == c["_ctx_doc"], "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("_ctx_doc").isNotNull(),
+                    (F.col("score").cast("float")
+                     * F.lit(float(np.float32(boost)))).cast("float"),
+                )
+                .otherwise(F.col("score").cast("float"))
+                .alias("score"),
+            )
+        )
+        out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out if k is None else out.limit(int(k))
 
     def explain_payload(self, term: str, doc_id: int, fn: str = "max") -> dict:
         """PayloadTermQuery explain (PayloadTermQuery.java:196-213 with

@@ -354,6 +354,35 @@ class FirstSpans:
         self.m.collect(out)
 
 
+class PositionRangeSpans:
+    """SpanPositionRangeQuery.java acceptPosition: accept spans with
+    start >= S and end <= E; a span starting at or past E ends the doc
+    (NO_MORE_IN_CURRENT_DOC). FirstSpans is the S=0 special case."""
+
+    __slots__ = ("m", "S", "E", "start", "end", "width")
+
+    def __init__(self, m, start: int, end: int):
+        self.m = m
+        self.S = start
+        self.E = end
+        self.start = self.end = -1
+        self.width = 0
+
+    def next(self) -> int:
+        while self.m.next() != NMP:
+            if self.m.start >= self.E:
+                break
+            if self.m.start >= self.S and self.m.end <= self.E:
+                self.start, self.end = self.m.start, self.m.end
+                self.width = self.m.width
+                return self.start
+        self.start = self.end = NMP
+        return NMP
+
+    def collect(self, out: list) -> None:
+        self.m.collect(out)
+
+
 class PayCheckSpans:
     """SpanPayloadCheckQuery (core/.../payloads/SpanPayloadCheckQuery.
     java:118-141 checkPayloads + the FilterSpans accept loop): a match
@@ -419,7 +448,7 @@ def _resolve(node: dict, lt) -> dict | None:
         if exc is None:
             return inc
         return {**node, "include": inc, "exclude": exc}
-    if op == "first":
+    if op in ("first", "posrange"):
         m = _resolve(node["match"], lt)
         if m is None:
             return None
@@ -450,7 +479,7 @@ def span_all_terms(node: dict) -> list[str]:
     if op == "not":
         return span_all_terms(node["include"]) + span_all_terms(
             node["exclude"])
-    if op == "first":
+    if op in ("first", "posrange"):
         return span_all_terms(node["match"])
     if op in ("containing", "within"):
         return span_all_terms(node["big"]) + span_all_terms(node["little"])
@@ -472,7 +501,7 @@ def span_needs_payloads(node: dict) -> bool:
     if op == "not":
         return (span_needs_payloads(node["include"])
                 or span_needs_payloads(node["exclude"]))
-    if op == "first":
+    if op in ("first", "posrange"):
         return span_needs_payloads(node["match"])
     if op in ("containing", "within"):
         return (span_needs_payloads(node["big"])
@@ -490,7 +519,7 @@ def _scoring_terms(node: dict) -> list[str]:
         return [t for c in node["clauses"] for t in _scoring_terms(c)]
     if op == "not":
         return _scoring_terms(node["include"])
-    if op == "first":
+    if op in ("first", "posrange"):
         return _scoring_terms(node["match"])
     if op in ("containing", "within"):
         return _scoring_terms(node["big"]) + _scoring_terms(node["little"])
@@ -517,7 +546,7 @@ def _cand_docs(node: dict, lt) -> np.ndarray:
         )
     if op == "not":
         return _cand_docs(node["include"], lt)
-    if op == "first":
+    if op in ("first", "posrange"):
         return _cand_docs(node["match"], lt)
     if op in ("containing", "within"):
         a = _cand_docs(node["big"], lt)
@@ -568,6 +597,11 @@ def _build(node: dict, lo_hi, posmap: dict, doc: int):
         if m is None:
             return None
         return FirstSpans(m, int(node["end"]))
+    if op == "posrange":
+        m = _build(node["match"], lo_hi, posmap, doc)
+        if m is None:
+            return None
+        return PositionRangeSpans(m, int(node["start"]), int(node["end"]))
     if op in ("containing", "within"):
         big = _build(node["big"], lo_hi, posmap, doc)
         little = _build(node["little"], lo_hi, posmap, doc)
