@@ -1179,6 +1179,17 @@ def _q_boosting(spark, sf):
     )
 
 
+def _q_terms_filter(spark, sf):
+    """TermsQuery (queries/TermsQuery.java): constant-score filter
+    over an explicit term set — docs containing ANY of the listed
+    terms score 1.0, docID-asc ties (the bulk bitset-OR path, not a
+    scoring BooleanQuery)."""
+    from lucene_solr_spark.search.query import TermsQuery
+
+    s = _searcher_for(spark, sf)
+    return s.search(TermsQuery(("vector", "dup", "window")), k=K)
+
+
 def _q_luke(spark, sf):
     """LukeRequestHandler analog (solr/core/.../handler/admin/
     LukeRequestHandler.java getIndexedFieldsInfo): per-field index
@@ -5257,7 +5268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lm_dirichlet_topk, lm_jm_topk, dfr_inl2_topk (+ ib_spl_topk; all
     paths unchanged) to the tail head; every displaced entry re-swept
     green with check_entry on displacement, and the full 194-entry
-    sweep of 2026-08-20 was green before the last two were added."""
+    sweep of 2026-08-20 was green before the last three
+    (span_posrange_topk, boosting_query_topk, terms_filter_topk —
+    each check_entry-green on addition; span_not_topk re-swept green
+    when terms_filter displaced it) were added."""
     base = {
         # --- (1) new this round (never driver-verified) ---
         "payload_max_topk": _q_payload_max,
@@ -5266,6 +5280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_indexes_term_topk": _q_add_indexes,
         "span_posrange_topk": _q_span_posrange,
         "boosting_query_topk": _q_boosting,
+        "terms_filter_topk": _q_terms_filter,
         "leading_wildcard_topk": _q_leading_wildcard,
         "date_math_range_counts": _q_date_math_range,
         "date_math_range_facet": _q_date_math_facet,
@@ -6003,6 +6018,12 @@ LIMIT {K}""",
         # payload factor is the f32 avg of (a, a+1) over matched pairs
         "add_indexes_term_topk": _term_sql(Q_TERM, K),
         "span_posrange_topk": _span_posrange_sql(Q_TERM, 2, 10, K),
+        "terms_filter_topk": (
+            f"WITH {_BM25_CTES} "
+            "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
+            "WHERE term IN ('vector','dup','window') "
+            f"ORDER BY doc_id LIMIT {K}"
+        ),
         "boosting_query_topk": f"""
 WITH {_BM25_CTES}, {_sc_cte((Q_TERM,))},
 ctx AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),

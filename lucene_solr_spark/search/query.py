@@ -460,6 +460,21 @@ class SpanPositionRangeQuery(SpanQuery):
 
 
 @dataclass(frozen=True)
+class TermsQuery(Query):
+    """Constant-score filter over an explicit term SET
+    (queries/TermsQuery.java: docs matching ANY listed term score 1.0;
+    the reference bulk-ORs the sorted PrefixCodedTerms' postings into
+    one bitset — never a scoring BooleanQuery). Expansion is a
+    pushed-down `term IN (...)` on the dictionary-sorted postings."""
+
+    terms_: tuple[str, ...]
+    field: str | None = None
+
+    def terms(self) -> list[str]:
+        return []  # constant-score: no scoring stats pulled
+
+
+@dataclass(frozen=True)
 class BoostingQuery(Query):
     """queries/BoostingQuery.java: score by `match`; demote (or
     promote) docs that ALSO match `context` by multiplying their

@@ -75,6 +75,7 @@ from lucene_solr_spark.search.query import (
     SpanWithinQuery,
     TermQuery,
     TermRangeQuery,
+    TermsQuery,
     TooManyClauses,
     WildcardQuery,
     rewrite,
@@ -1353,6 +1354,11 @@ def _mtq_cond(q, field_prefix: str = ""):
         pre = ""
     if isinstance(q, PrefixQuery):
         return F.col("term").startswith(field_prefix + q.prefix) & scope
+    if isinstance(q, TermsQuery):
+        # explicit term set: IN-list pushdown (PrefixCodedTerms seek)
+        return F.col("term").isin(
+            [field_prefix + t for t in q.terms_]
+        ) & scope
     if isinstance(q, RegexpQuery):
         return F.col("term").rlike("^" + pre + "(?:" + q.pattern + ")$") & scope
     if isinstance(q, TermRangeQuery):
@@ -2049,7 +2055,7 @@ class IndexSearcher:
                 "boost": float(q.boost),
             }
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery,
-                          TermRangeQuery)):
+                          TermRangeQuery, TermsQuery)):
             return {"kind": "const", "terms": self._expand_mtq(q)}
         if isinstance(q, MatchAllDocsQuery):
             return {"kind": "match_all"}
@@ -2345,7 +2351,7 @@ class IndexSearcher:
             out = self._search_field_value(q, None if cursor else k)
             return self._after_df(out, cursor, k)
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery,
-                          TermRangeQuery)):
+                          TermRangeQuery, TermsQuery)):
             out = self._search_constant(q, None if cursor else k)
             return self._after_df(out, cursor, k)
         if isinstance(q, FuzzyQuery):

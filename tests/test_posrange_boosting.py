@@ -56,3 +56,18 @@ def test_boosting_demotes_not_excludes(spark, docs_index):
         want = (np.float32(np.float32(base[d]) * np.float32(0.5))
                 if d in ctx else np.float32(base[d]))
         assert np.float32(sc) == want
+
+
+def test_terms_query_constant_score(spark, docs_index):
+    """TermsQuery: union of term doc-sets at constant 1.0, docID asc;
+    equals the BooleanOr MATCH SET but never its scores."""
+    from lucene_solr_spark.search.query import BooleanOr, TermsQuery
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, docs_index[0])
+    rows = s.search(TermsQuery(("vector", "dup")), k=None).collect()
+    assert all(r.score == 1.0 for r in rows)
+    assert [r.doc_id for r in rows] == sorted(r.doc_id for r in rows)
+    union = {r.doc_id
+             for r in s.search(BooleanOr(("vector", "dup")), k=None).collect()}
+    assert {r.doc_id for r in rows} == union
