@@ -2299,6 +2299,21 @@ def _q_tfidf_classic(spark, sf):
     )
 
 
+def _q_sweetspot(spark, sf):
+    """SweetSpotSimilarity disjunction (lucene/misc/.../
+    SweetSpotSimilarity.java) — classic chain with the plateau
+    lengthNorm (min=2, max=6, steepness=0.5) and baselineTf
+    (base=1.5, min=2.0)."""
+    s = _searcher_for(spark, sf)
+    return s.search_sweetspot(
+        BooleanOr(("scan", "table")), k=K,
+        ln_min=2, ln_max=6, steepness=0.5, tf_base=1.5, tf_min=2.0,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def _q_facet_unique(spark, sf):
     """JSON-facet `unique(source)` per lang bucket over the match set
     (solr UniqueAgg.java:33; HLLAgg is its approximate twin —
@@ -2426,6 +2441,80 @@ sc AS (
               ELSE (SELECT v_t FROM vals) END) AS REAL)
       * quant.d315 AS REAL) AS s
   FROM tf JOIN quant USING (doc_id)
+  WHERE tf.term IN ('scan', 'table')
+)
+SELECT doc_id,
+  CAST(CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL)
+    * CAST(CAST(count(*) AS REAL) / CAST(2 AS REAL) AS REAL) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _sweetspot_sql(k: int) -> str:
+    """SweetSpotSimilarity OR('scan','table') — the classic TF-IDF
+    chain (idf/queryNorm/coord identical to _tfidf_classic_sql) with
+    the two misc-module overrides recomputed arithmetically:
+
+    - tf: baselineTf(base=1.5, min=2.0) — freq <= 2 -> 1.5 else
+      (float)sqrt((freq + 2.25) - 2.0) (SweetSpotSimilarity.java:178).
+    - norm: per stored byte, numTerms = the smallest integer length
+      encoding to that byte (a pure SmallFloat constant, embedded as
+      a VALUES table from functions/sweetspot._REPS); cln =
+      (float)(1.0/sqrt(0.5*(|x-2|+|x-6|-4) + 1.0f))
+      (SweetSpotSimilarity.java:139-153); then the floatToByte315/
+      byte315ToFloat round-trip as the same 3-mantissa-bit floor
+      truncation the quant CTE applies to 1/sqrt(len)."""
+    from lucene_solr_spark.functions.sweetspot import _REPS
+
+    reps = ", ".join(f"({b}, {int(_REPS[b])})" for b in range(1, 256))
+    return f"""
+WITH {_BM25_CTES},
+reps(nb, rep) AS (VALUES {reps}),
+swn AS (
+  SELECT q.doc_id, CASE WHEN cl.cln <= 0 THEN CAST(0 AS REAL)
+    ELSE CAST(floor(cl.cln * power(2.0, 2 - floor(log2(cl.cln))))
+         * power(2.0, floor(log2(cl.cln)) - 2) AS REAL) END AS d
+  FROM quant q
+  JOIN reps ON q.norm_byte = reps.nb
+  CROSS JOIN LATERAL (
+    SELECT CAST(1.0 / sqrt(CAST(
+        CAST(CAST(CAST(0.5 AS REAL) * CAST(
+            abs(reps.rep - 2) + abs(reps.rep - 6) - 4 AS REAL)
+          AS REAL) + CAST(1.0 AS REAL) AS REAL)
+      AS DOUBLE)) AS REAL) AS cln
+  ) cl
+),
+idfv AS (
+  SELECT
+    CAST(ln(CAST((SELECT n FROM a) AS DOUBLE)
+        / (COALESCE((SELECT df FROM dfs WHERE term = 'scan'), 0) + 1.0)) + 1.0 AS REAL) AS idf_s,
+    CAST(ln(CAST((SELECT n FROM a) AS DOUBLE)
+        / (COALESCE((SELECT df FROM dfs WHERE term = 'table'), 0) + 1.0)) + 1.0 AS REAL) AS idf_t
+),
+parms AS (
+  SELECT idf_s, idf_t,
+    CAST(1.0 / sqrt(CAST(CAST(CAST(idf_s * idf_s AS REAL)
+        + CAST(idf_t * idf_t AS REAL) AS REAL) AS DOUBLE)) AS REAL) AS qn
+  FROM idfv
+),
+vals AS (
+  SELECT
+    CAST(CAST(qn * idf_s AS REAL) * idf_s AS REAL) AS v_s,
+    CAST(CAST(qn * idf_t AS REAL) * idf_t AS REAL) AS v_t
+  FROM parms
+),
+sc AS (
+  SELECT tf.doc_id,
+    CAST(CAST(
+      (CASE WHEN tf.tf <= 2 THEN CAST(1.5 AS REAL)
+            ELSE CAST(sqrt(CAST(
+                CAST(CAST(CAST(tf.tf AS REAL) + CAST(2.25 AS REAL) AS REAL)
+                     - CAST(2.0 AS REAL) AS REAL)
+              AS DOUBLE)) AS REAL) END)
+      * (CASE WHEN tf.term = 'scan' THEN (SELECT v_s FROM vals)
+              ELSE (SELECT v_t FROM vals) END) AS REAL)
+      * swn.d AS REAL) AS s
+  FROM tf JOIN swn USING (doc_id)
   WHERE tf.term IN ('scan', 'table')
 )
 SELECT doc_id,
@@ -5274,6 +5363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     when terms_filter displaced it) were added."""
     base = {
         # --- (1) new this round (never driver-verified) ---
+        "sweetspot_or_topk": _q_sweetspot,
         "payload_max_topk": _q_payload_max,
         "span_paycheck_topk": _q_span_paycheck,
         "payload_near_avg_topk": _q_payload_near,
@@ -5635,6 +5725,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20""",
         ),
         "bm25_multiphrase_topk": _multiphrase_sql(("hash", "table"), "scan", K),
         "tfidf_classic_topk": _tfidf_classic_sql(K),
+        "sweetspot_or_topk": _sweetspot_sql(K),
         "facet_unique_sources": (
             f"WITH {_BM25_CTES} "
             "SELECT d.lang, count(DISTINCT d.source)::BIGINT AS uniq_sources "

@@ -2595,6 +2595,50 @@ class IndexSearcher:
         (ClassicSimilarity.coord = overlap/maxOverlap)."""
         from lucene_solr_spark.functions import tfidf
 
+        return self._search_tfidf_family(
+            query, k, tfidf.score_term, "search_classic"
+        )
+
+    def search_sweetspot(
+        self,
+        query: Query,
+        k: int | None = 10,
+        ln_min: int = 1,
+        ln_max: int = 1,
+        steepness: float = 0.5,
+        tf_base: float = 0.0,
+        tf_min: float = 0.0,
+    ) -> DataFrame:
+        """SweetSpotSimilarity search (lucene/misc/.../
+        SweetSpotSimilarity.java) — DefaultSimilarity with the plateau
+        lengthNorm (setLengthNormFactors: ln_min/ln_max/steepness) and
+        the baselineTf tf override (setBaselineTfFactors: tf_base/
+        tf_min); idf/queryNorm/coord inherited from the classic chain.
+        Default factors degenerate to search_classic bitwise (pinned
+        in tests/test_sweetspot.py). Norm decode derives the quantized
+        doc length from the stored byte — see functions/sweetspot.py
+        for the documented deviation."""
+        from lucene_solr_spark.functions import sweetspot
+
+        table = sweetspot.sweet_norm_decode_table(ln_min, ln_max, steepness)
+        tb, tm = float(tf_base), float(tf_min)
+
+        def score_fn(tf_arr, nb, value):
+            return sweetspot.score_term_sweet(tf_arr, nb, value, table, tb, tm)
+
+        return self._search_tfidf_family(
+            query, k, score_fn, "search_sweetspot"
+        )
+
+    def _search_tfidf_family(
+        self, query: Query, k: int | None, score_fn, name: str
+    ) -> DataFrame:
+        """Shared DefaultSimilarity-family execution (classic TF-IDF
+        and SweetSpot): identical idf/queryNorm/coord float chain,
+        per-term leaf scoring swapped via `score_fn(tf, norm_bytes,
+        weightValue) -> f32 scores`."""
+        from lucene_solr_spark.functions import tfidf
+
         q = rewrite(query)
         spec = self._spec(q)
         kind = spec["kind"]
@@ -2606,11 +2650,11 @@ class IndexSearcher:
             clause_terms = list(spec["terms"])
         else:
             raise ValueError(
-                "classic-similarity path supports term/and/or queries"
+                f"{name} supports term/and/or queries"
             )
         if any(FIELD_SEP in t for t in clause_terms):
             raise ValueError(
-                "search_classic supports the default field only"
+                f"{name} supports the default field only"
             )
         dfs = self.term_dfs(sorted(set(clause_terms)))
         idfs = [tfidf.idf(dfs.get(t, 0), self.max_doc) for t in clause_terms]
@@ -2643,7 +2687,7 @@ class IndexSearcher:
                     return empty
                 d, tf_arr = lt.full(t)
                 docs = d
-                total = tfidf.score_term(tf_arr, nrm[d - base], vmap[t])
+                total = score_fn(tf_arr, nrm[d - base], vmap[t])
             elif kind == "and":
                 if any(t not in lt for t in clause_terms):
                     return empty
@@ -2657,7 +2701,7 @@ class IndexSearcher:
                 for t in clause_terms:
                     d, tf_arr = lt.full(t)
                     idx = np.searchsorted(d, docs)
-                    s = tfidf.score_term(
+                    s = score_fn(
                         tf_arr[idx], nrm[docs - base], vmap[t]
                     )
                     acc64 += s.astype(np.float64)
@@ -2672,7 +2716,7 @@ class IndexSearcher:
                 nmatch = np.zeros(len(docs), np.int32)
                 for t in present:
                     d, tf_arr = lt.full(t)
-                    s = tfidf.score_term(tf_arr, nrm[d - base], vmap[t])
+                    s = score_fn(tf_arr, nrm[d - base], vmap[t])
                     pos = np.searchsorted(docs, d)
                     acc64[pos] += s.astype(np.float64)
                     nmatch[pos] += 1
