@@ -4200,6 +4200,53 @@ def _q_realtime_get(spark, sf):
     )
 
 
+def _q_atomic_update(spark, sf):
+    """Atomic updates (index/atomic.py — AtomicUpdateDocumentMerger
+    analog): set / inc / add+remove / removeregex against four keys,
+    merged docs reindexed through update_documents; the probe reads
+    BOTH the index view (doc_len of the NEW doc versions via
+    get_by_keys) and the merged stored fields."""
+    import tempfile
+
+    from lucene_solr_spark.index.atomic import atomic_update
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    ix = tempfile.mkdtemp(prefix="lss_atom_") + "/ix"
+    docs = _docs(spark, sf).where(F.col("doc_id") < 300)
+    stored = docs.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).withColumn("tags", F.array("lang", "source"))
+    build_index(
+        spark, stored, ix, IndexConfig(n_shards=4, segs_per_shard=2)
+    )
+    ops_t = "map<string,array<string>>"
+    ups = spark.createDataFrame(
+        [
+            (10, {"set": ["atomic update text entry"]}, None, None),
+            (11, None, {"inc": ["1000"]}, None),
+            (12, None, None, {"add": ["extra", "en"], "remove": ["en"]}),
+            (13, None, None, {"removeregex": ["src.*"]}),
+        ],
+        f"doc_id long, text {ops_t}, n_chars {ops_t}, tags {ops_t}",
+    )
+    merged = atomic_update(spark, ix, stored, ups, batch_id="atomic0")
+    s = IndexSearcher.open(spark, ix)
+    got = s.get_by_keys([10, 11, 12, 13]).select(
+        F.col("key").cast("long").alias("key"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+    )
+    return (
+        got.join(merged, got.key == merged.doc_id)
+        .select(
+            "key", "doc_len", "text", "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.concat_ws(",", "tags").alias("tags"),
+        )
+        .orderBy("key")
+    )
+
+
 def _q_match_all_count(spark, sf):
     """MatchAllDocsQuery + TotalHitCountCollector."""
     s = _searcher_for(spark, sf)
@@ -5364,6 +5411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # --- (1) new this round (never driver-verified) ---
         "sweetspot_or_topk": _q_sweetspot,
+        "atomic_update_rows": _q_atomic_update,
         "payload_max_topk": _q_payload_max,
         "span_paycheck_topk": _q_span_paycheck,
         "payload_near_avg_topk": _q_payload_near,
@@ -6280,6 +6328,25 @@ FROM documents GROUP BY lang ORDER BY lang""",
             "AS DOUBLE) + 1.0)), 6) "
             "AS rscore FROM events "
             f"ORDER BY rscore DESC, event_id LIMIT {K}"
+        ),
+        "atomic_update_rows": (
+            f"WITH {_BM25_CTES} "
+            "SELECT d.doc_id AS key, "
+            "CASE WHEN d.doc_id = 10 THEN 4 ELSE dl.doc_len END::BIGINT"
+            " AS doc_len, "
+            "CASE WHEN d.doc_id = 10 THEN 'atomic update text entry' "
+            "ELSE d.text END AS text, d.lang AS lang, "
+            "CASE WHEN d.doc_id = 11 THEN d.n_chars + 1000 "
+            "ELSE d.n_chars END::BIGINT AS n_chars, "
+            "CASE WHEN d.doc_id = 12 THEN array_to_string(list_filter("
+            "  list_concat([d.lang, d.source], ['extra', 'en']), "
+            "  x -> x != 'en'), ',') "
+            "WHEN d.doc_id = 13 THEN array_to_string(list_filter("
+            "  [d.lang, d.source], "
+            "  x -> NOT regexp_full_match(x, 'src.*')), ',') "
+            "ELSE d.lang || ',' || d.source END AS tags "
+            "FROM documents d JOIN dl USING (doc_id) "
+            "WHERE d.doc_id IN (10, 11, 12, 13) ORDER BY key"
         ),
         "realtime_get_rows": (
             f"WITH {_BM25_CTES} "
