@@ -2299,6 +2299,78 @@ def _q_tfidf_classic(spark, sf):
     )
 
 
+def _q_term_automaton(spark, sf):
+    """TermAutomatonQuery (sandbox): table -> ANY -> scan. freq counts
+    automaton acceptances per TermAutomatonScorer (incl. the
+    double-step when the gap token is itself a query term); BM25 with
+    summed idf."""
+    from lucene_solr_spark.search.query import TermAutomatonQuery
+
+    q = TermAutomatonQuery()
+    s1 = q.create_state()
+    s2 = q.create_state()
+    s3 = q.create_state()
+    q.add_transition(0, s1, "table")
+    q.add_any_transition(s1, s2)
+    q.add_transition(s2, s3, "scan")
+    q.set_accept(s3)
+    q.finish()
+    s = _searcher_for(spark, sf)
+    return s.search_term_automaton(q, k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _term_automaton_sql(k: int) -> str:
+    """Oracle for table -> ANY -> scan: a start at position p accepts
+    iff scan sits at p+2 (stop-gap holes included — the ANY advance is
+    positional arithmetic, TermAutomatonScorer.java:255-280); the
+    acceptance counts twice when the gap slot holds a query term
+    (expanded ANY arcs step it once at its own event and once in the
+    ANY advance — the reference's exact behavior, pinned in
+    tests/test_term_automaton.py). Score = BM25(freq, idf_t + idf_s).
+    """
+    return f"""
+WITH {_BM25_CTES},
+rawp AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term,
+         generate_subscripts(string_split_regex(trim(text), ' +'), 1) - 1 AS pos
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, term, pos FROM rawp
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({_STOP})
+),
+ph AS (
+  SELECT a.doc_id,
+    SUM(1 + CASE WHEN g.term IN ('table', 'scan') THEN 1 ELSE 0 END)::BIGINT
+      AS freq
+  FROM tokp a
+  JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2
+  LEFT JOIN tokp g ON g.doc_id = a.doc_id AND g.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'scan'
+  GROUP BY a.doc_id
+),
+idfs AS (
+  SELECT
+    (SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL)
+     FROM dfs WHERE term = 'table')
+    +
+    (SELECT CAST(ln(1 + ((SELECT n FROM a) - df + 0.5) / (df + 0.5)) AS REAL)
+     FROM dfs WHERE term = 'scan') AS s
+)
+SELECT ph.doc_id,
+  CAST(((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+       * CAST(ph.freq AS REAL) / (CAST(ph.freq AS REAL) + cachet.c)
+       AS DOUBLE) AS score
+FROM ph JOIN cachet USING (doc_id)
+ORDER BY CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
+       * CAST(ph.freq AS REAL) / (CAST(ph.freq AS REAL) + cachet.c) AS REAL) DESC,
+       ph.doc_id
+LIMIT {k}"""
+
+
 def _q_sweetspot(spark, sf):
     """SweetSpotSimilarity disjunction (lucene/misc/.../
     SweetSpotSimilarity.java) — classic chain with the plateau
@@ -5411,6 +5483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # --- (1) new this round (never driver-verified) ---
         "sweetspot_or_topk": _q_sweetspot,
+        "term_automaton_gap_topk": _q_term_automaton,
         "atomic_update_rows": _q_atomic_update,
         "payload_max_topk": _q_payload_max,
         "span_paycheck_topk": _q_span_paycheck,
@@ -5774,6 +5847,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20""",
         "bm25_multiphrase_topk": _multiphrase_sql(("hash", "table"), "scan", K),
         "tfidf_classic_topk": _tfidf_classic_sql(K),
         "sweetspot_or_topk": _sweetspot_sql(K),
+        "term_automaton_gap_topk": _term_automaton_sql(K),
         "facet_unique_sources": (
             f"WITH {_BM25_CTES} "
             "SELECT d.lang, count(DISTINCT d.source)::BIGINT AS uniq_sources "

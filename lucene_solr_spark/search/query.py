@@ -474,6 +474,134 @@ class TermsQuery(Query):
         return []  # constant-score: no scoring stats pulled
 
 
+class TermAutomatonQuery(Query):
+    """Proximity automaton over terms (lucene/sandbox/.../search/
+    TermAutomatonQuery.java) — the generalization of Phrase/
+    MultiPhrase/SpanNear: states + term-labelled transitions (plus
+    ANY-term transitions), matched by graph intersection against each
+    candidate document's position stream; acts like a DISJUNCTION
+    (any doc holding any query term is a candidate), then counts
+    automaton acceptances as the doc's freq.
+
+    Builder API mirrors the reference: create_state / set_accept /
+    add_transition / add_any_transition, then finish() — which
+    validates (no leading/trailing ANY, TermAutomatonQuery.java:
+    134-153), expands ANY arcs to the whole term alphabet (:155-181
+    — so a query-term token also satisfies an ANY arc), and
+    determinizes by powerset construction (Operations.determinize is
+    the same subset construction, so the resulting state graph — and
+    therefore the scorer's acceptance COUNT, which is per
+    (state-entry, accepting step) — is isomorphic to the
+    reference's). State 0 is always initial."""
+
+    def __init__(self, field: str | None = None):
+        self.field = field
+        self._n_states = 1
+        self._accept: set[int] = set()
+        self._arcs: list[tuple[int, int, int]] = []
+        self._term_ids: dict[str | None, int] = {}
+        self._id_terms: list[str | None] = []
+        self._det: tuple | None = None
+
+    def _term_id(self, term: str | None) -> int:
+        if term not in self._term_ids:
+            self._term_ids[term] = len(self._id_terms)
+            self._id_terms.append(term)
+        return self._term_ids[term]
+
+    def create_state(self) -> int:
+        s = self._n_states
+        self._n_states += 1
+        return s
+
+    def set_accept(self, state: int, accept: bool = True) -> None:
+        if accept:
+            self._accept.add(state)
+        else:
+            self._accept.discard(state)
+
+    def add_transition(self, src: int, dst: int, term: str) -> None:
+        if term is None:
+            raise ValueError("term should not be null")
+        self._arcs.append((src, dst, self._term_id(term)))
+
+    def add_any_transition(self, src: int, dst: int) -> None:
+        self._arcs.append((src, dst, self._term_id(None)))
+
+    @property
+    def any_id(self) -> int | None:
+        return self._term_ids.get(None)
+
+    def finish(self) -> "TermAutomatonQuery":
+        any_id = self.any_id
+        if any_id is not None:
+            for src, dst, tid in self._arcs:
+                if tid == any_id and src == 0:
+                    raise ValueError(
+                        "automaton cannot lead with an ANY transition"
+                    )
+                if tid == any_id and dst in self._accept:
+                    raise ValueError(
+                        "automaton cannot end with an ANY transition"
+                    )
+        n_ids = len(self._id_terms)
+        # expand ANY arcs to every symbol (TermAutomatonQuery:155-181)
+        nfa: dict[tuple[int, int], set[int]] = {}
+        for src, dst, tid in self._arcs:
+            ids = range(n_ids) if (any_id is not None and tid == any_id) \
+                else (tid,)
+            for i in ids:
+                nfa.setdefault((src, i), set()).add(dst)
+        # powerset determinization from {0}
+        start = frozenset([0])
+        det_ids = {start: 0}
+        order = [start]
+        step: dict[tuple[int, int], int] = {}
+        i = 0
+        while i < len(order):
+            cur = order[i]
+            for sym in range(n_ids):
+                dest = set()
+                for s in cur:
+                    dest |= nfa.get((s, sym), set())
+                if dest:
+                    fz = frozenset(dest)
+                    if fz not in det_ids:
+                        det_ids[fz] = len(order)
+                        order.append(fz)
+                    step[(det_ids[cur], sym)] = det_ids[fz]
+            i += 1
+        accepts = {
+            det_ids[s] for s in order if s & self._accept
+        }
+        # removeDeadStates analog: drop states that cannot reach accept
+        rev: dict[int, set[int]] = {}
+        for (src, _sym), dst in step.items():
+            rev.setdefault(dst, set()).add(src)
+        live = set(accepts)
+        frontier = list(accepts)
+        while frontier:
+            s = frontier.pop()
+            for p in rev.get(s, ()):
+                if p not in live:
+                    live.add(p)
+                    frontier.append(p)
+        step = {
+            k: v for k, v in step.items() if v in live and k[0] in live
+        }
+        self._det = (step, frozenset(accepts))
+        return self
+
+    @property
+    def det(self) -> tuple:
+        if self._det is None:
+            raise ValueError("call finish() before executing the query")
+        return self._det
+
+    def terms(self) -> list[str]:
+        return [t for t in self._id_terms if t is not None]
+
+
 @dataclass(frozen=True)
 class BoostingQuery(Query):
     """queries/BoostingQuery.java: score by `match`; demote (or

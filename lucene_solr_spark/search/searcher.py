@@ -2630,6 +2630,168 @@ class IndexSearcher:
             query, k, score_fn, "search_sweetspot"
         )
 
+    def search_term_automaton(
+        self, query, k: int | None = 10
+    ) -> DataFrame:
+        """TermAutomatonQuery execution (lucene/sandbox/.../search/
+        TermAutomatonScorer.java): disjunction over the automaton's
+        terms, then per candidate doc a merged ascending position walk
+        drives the determinized automaton — each query-term token at
+        position p steps every state in positions[p] into
+        positions[p+1] (freq++ on each step that lands in an accept
+        state, :294-314), plus a fresh step from state 0; gap
+        positions between consecutive events advance states along ANY
+        arcs (:255-280 incl. the petered-out early exit). freq feeds
+        BM25 with idf = f32 sum over the automaton's terms
+        (TermAutomatonWeight:345-355 computeWeight over all
+        TermStatistics; summed here in term-first-use order — the
+        reference's HashMap iteration order is undefined, documented
+        deviation), norm from the doc's stored byte.
+
+        Faithful quirk, pinned in tests: because finish() expands ANY
+        arcs over the whole alphabet, a query-term token in a gap slot
+        is stepped TWICE into the next position (once as itself at its
+        own event, once by the ANY advance at the next event), so such
+        paths add 2 to freq — exactly the reference's behavior.
+
+        Scale shape: same plan as the BM25 search path — pushed-down
+        term IN seek, one shard-keyed exchange per cogroup side,
+        per-shard kernel + TakeOrderedAndProject."""
+        from lucene_solr_spark.index.codec import decode_position_lists
+
+        step, accepts = query.det
+        terms = list(query._id_terms)
+        real = [t for t in terms if t is not None]
+        if not real:
+            return self._empty()
+        if any(FIELD_SEP in t for t in real) or query.field:
+            raise ValueError(
+                "search_term_automaton supports the default field only"
+            )
+        dfs = self.term_dfs(sorted(set(real)))
+        if all(dfs.get(t, 0) == 0 for t in real):
+            return self._empty()
+        idf_sum = np.float32(0.0)
+        for t in real:
+            idf_sum = np.float32(
+                idf_sum + bm25.idf(dfs.get(t, 0), self.max_doc)
+            )
+        tid_of = {t: i for i, t in enumerate(terms) if t is not None}
+        matched, norms_side = self._cogroup_inputs(
+            self._matched(real).drop("pay_enc")
+        )
+        offsets = dict(self._doc_offsets)
+        default_field = self._default_field
+        codec = self._codec
+        caches = dict(self._caches)
+        accept_set = set(accepts)
+        step_map = dict(step)
+
+        def score_group(left: pd.DataFrame, nr: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float32")}
+            )
+            if len(left) == 0 or len(nr) == 0:
+                return empty
+            base, norms_map, lt, _d, _ = _decode_shard(
+                left, nr, default_field, codec
+            )
+            off = offsets.get(int(left["shard"].iloc[0]), 0)
+            del_local = _local_deleted(nr, off)
+            doc_parts, pos_parts, tid_parts = [], [], []
+            for t in sorted(set(real)):
+                if t not in lt:
+                    continue
+                ps = lt.pos_stream(t)
+                if ps is None:
+                    raise ValueError(
+                        "term-automaton queries need index_positions=True"
+                    )
+                d, tf = lt.full(t)
+                pos_abs = decode_position_lists(ps, tf)
+                doc_parts.append(np.repeat(d, tf))
+                pos_parts.append(pos_abs)
+                tid_parts.append(
+                    np.full(int(tf.sum()), tid_of[t], np.int64)
+                )
+            if not doc_parts:
+                return empty
+            ev_doc = np.concatenate(doc_parts)
+            ev_pos = np.concatenate(pos_parts)
+            ev_tid = np.concatenate(tid_parts)
+            order = np.lexsort((ev_tid, ev_pos, ev_doc))
+            ev_doc, ev_pos, ev_tid = (
+                ev_doc[order], ev_pos[order], ev_tid[order]
+            )
+            any_id = query.any_id
+            udocs, starts = np.unique(ev_doc, return_index=True)
+            bounds = np.append(starts, len(ev_doc))
+            out_docs, out_freqs = [], []
+            for di in range(len(udocs)):
+                lo, hi = bounds[di], bounds[di + 1]
+                freq = 0
+                positions: dict[int, list[int]] = {}
+                last_pos = -1
+                for ei in range(lo, hi):
+                    pos = int(ev_pos[ei])
+                    tid = int(ev_tid[ei])
+                    if last_pos != -1 and any_id is not None:
+                        start_last = last_pos
+                        while last_pos < pos:
+                            ps_states = positions.get(last_pos, ())
+                            if not ps_states and last_pos > start_last:
+                                last_pos = pos
+                                break
+                            nxt = positions.setdefault(last_pos + 1, [])
+                            for st in ps_states:
+                                ns = step_map.get((st, any_id))
+                                if ns is not None:
+                                    nxt.append(ns)
+                            last_pos += 1
+                    nxt = positions.setdefault(pos + 1, [])
+                    for st in positions.get(pos, ()):
+                        ns = step_map.get((st, tid))
+                        if ns is not None:
+                            nxt.append(ns)
+                            if ns in accept_set:
+                                freq += 1
+                    ns = step_map.get((0, tid))
+                    if ns is not None:
+                        nxt.append(ns)
+                        if ns in accept_set:
+                            freq += 1
+                    last_pos = pos
+                if freq > 0:
+                    out_docs.append(udocs[di])
+                    out_freqs.append(freq)
+            if not out_docs:
+                return empty
+            docs = np.asarray(out_docs, np.int64)
+            freqs = np.asarray(out_freqs, np.int64)
+            if del_local is not None and len(del_local):
+                m = ~np.isin(docs, del_local)
+                docs, freqs = docs[m], freqs[m]
+            if len(docs) == 0:
+                return empty
+            nrm, cch = _nc(real[0], norms_map, caches)
+            scores = bm25.score_term(
+                freqs, nrm[docs - base], idf_sum, cch
+            ).astype(np.float32)
+            docs, scores = _topk_arrays(docs, scores, k)
+            out = pd.DataFrame({"doc_id": docs, "score": scores})
+            if off:
+                out["doc_id"] = out["doc_id"] + off
+            return out
+
+        per_shard = (
+            matched.groupBy("shard")
+            .cogroup(norms_side.groupBy("shard"))
+            .applyInPandas(score_group, "doc_id long, score float")
+        )
+        ordered = per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        return ordered if k is None else ordered.limit(k)
+
     def _search_tfidf_family(
         self, query: Query, k: int | None, score_fn, name: str
     ) -> DataFrame:
