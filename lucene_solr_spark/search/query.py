@@ -602,6 +602,50 @@ class TermAutomatonQuery(Query):
         return [t for t in self._id_terms if t is not None]
 
 
+def token_stream_to_term_automaton(
+    tokens,
+    field: str | None = None,
+    preserve_position_increments: bool = True,
+) -> TermAutomatonQuery:
+    """TokenStreamToTermAutomatonQuery analog (lucene/sandbox/.../
+    TokenStreamToTermAutomatonQuery.java:57-114): map a token GRAPH —
+    `tokens` = iterable of (term, pos_inc, pos_length) — onto an
+    automaton where state == position, each token adds an arc
+    pos -> pos + pos_length, the literal term '*' adds an ANY arc,
+    and the last created state is the sole accept. Holes (pos_inc >
+    1) raise like the reference ("cannot handle holes; to accept any
+    term, use '*' term") unless preserve_position_increments=False,
+    which squashes them to 1. This is the query-time synonym-graph
+    path: a multi-word synonym emits one token with pos_length > 1
+    and matches in parallel with the words it spans."""
+    q = TermAutomatonQuery(field)
+    pos = -1
+    state = 0
+    first = True
+    for term, pos_inc, pos_length in tokens:
+        if not preserve_position_increments and pos_inc > 1:
+            pos_inc = 1
+        if first and pos_inc <= 0:
+            raise ValueError("first token must have pos_inc > 0")
+        first = False
+        if pos_inc > 1:
+            raise ValueError(
+                "cannot handle holes; to accept any term, use '*' term"
+            )
+        if pos_inc > 0:
+            pos += pos_inc
+        end_pos = pos + pos_length
+        while state < end_pos:
+            state = q.create_state()
+        if term == "*":
+            q.add_any_transition(pos, end_pos)
+        else:
+            q.add_transition(pos, end_pos, term)
+    q.set_accept(state, True)
+    q.finish()
+    return q
+
+
 @dataclass(frozen=True)
 class BoostingQuery(Query):
     """queries/BoostingQuery.java: score by `match`; demote (or

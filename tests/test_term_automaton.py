@@ -190,3 +190,65 @@ def test_absent_terms_empty(ta_index):
     q.set_accept(s1)
     q.finish()
     assert ta_index.search_term_automaton(q, k=5).collect() == []
+
+
+def test_token_stream_to_automaton_synonym_sausage(ta_index):
+    from lucene_solr_spark.search.query import (
+        MultiPhraseQuery,
+        token_stream_to_term_automaton,
+    )
+
+    # (merge|big) table — a query-time synonym at position 0
+    q = token_stream_to_term_automaton(
+        [("merge", 1, 1), ("big", 0, 1), ("table", 1, 1)]
+    )
+    got = {
+        r.doc_id: np.float32(r.score)
+        for r in ta_index.search_term_automaton(q, k=10).collect()
+    }
+    exp = {
+        r.doc_id: np.float32(r.score)
+        for r in ta_index.search(
+            MultiPhraseQuery((("merge", "big"), ("table",))), k=10
+        ).collect()
+    }
+    assert got == exp and got
+
+
+def test_token_stream_star_and_holes():
+    from lucene_solr_spark.search.query import (
+        token_stream_to_term_automaton,
+    )
+
+    q = token_stream_to_term_automaton(
+        [("table", 1, 1), ("*", 1, 1), ("scan", 1, 1)]
+    )
+    assert q.any_id is not None
+    with pytest.raises(ValueError, match="holes"):
+        token_stream_to_term_automaton(
+            [("table", 1, 1), ("scan", 2, 1)]
+        )
+    # squashed holes accepted
+    q2 = token_stream_to_term_automaton(
+        [("table", 1, 1), ("scan", 2, 1)],
+        preserve_position_increments=False,
+    )
+    assert q2.terms() == ["table", "scan"]
+
+
+def test_multiword_synonym_pos_length(ta_index):
+    from lucene_solr_spark.search.query import (
+        token_stream_to_term_automaton,
+    )
+
+    # "fast" as a 2-position synonym alternative to "big scan":
+    # path A: big(1) scan(1); path B: fast spanning both positions.
+    # doc 2 has "table big scan" (path A); doc 0 has "table scan fast"
+    # -> table@0 then fast@2? no: needs fast right after table.
+    q = token_stream_to_term_automaton(
+        [("table", 1, 1), ("fast", 1, 2), ("big", 0, 1), ("scan", 1, 1)]
+    )
+    got = {r.doc_id for r in
+           ta_index.search_term_automaton(q, k=10).collect()}
+    # doc 2: table@0 big@1 scan@2 matches path A
+    assert 2 in got
