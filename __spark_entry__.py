@@ -4319,6 +4319,43 @@ def _q_atomic_update(spark, sf):
     )
 
 
+def _q_doc_expiration(spark, sf):
+    """DocExpirationUpdateProcessor analog (index/expiration.py):
+    every third key carries an already-elapsed TTL; after the
+    delete-expired sweep only the other keys answer realtime get."""
+    import tempfile
+    from datetime import datetime
+
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.index.expiration import (
+        compute_expiration,
+        delete_expired,
+    )
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    now = datetime(2026, 8, 21, 12, 0, 0)
+    ix = tempfile.mkdtemp(prefix="lss_ttl_") + "/ix"
+    docs = _docs(spark, sf).where(F.col("doc_id") < 300)
+    stored = compute_expiration(
+        docs.withColumn(
+            "_ttl_",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("-1DAY"))
+            .otherwise(F.lit("+1DAY")),
+        ),
+        now,
+    )
+    build_index(
+        spark, stored.select("doc_id", "text"), ix,
+        IndexConfig(n_shards=4, segs_per_shard=2),
+    )
+    delete_expired(spark, ix, stored, now)
+    s = IndexSearcher.open(spark, ix)
+    return s.get_by_keys(list(range(30))).select(
+        F.col("key").cast("long").alias("key"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+    )
+
+
 def _q_match_all_count(spark, sf):
     """MatchAllDocsQuery + TotalHitCountCollector."""
     s = _searcher_for(spark, sf)
@@ -5485,6 +5522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweetspot_or_topk": _q_sweetspot,
         "term_automaton_gap_topk": _q_term_automaton,
         "atomic_update_rows": _q_atomic_update,
+        "doc_expiration_rows": _q_doc_expiration,
         "payload_max_topk": _q_payload_max,
         "span_paycheck_topk": _q_span_paycheck,
         "payload_near_avg_topk": _q_payload_near,
@@ -6402,6 +6440,12 @@ FROM documents GROUP BY lang ORDER BY lang""",
             "AS DOUBLE) + 1.0)), 6) "
             "AS rscore FROM events "
             f"ORDER BY rscore DESC, event_id LIMIT {K}"
+        ),
+        "doc_expiration_rows": (
+            f"WITH {_BM25_CTES} "
+            "SELECT d.doc_id AS key, dl.doc_len::BIGINT AS doc_len "
+            "FROM documents d JOIN dl USING (doc_id) "
+            "WHERE d.doc_id < 30 AND d.doc_id % 3 <> 0 ORDER BY key"
         ),
         "atomic_update_rows": (
             f"WITH {_BM25_CTES} "
