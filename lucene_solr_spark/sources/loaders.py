@@ -1,0 +1,208 @@
+"""Update-request document loaders — the Solr content-ingestion
+formats re-expressed as Spark readers (solr/core/.../handler/loader/
+CSVLoaderBase.java, JsonLoader.java, XMLLoader.java).
+
+The reference streams one HTTP request body through a per-format
+parser into SolrInputDocuments. At 100 TB the equivalent seam is a
+distributed file read: every loader here returns a plain DataFrame
+(one row per document) that feeds build_index / update_documents /
+atomic_update unchanged, and all parsing stays inside Spark's native
+readers (CSV/JSON data sources — predicate pushdown, schema
+inference, parallel splits) — no per-row Python.
+
+Format parity implemented:
+- CSV: separator / encapsulator / header / explicit fieldnames / trim
+  (CSVLoaderBase.java:43-52,104-110 param semantics, including the
+  reference's single-char validation errors) and per-field `split`
+  (a multi-valued cell like `a|b|c` becomes an array column — the
+  CSVLoaderBase FieldAdders' split path).
+- JSON: document arrays / JSONL via the native reader; the command
+  envelope ({"add": {"doc": ...}}, "delete": id | [ids] | {"id":} |
+  {"query":}, JsonLoader.java:134-145,271-274) parsed into
+  (adds DataFrame, delete keys, delete queries). Command bodies are
+  request-sized (not corpus-sized) — they are parsed driver-side and
+  the resulting adds become a distributed DataFrame.
+- XML: the classic <add><doc><field name=...> body (XMLLoader.java)
+  for request-sized payloads, same envelope contract as JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv_docs(
+    spark: SparkSession,
+    path: str,
+    separator: str = ",",
+    encapsulator: str = '"',
+    header: bool = True,
+    fieldnames: list[str] | None = None,
+    trim: bool = False,
+    split: dict[str, str] | None = None,
+) -> DataFrame:
+    """CSV update stream -> docs DataFrame (CSVLoaderBase params)."""
+    if len(separator) != 1:
+        raise ValueError(f"Invalid separator:'{separator}'")
+    if len(encapsulator) != 1:
+        raise ValueError(f"Invalid encapsulator:'{encapsulator}'")
+    reader = (
+        spark.read.option("sep", separator)
+        .option("quote", encapsulator)
+        .option("header", str(header and fieldnames is None).lower())
+    )
+    df = reader.csv(path)
+    if fieldnames is not None:
+        if len(fieldnames) != len(df.columns):
+            raise ValueError(
+                f"CSV file has {len(df.columns)} columns, "
+                f"fieldnames names {len(fieldnames)}"
+            )
+        df = df.toDF(*fieldnames)
+        if header:
+            # explicit fieldnames + header=true: first line is data
+            # in Spark's reader already (header consumed only when
+            # names come from the file) — nothing to drop
+            pass
+    if trim:
+        for c in df.columns:
+            df = df.withColumn(c, F.trim(F.col(c)))
+    for col, sep in (split or {}).items():
+        df = df.withColumn(col, F.split(F.col(col), re.escape(sep)))
+    return df
+
+
+def read_json_docs(
+    spark: SparkSession, path: str, multiline: bool = False
+) -> DataFrame:
+    """JSONL (default) or whole-file JSON arrays (multiline=True) of
+    plain document objects — the JsonLoader array form, distributed
+    through Spark's native JSON source."""
+    return spark.read.option("multiLine", str(multiline).lower()).json(
+        path
+    )
+
+
+def parse_json_commands(
+    spark: SparkSession, body: str
+) -> dict:
+    """JsonLoader command envelope -> {"adds": DataFrame | None,
+    "delete_ids": list, "delete_queries": list}.
+
+    Accepts every reference shape (JsonLoader.java:134-145, 271-274):
+    {"add": {"doc": {...}}, "add": ..., "delete": "id",
+     "delete": ["id1","id2"], "delete": {"id": "x"},
+     "delete": {"query": "..."}, "commit": {}} — duplicate keys
+    stream in order like the reference's event parser (parsed here
+    with a pairs hook, not a dict, so repeats survive), plus the
+    top-level [doc, doc, ...] array form."""
+    adds: list[dict] = []
+    delete_ids: list = []
+    delete_queries: list[str] = []
+
+    def handle_delete(val):
+        if isinstance(val, (str, int)):
+            delete_ids.append(val)
+        elif isinstance(val, list):
+            delete_ids.extend(val)
+        elif isinstance(val, dict):
+            if "id" in val:
+                delete_ids.append(val["id"])
+            elif "query" in val:
+                delete_queries.append(val["query"])
+            else:
+                raise ValueError(
+                    "delete must carry 'id' or 'query'"
+                )
+        else:
+            raise ValueError(f"bad delete value: {val!r}")
+
+    parsed = json.loads(
+        body, object_pairs_hook=lambda pairs: ("__pairs__", pairs)
+    )
+
+    def unwrap(node):
+        if isinstance(node, tuple) and node[0] == "__pairs__":
+            return {k: unwrap(v) for k, v in node[1]}
+        if isinstance(node, list):
+            return [unwrap(v) for v in node]
+        return node
+
+    if isinstance(parsed, list):
+        adds = [unwrap(d) for d in parsed]
+    elif isinstance(parsed, tuple):
+        for key, val in parsed[1]:
+            if key == "add":
+                v = unwrap(val)
+                adds.append(v["doc"] if "doc" in v else v)
+            elif key == "delete":
+                handle_delete(unwrap(val))
+            elif key in ("commit", "optimize", "rollback"):
+                continue
+            else:
+                raise ValueError(f"Unknown command: {key}")
+    else:
+        raise ValueError("body must be a JSON object or array")
+
+    adds_df = None
+    if adds:
+        adds_df = spark.read.json(
+            spark.sparkContext.parallelize(
+                [json.dumps(d) for d in adds]
+            )
+        )
+    return {
+        "adds": adds_df,
+        "delete_ids": delete_ids,
+        "delete_queries": delete_queries,
+    }
+
+
+_XML_DOC = re.compile(r"<doc[^>]*>(.*?)</doc>", re.S)
+_XML_FIELD = re.compile(
+    r'<field\s+name="([^"]+)"[^>]*>(.*?)</field>', re.S
+)
+_XML_DELETE_ID = re.compile(r"<id>(.*?)</id>", re.S)
+_XML_DELETE_Q = re.compile(r"<query>(.*?)</query>", re.S)
+
+
+def parse_xml_commands(spark: SparkSession, body: str) -> dict:
+    """XMLLoader envelope for request-sized payloads: <add><doc>
+    <field name="f">v</field>...</doc></add> plus <delete><id>/
+    <query>. Repeated field names in one doc become a list (the
+    multiValued path). Same return contract as parse_json_commands."""
+    adds = []
+    for m in _XML_DOC.finditer(body):
+        doc: dict = {}
+        for fm in _XML_FIELD.finditer(m.group(1)):
+            name, val = fm.group(1), fm.group(2)
+            if name in doc:
+                prev = doc[name]
+                doc[name] = (
+                    prev + [val] if isinstance(prev, list)
+                    else [prev, val]
+                )
+            else:
+                doc[name] = val
+        adds.append(doc)
+    delete_ids = []
+    delete_queries = []
+    for dm in re.finditer(r"<delete>(.*?)</delete>", body, re.S):
+        delete_ids.extend(_XML_DELETE_ID.findall(dm.group(1)))
+        delete_queries.extend(_XML_DELETE_Q.findall(dm.group(1)))
+    adds_df = None
+    if adds:
+        adds_df = spark.read.json(
+            spark.sparkContext.parallelize(
+                [json.dumps(d) for d in adds]
+            )
+        )
+    return {
+        "adds": adds_df,
+        "delete_ids": delete_ids,
+        "delete_queries": delete_queries,
+    }
