@@ -290,3 +290,76 @@ def _publish_view(spark: SparkSession, s, dest: str, origin: str) -> dict:
     manifest["published_from"] = origin
     io.write_manifest(manifest)
     return manifest
+
+
+def backup_index(index_dir: str, backup_dir: str) -> str:
+    """Snapshot backup — the ReplicationHandler `command=backup`
+    analog (solr/core/.../handler/ReplicationHandler.java SnapShooter:
+    copy the CURRENT committed file set aside without folding).
+
+    Unlike publish_index, the generation structure is preserved
+    verbatim (base tables + every `delta/batch_*` generation +
+    tombstones) — a restored copy resumes NRT appends exactly where
+    the source stood. Delta generations are recorded with
+    index-relative paths (streaming/nrt.py:84), so a tree copy is
+    self-contained. Crash safety: the tree is copied to a hidden
+    sibling and atomically renamed into place — a reader (or a crash)
+    never observes a torn backup, the same contract as the
+    manifest-written-last table writes. Directory-backed indexes only
+    (an Iceberg-backed index backs up via catalog snapshot tags).
+    Returns the backup path."""
+    import shutil
+
+    if str(index_dir).startswith("iceberg://") or str(
+        backup_dir
+    ).startswith("iceberg://"):
+        raise ValueError(
+            "backup_index copies directory trees; Iceberg-backed "
+            "indexes snapshot via catalog tags"
+        )
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        raise ValueError(f"not an index directory: {index_dir}")
+    backup_dir = str(backup_dir)
+    if os.path.exists(backup_dir):
+        raise ValueError(f"backup destination exists: {backup_dir}")
+    parent = os.path.dirname(os.path.abspath(backup_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(
+        parent, f".{os.path.basename(backup_dir)}.inprogress"
+    )
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    shutil.copytree(index_dir, tmp)
+    os.rename(tmp, backup_dir)
+    return backup_dir
+
+
+def restore_index(backup_dir: str, dest: str, overwrite: bool = False) -> str:
+    """Restore a backup_index snapshot — `command=restore`
+    (ReplicationHandler RestoreCore: swap the backed-up file set in
+    as the live index). Same atomic-rename contract; with
+    overwrite=True an existing index at `dest` is replaced only after
+    the new tree is fully in place beside it."""
+    import shutil
+
+    if not os.path.exists(os.path.join(backup_dir, "manifest.json")):
+        raise ValueError(f"not a backup directory: {backup_dir}")
+    dest = str(dest)
+    if os.path.exists(dest) and not overwrite:
+        raise ValueError(f"restore destination exists: {dest}")
+    parent = os.path.dirname(os.path.abspath(dest)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".{os.path.basename(dest)}.inprogress")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    shutil.copytree(backup_dir, tmp)
+    if os.path.exists(dest):
+        old = os.path.join(parent, f".{os.path.basename(dest)}.old")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(dest, old)
+        os.rename(tmp, dest)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, dest)
+    return dest

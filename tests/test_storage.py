@@ -159,3 +159,51 @@ def test_publish_refuses_source_dir(spark, small_index):
 
     with pytest.raises(ValueError, match="destination equals"):
         publish_index(spark, small_index, small_index)
+
+
+def test_backup_restore_roundtrip(spark, tmp_path):
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.index.deletes import delete_by_keys
+    from lucene_solr_spark.index.storage import backup_index, restore_index
+    from lucene_solr_spark.search.query import TermQuery
+    from lucene_solr_spark.search.searcher import IndexSearcher
+    from lucene_solr_spark.streaming.nrt import append_batch
+
+    ix = str(tmp_path / "bk_src")
+    docs = spark.createDataFrame(
+        [(1, "table scan"), (2, "table merge"), (3, "sort merge")],
+        "doc_id long, text string",
+    )
+    build_index(spark, docs, ix, IndexConfig(n_shards=2, segs_per_shard=1))
+    append_batch(
+        spark,
+        spark.createDataFrame([(4, "table sort")], "doc_id long, text string"),
+        ix, batch_id=0,
+    )
+    delete_by_keys(spark, ix, [2])
+
+    bdir = str(tmp_path / "bk_snap")
+    backup_index(ix, bdir)
+    # backup is point-in-time: later deletes don't leak into it
+    delete_by_keys(spark, ix, [1])
+
+    rdir = str(tmp_path / "bk_restored")
+    restore_index(bdir, rdir)
+    s = IndexSearcher.open(spark, rdir)
+    keys = {r.key for r in
+            s.search_with_keys(TermQuery("table"), k=10).collect()}
+    assert keys == {1, 4}  # delta visible, key 2 deleted, key 1 ALIVE
+
+    # restore over an existing index requires overwrite=True
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="destination exists"):
+        restore_index(bdir, rdir)
+    restore_index(bdir, rdir, overwrite=True)
+    s2 = IndexSearcher.open(spark, rdir)
+    assert {r.key for r in
+            s2.search_with_keys(TermQuery("table"), k=10).collect()} == {1, 4}
+
+    with _pytest.raises(ValueError, match="backup destination exists"):
+        backup_index(ix, bdir)
+    with _pytest.raises(ValueError, match="not a backup"):
+        restore_index(str(tmp_path), str(tmp_path / "x"))
