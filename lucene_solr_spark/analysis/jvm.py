@@ -423,3 +423,16 @@ JVM_ANALYZERS_POS = {
     "english_minimal": english_tokens_pos_col,
     "delimited_payload": delimited_payload_tokens_pos_col,
 }
+
+# discountOverlaps (BM25Similarity.java:141, default true): per-chain
+# expression for the NORM length — emitted tokens minus same-position
+# overlaps. Chains absent here emit no overlaps (norm length == token
+# count, no extra column shipped). Shingle: the unigram count (each
+# bigram rides its first token's position with posIncr 0); edge-gram:
+# the kept source-token count (grams after the first share the source
+# position). Synonym injection composes in the builder (pre-expansion
+# size), not here.
+JVM_NORM_LEN = {
+    "shingle": lambda text: F.size(_shingle_base(text)),
+    "edge_ngram": lambda text: F.size(standard_tokens_pos_col(text)),
+}

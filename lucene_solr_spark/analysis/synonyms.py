@@ -9,10 +9,14 @@ Semantics mirrored from the reference (analysis/common/.../synonym/):
 - Injected tokens take position increment 0 — they sit AT THE SAME
   position as the original (SynonymFilter.java:55-70 header contract),
   so phrase/sloppy matching sees them as alternatives at that slot.
-- Injected tokens COUNT toward the field length / norm
-  (DefaultIndexingChain.java:637 ``invertState.length++`` runs per
-  token regardless of its position increment), so an expanded document
-  gets a proportionally smaller norm.
+- Injected tokens count toward sumTotalTermFreq/avgdl (their postings
+  exist; DefaultIndexingChain.java:637 ``invertState.length++`` runs
+  per token) but NOT toward the norm byte: posIncrement 0 marks them
+  overlaps (DefaultIndexingChain.java:624 ``numOverlap++``) and the
+  default similarity discounts overlaps from the encoded length
+  (BM25Similarity.java:141 ``numTerms = length - numOverlap``,
+  discountOverlaps = true) — so expansion does NOT shrink a
+  document's norm.
 - One pass, no transitivity: rule outputs are not re-matched against
   the map (SynonymFilter parses the INPUT stream only). Multi-token
   inputs/outputs (the FST graph part) are out of scope.

@@ -118,7 +118,20 @@ def make_arrow_segment_builder(
         toks = tbl.column("toks").combine_chunks()
         offsets = toks.offsets.to_numpy()
         doc_lens = np.diff(offsets).astype(np.int64)
-        norms = encode_norm(doc_lens)
+        # discountOverlaps (BM25Similarity.java:141 — default true):
+        # chains that emit same-position tokens (synonyms, shingles,
+        # edge grams) ship an `nlen` column = tokens minus overlaps;
+        # the norm byte encodes THAT length, while doc_lens (all
+        # emitted tokens) keeps feeding sum_dl / avgdl
+        # (sumTotalTermFreq counts every posting).
+        if "nlen" in tbl.schema.names:
+            norm_lens = (
+                tbl.column("nlen").combine_chunks().to_numpy()
+                .astype(np.int64)
+            )
+        else:
+            norm_lens = doc_lens
+        norms = encode_norm(norm_lens)
         total = int(doc_lens.sum())
 
         pos_encs = None

@@ -122,8 +122,9 @@ class IndexConfig:
     # index-time synonym map {term: (syn, ...)} applied to the DEFAULT
     # field after the analyzer chain (SynonymFilter analog with
     # includeOrig=true — see analysis/synonyms.py for the mirrored
-    # semantics: injected tokens share the position and count toward
-    # the norm). Incompatible with the stemming analyzers.
+    # semantics: injected tokens share the position, count toward
+    # sum_dl/avgdl but are discounted from the norm byte like every
+    # posIncr-0 overlap). Incompatible with the stemming analyzers.
     synonyms: dict | None = None
 
 
@@ -211,8 +212,12 @@ def _make_segment_builder(
         """-> (doc_lens, norms, parts|None) where parts =
         (uniques, dfs, cfs, enc, pos_encs). `expand` = synonym map for
         this field (analysis/synonyms.py — injected tokens share the
-        position and count toward doc_len/norm)."""
+        position; they count toward doc_len/sum_dl but NOT toward the
+        norm byte: discountOverlaps, BM25Similarity.java:141)."""
+        from lucene_solr_spark.analysis.analyzers import NORM_LEN_FNS
+
         n_docs = len(series)
+        pre_lens = None
         if with_pos:
             tp_lists = tokenize_pos(series)
             if expand:
@@ -220,6 +225,7 @@ def _make_segment_builder(
                     expand_token_pos_lists,
                 )
 
+                pre_lens = tp_lists.str.len().to_numpy(np.int64)
                 tp_lists = expand_token_pos_lists(tp_lists, expand)
             doc_lens = tp_lists.str.len().to_numpy(np.int64)
         else:
@@ -229,9 +235,18 @@ def _make_segment_builder(
                     expand_token_lists,
                 )
 
+                pre_lens = token_lists.str.len().to_numpy(np.int64)
                 token_lists = expand_token_lists(token_lists, expand)
             doc_lens = token_lists.str.len().to_numpy(np.int64)
-        norms = encode_norm(doc_lens)
+        if analyzer_name in NORM_LEN_FNS:
+            norm_lens = (
+                NORM_LEN_FNS[analyzer_name](series).to_numpy(np.int64)
+            )
+        elif pre_lens is not None:
+            norm_lens = pre_lens
+        else:
+            norm_lens = doc_lens
+        norms = encode_norm(norm_lens)
         total = int(doc_lens.sum())
         if not total:
             return doc_lens, norms, None
@@ -614,18 +629,34 @@ def build_index(
         from lucene_solr_spark.analysis.analyzers import DICT_STEMMERS
 
         toks_expr = tok_col(F.col("text"))
+        # discountOverlaps (BM25Similarity.java:141): overlap-emitting
+        # chains / synonym expansion ship a norm-length column =
+        # tokens minus same-position overlaps (for synonyms that is
+        # the pre-expansion size — includeOrig keeps every original)
+        from lucene_solr_spark.analysis.jvm import JVM_NORM_LEN
+
+        nlen_expr = None
+        if cfg.analyzer in JVM_NORM_LEN:
+            nlen_expr = JVM_NORM_LEN[cfg.analyzer](F.col("text"))
         if cfg.synonyms:
             from lucene_solr_spark.analysis.synonyms import (
                 expand_tokens_col,
                 expand_tokens_pos_col,
             )
 
+            if nlen_expr is None:
+                nlen_expr = F.size(toks_expr)
             toks_expr = (
                 expand_tokens_pos_col(toks_expr, cfg.synonyms)
                 if cfg.index_positions
                 else expand_tokens_col(toks_expr, cfg.synonyms)
             )
-        todo_tok = todo.withColumn("toks", toks_expr).drop("text")
+        todo_tok = todo.withColumn("toks", toks_expr)
+        if nlen_expr is not None:
+            todo_tok = todo_tok.withColumn(
+                "nlen", nlen_expr.cast("long")
+            )
+        todo_tok = todo_tok.drop("text")
         seg_rows = todo_tok.groupBy("g").applyInArrow(
             make_arrow_segment_builder(
                 key_kind, cfg.index_positions, field_name=cfg.text_col,

@@ -3093,6 +3093,48 @@ class IndexSearcher:
         score."""
         from lucene_solr_spark.functions import tfidf
 
+        return self._explain_tfidf_family(
+            query, doc_id, tfidf.score_term, tfidf.DECODE, "classic",
+            "classic TF-IDF: sqrt(tf) * weightValue * decodeNorm "
+            "per term, f64 sum, coord = overlap/maxOverlap on "
+            "disjunctions (ClassicSimilarity)",
+        )
+
+    def explain_sweetspot(
+        self,
+        query: Query,
+        doc_id: int,
+        ln_min: int = 1,
+        ln_max: int = 1,
+        steepness: float = 0.5,
+        tf_base: float = 0.0,
+        tf_min: float = 0.0,
+    ) -> dict:
+        """SweetSpotSimilarity explain — the classic Explanation tree
+        with baselineTf leaves and the plateau-norm decode table;
+        root score recomposes search_sweetspot bitwise (pinned in
+        tests/test_sweetspot.py)."""
+        from lucene_solr_spark.functions import sweetspot
+
+        table = sweetspot.sweet_norm_decode_table(ln_min, ln_max, steepness)
+        tb, tm = float(tf_base), float(tf_min)
+
+        def score_fn(tf_arr, nb, value):
+            return sweetspot.score_term_sweet(tf_arr, nb, value, table, tb, tm)
+
+        return self._explain_tfidf_family(
+            query, doc_id, score_fn, table, "sweetspot",
+            "SweetSpotSimilarity: baselineTf(tf) * weightValue * "
+            "plateau-norm decode per term, f64 sum, coord on "
+            "disjunctions (lucene/misc SweetSpotSimilarity)",
+        )
+
+    def _explain_tfidf_family(
+        self, query: Query, doc_id: int, score_fn, decode_table,
+        sim_name: str, description: str,
+    ) -> dict:
+        from lucene_solr_spark.functions import tfidf
+
         q = rewrite(query)
         spec = self._spec(q)
         kind = spec["kind"]
@@ -3103,13 +3145,15 @@ class IndexSearcher:
         elif kind == "or":
             clause_terms = list(spec["terms"])
         else:
-            raise ValueError("explain_classic supports term/and/or queries")
+            raise ValueError(
+                f"explain_{sim_name} supports term/and/or queries"
+            )
         if any(FIELD_SEP in t for t in clause_terms):
             raise ValueError(
-                "explain_classic supports the default field only"
+                f"explain_{sim_name} supports the default field only"
             )
         no = {"doc_id": int(doc_id), "match": False, "score": 0.0,
-              "similarity": "classic", "terms": []}
+              "similarity": sim_name, "terms": []}
         dmr = self.doc_map().where(F.col("doc_id") == int(doc_id)).collect()
         if not dmr:
             return {**no, "description": "no such doc"}
@@ -3162,9 +3206,9 @@ class IndexSearcher:
                     "idf": float(imap[t]),
                     "weight_value": float(vmap[t]),
                     "norm_byte": int(nb[0]),
-                    "decoded_norm": float(tfidf.DECODE[nb[0]])}
+                    "decoded_norm": float(decode_table[nb[0]])}
             if tf > 0:
-                s = tfidf.score_term(np.array([tf]), nb, vmap[t])
+                s = score_fn(np.array([tf], np.float32), nb, vmap[t])
                 node["leaf_score"] = float(s[0])
                 acc += np.float64(s[0])
                 matched_terms += 1
@@ -3186,15 +3230,11 @@ class IndexSearcher:
             "doc_id": int(doc_id),
             "match": bool(hit),
             "score": float(total) if hit else 0.0,
-            "similarity": "classic",
+            "similarity": sim_name,
             "kind": kind,
             "coord": float(coord),
             "terms": nodes,
-            "description": (
-                "classic TF-IDF: sqrt(tf) * weightValue * decodeNorm "
-                "per term, f64 sum, coord = overlap/maxOverlap on "
-                "disjunctions (ClassicSimilarity)"
-            ),
+            "description": description,
         }
 
     def explain_simbase(

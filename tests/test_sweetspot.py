@@ -188,3 +188,22 @@ def test_tf_floor_changes_short_vs_long_doc_order(ss_index):
     nb0 = encode_norm(np.array([5]))[0]
     assert table[nb5] < table[nb0]
     assert got[5] < got[0]
+
+
+def test_explain_sweetspot_recomposes_bitwise(ss_index):
+    from lucene_solr_spark.search.query import BooleanOr
+
+    q = BooleanOr(("table", "scan"))
+    hits = ss_index.search_sweetspot(
+        q, k=10, ln_min=LN["lo"], ln_max=LN["hi"], steepness=LN["steep"],
+        tf_base=TF["base"], tf_min=TF["tmin"],
+    ).collect()
+    assert hits
+    for r in hits[:3]:
+        ex = ss_index.explain_sweetspot(
+            q, r.doc_id, ln_min=LN["lo"], ln_max=LN["hi"],
+            steepness=LN["steep"], tf_base=TF["base"], tf_min=TF["tmin"],
+        )
+        assert ex["match"] is True
+        assert np.float32(ex["score"]) == np.float32(r.score)
+        assert ex["similarity"] == "sweetspot"

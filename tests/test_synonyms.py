@@ -1,7 +1,8 @@
 """Index-time synonym expansion (SynonymFilter analog with
 includeOrig=true — analysis/synonyms.py). Injected tokens share the
-original's position and count toward doc_len/norm
-(DefaultIndexingChain.java:637)."""
+original's position and count toward doc_len/sum_dl, but are
+DISCOUNTED from the norm byte (posIncr-0 overlaps,
+BM25Similarity.java:141 discountOverlaps=true)."""
 
 import pandas as pd
 import pytest
@@ -157,3 +158,32 @@ def test_synonym_phrase_matches_at_same_position(spark, syn_indexes):
     base = {r["doc_id"] for r in s.search(parse_query('"fast scan"'), k=None).collect()}
     syn = {r["doc_id"] for r in s.search(parse_query('"quick scan"'), k=None).collect()}
     assert syn == base
+
+
+def test_synonym_norm_discounts_overlaps(spark, syn_indexes):
+    """The norm byte encodes the PRE-expansion length (overlaps
+    discounted) even though doc_len / sum_dl count injected tokens."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from lucene_solr_spark.analysis.analyzers import tokenize_standard
+    from lucene_solr_spark.functions.smallfloat import encode_norm
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    texts = {int(r.doc_id): r.text for r in src.collect()}
+    base_lens = {
+        d: len(tokenize_standard(pd.Series([t])).iloc[0])
+        for d, t in texts.items()
+    }
+    for engine in ("arrow", "pandas"):
+        s = IndexSearcher(spark, syn_indexes[engine])
+        got = {
+            int(r.doc_id): int(r.norm)
+            for r in s.doc_map().select("doc_id", "norm").collect()
+        }
+        exp = {
+            d: int(encode_norm(np.array([l]))[0])
+            for d, l in base_lens.items()
+        }
+        assert got == exp, engine
