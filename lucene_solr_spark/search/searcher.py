@@ -4246,6 +4246,7 @@ class IndexSearcher:
         window: int = 2,
         prune: bool = True,
         max_passages: int = 1,
+        phrase_aware: bool = True,
     ) -> DataFrame:
         """Snippet highlighting for the query's top-k docs
         (lucene/highlighter PostingsHighlighter semantics): candidate
@@ -4264,6 +4265,16 @@ class IndexSearcher:
         source table; the index stores postings only — Solr's phase-2
         fetch). Matching = the display token's analyzed form is a
         query term (default field only).
+
+        Phrase awareness (FastVectorHighlighter parity —
+        lucene/highlighter/.../vectorhighlight/FieldPhraseList.java:
+        an exact PhraseQuery only highlights COMPLETE phrase
+        occurrences): when the query is an exact phrase and
+        `phrase_aware` (default), only display tokens inside a full
+        consecutive-position match of the phrase are marked/scored —
+        an isolated occurrence of one phrase term stays unhighlighted.
+        Sloppy phrases, multi-phrases and boolean trees keep the
+        per-term (PostingsHighlighter) behavior.
         Returns (doc_id=key, score, snippet)."""
         from lucene_solr_spark.analysis.analyzers import ANALYZERS
 
@@ -4281,6 +4292,14 @@ class IndexSearcher:
         }
         analyzer = ANALYZERS[cfg["analyzer"]]
         w = int(window)
+        phrase_seq = None
+        if (
+            phrase_aware
+            and spec["kind"] == "phrase"
+            and int(spec.get("slop", 0)) == 0
+            and all(FIELD_SEP not in t for t in spec["terms"])
+        ):
+            phrase_seq = list(spec["terms"])
 
         hits = self.search_with_keys(query, k=k, prune=prune)
         src = docs.select(
@@ -4294,10 +4313,38 @@ class IndexSearcher:
             for text in texts:
                 toks = (text or "").split()
                 ana = analyzer(pd.Series(toks))
-                m_idf = [
-                    idfs.get(a[0], 0.0) if (a is not None and len(a)) else 0.0
-                    for a in ana
-                ]
+                if phrase_seq is not None:
+                    # FieldPhraseList: mark only complete phrase
+                    # matches at consecutive positions (stop holes
+                    # advance the counter, so an intervening stop
+                    # word breaks adjacency — exactly the index's
+                    # position stream)
+                    flat = []  # (pos, display index, term)
+                    p = 0
+                    for i, a in enumerate(ana):
+                        if a is None or len(a) == 0:
+                            p += 1
+                            continue
+                        for t in a:
+                            flat.append((p, i, t))
+                            p += 1
+                    L = len(phrase_seq)
+                    m_idf = [0.0] * len(toks)
+                    for j in range(len(flat) - L + 1):
+                        if all(
+                            flat[j + m][2] == phrase_seq[m]
+                            and flat[j + m][0] == flat[j][0] + m
+                            for m in range(L)
+                        ):
+                            for m in range(L):
+                                _, di, tt = flat[j + m]
+                                m_idf[di] = idfs.get(tt, 0.0)
+                else:
+                    m_idf = [
+                        idfs.get(a[0], 0.0)
+                        if (a is not None and len(a)) else 0.0
+                        for a in ana
+                    ]
                 centers = [i for i, v in enumerate(m_idf) if v > 0.0]
                 if not centers:
                     out.append(" ".join(toks[: 2 * w + 1]))

@@ -145,3 +145,47 @@ def test_fuzzy_expansion(pos_searcher):
     assert "table" in terms
     hits = pos_searcher.search(FuzzyQuery("tabl", max_edits=1), k=5).collect()
     assert len(hits) == 5
+
+
+def test_phrase_aware_highlighting(spark, tmp_path):
+    """FVH parity (FieldPhraseList): an exact phrase highlights only
+    COMPLETE occurrences — isolated phrase terms stay unwrapped, and
+    a stop word between the terms breaks the match."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.query import PhraseQuery
+    from lucene_solr_spark.search.searcher import IndexSearcher
+
+    rows = [
+        (0, "full table scan then a lone table here"),
+        (1, "table the scan never adjacent"),
+        (2, "table scan table scan"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ix = str(tmp_path / "hlix")
+    build_index(
+        spark, docs, ix,
+        IndexConfig(n_shards=2, segs_per_shard=1, index_positions=True),
+    )
+    s = IndexSearcher(spark, ix)
+    q = PhraseQuery(("table", "scan"))
+    out = {
+        r.doc_id: r.snippet
+        for r in s.highlight(q, docs, k=10, window=50,
+                             max_passages=2).collect()
+    }
+    # doc 1 has no phrase match at all -> not a hit
+    assert 1 not in out
+    # doc 0: the adjacent pair wrapped, the lone 'table' NOT wrapped
+    assert "<em>table</em> <em>scan</em>" in out[0]
+    assert "lone <em>table</em>" not in out[0]
+    assert "lone table" in out[0]
+    # doc 2: both occurrences wrapped
+    assert out[2].count("<em>table</em> <em>scan</em>") == 2
+
+    # phrase_aware=False restores per-term marking
+    legacy = {
+        r.doc_id: r.snippet
+        for r in s.highlight(q, docs, k=10, window=50,
+                             phrase_aware=False).collect()
+    }
+    assert "lone <em>table</em>" in legacy[0]
