@@ -5463,10 +5463,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     covers the FIRST 50 entries only, so entries are ranked by
     verification need (round-3 verdict #4). Sixth batch (2026-08-21):
     sweetspot_or_topk, term_automaton_gap_topk, atomic_update_rows,
-    doc_expiration_rows lead the window (each check_entry-green on
-    addition; a full 200-entry sweep the same day was green, and the
-    three overlap-chain entries — synonym/shingle/edge — were
-    re-swept green after the discountOverlaps norm change). The date_facet_monthly +
+    doc_expiration_rows sit inside the window right after the hoisted
+    second-batch 16 (each check_entry-green on addition; a FULL
+    201-entry sweep on the final tree the same day was green,
+    including the three overlap-chain entries — synonym/shingle/edge
+    — re-swept after the discountOverlaps norm change). The date_facet_monthly +
     facet_query_counts entries (2026-08-20) displaced suggest_infix and
     text_repetition_topk past the window; the sql_group_agg +
     sql_select_topk entries (Parallel SQL handler, 2026-08-20) then
