@@ -1017,6 +1017,14 @@ def _q_fuzzy(spark, sf):
     return _hits(spark, sf, FuzzyQuery("tabl", max_edits=1), K)
 
 
+def _q_fuzzy_transposition(spark, sf):
+    """Transpositions-as-one-edit fuzzy (FuzzyQuery.java:59 default):
+    'tabel'~1 matches 'table' (adjacent swap = 1 edit) where classic
+    Levenshtein distance is 2 — the round-4 verdict's #1 silent
+    hit-set deviation, closed."""
+    return _hits(spark, sf, FuzzyQuery("tabel", max_edits=1), K)
+
+
 def _q_wildcard(spark, sf):
     s = _searcher_for(spark, sf)
     return s.search(WildcardQuery("v?lue"), k=K).select(
@@ -1468,9 +1476,19 @@ ORDER BY CAST((SELECT s FROM idfs) * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL))
 LIMIT {k}"""
 
 
-def _fuzzy_sql(q: str, max_edits: int, k: int) -> str:
-    """Scoring-OR over levenshtein-expanded terms (same shape as
-    _or_sql but with a dynamic dictionary predicate)."""
+def _fuzzy_sql(q: str, max_edits: int, k: int,
+               transpositions: bool = True) -> str:
+    """Scoring-OR over distance-expanded terms (same shape as _or_sql
+    but with a dynamic dictionary predicate). With transpositions (the
+    reference default, FuzzyQuery.java:59) the oracle predicate is
+    DuckDB's damerau_levenshtein; the engine computes the restricted
+    variant the reference's automata are pinned to
+    (TestLevenshteinAutomata.java:333). The two differ only when an
+    edit lands inside an already-transposed pair (e.g. 'ca'->'abc'),
+    which cannot occur between the fixture query terms and this
+    corpus's vocabulary (pinned by
+    tests/test_editdist.py::test_restricted_matches_duckdb_on_vocab)."""
+    fn = "damerau_levenshtein" if transpositions else "levenshtein"
     return f"""
 WITH {_BM25_CTES},
 sc AS (
@@ -1479,7 +1497,7 @@ sc AS (
        * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
       * CAST(tf.tf AS REAL) / (CAST(tf.tf AS REAL) + cachet.c) AS s
   FROM tf JOIN dfs USING (term) JOIN cachet USING (doc_id)
-  WHERE levenshtein(tf.term, '{q}') <= {max_edits}
+  WHERE {fn}(tf.term, '{q}') <= {max_edits}
 )
 SELECT doc_id, CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
 FROM sc GROUP BY doc_id
@@ -5460,112 +5478,21 @@ def _wildcard_capped_sql(k: int) -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract. ORDER MATTERS: the driver's CORRECTNESS check
-    covers the FIRST 50 entries only, so entries are ranked by
-    verification need (round-3 verdict #4). Sixth batch (2026-08-21):
-    sweetspot_or_topk, term_automaton_gap_topk, atomic_update_rows,
-    doc_expiration_rows sit inside the window right after the hoisted
-    second-batch 16 (each check_entry-green on addition; a FULL
-    201-entry sweep on the final tree the same day was green,
-    including the three overlap-chain entries — synonym/shingle/edge
-    — re-swept after the discountOverlaps norm change). The date_facet_monthly +
-    facet_query_counts entries (2026-08-20) displaced suggest_infix and
-    text_repetition_topk past the window; the sql_group_agg +
-    sql_select_topk entries (Parallel SQL handler, 2026-08-20) then
-    displaced decontamination_flags and line_dedup_topk; all four
-    re-swept green with check_entry on displacement. The first 50 are
-    EXACTLY
-    the entries with no prior driver-green row: (1) round-4 additions
-    — parser ranges, fielded MTQ, stemming/synonyms, the Spans family
-    incl. containing/within, the SimilarityBase family (LM/DFR/IB,
-    flat + nested tree), batched search_many, explain recomposition,
-    the index lifecycle (deletes / compact / NRT append / update /
-    split / CheckIndex), multi-SortField, infix suggest, repetition +
-    decontamination ops, the UAX29URLEmail analyzer; (2) the entries
-    the r03 driver window skipped (judge-verified only —
-    bm25_phrase/fuzzy/wildcard lead since their execution paths
-    changed in r3). One never-driver-green entry no longer fits the
-    window: numeric_range_count (a trivial pushed-down count, path
-    unchanged since r01, judge-verified green in r03 via
-    tools/check_entry.py); late round-4 additions (early_terminated,
-    published_snapshot, join_score_max, term_vectors, suggest_fuzzy,
-    realtime_get) also pushed match_all_count, group_top1_per_source,
-    stats_component, range_facet_nchars, facet_lang_counts and
-    collection_stats (all driver- or judge-green in r01-r03, paths
-    unchanged) just past it — every displaced entry was re-swept green
-    with check_entry after each addition. The sessionization entries
-    (streaming analytics, never driver-verified) likewise displaced
-    bm25_term_topk and bm25_term_lowdf_topk; url_canonical_dedup,
-    trending_terms_daily, shingle_phrase_term_topk and
-    sorted_index_topk displaced wildcard_constant_topk,
-    prefix_constant_topk, fuzzy_or_topk and bm25_phrase_topk
-    (driver-green r01/r02, judge-green r03; each re-swept green again
-    on displacement). Every entry past the window has a green driver row
-    in r01/r02/r03; those whose paths CHANGED in round 4 (sloppy
-    phrase, highlight, simhash, embedding-LSH, IVF, minhash, clusters)
-    lead that tail for the judge's check_entry re-run, and all entries (120)
-    were swept green with check_entry at sf0.01 (2026-08-18). The four
-    spatial entries (2026-08-19) split by float-parity risk: the
-    trig-based distance/nearest entries take window slots; the pure
-    integer-count box/polygon entries head the tail together with the
-    displaced url_canonical_dedup + trending_terms_daily (both
-    declarative single-pass ops) — all four re-swept green with
-    check_entry on displacement, full 124-entry sweep green. The
-    percolator entry (engine-equivalence + streaming parity pinned in
-    tests/test_percolate.py) then displaced sorted_index_topk (integer
-    output, exhaustively pinned in tests/test_sorting.py) to the tail
-    head; both re-swept green, full 125-entry sweep green. The
-    pii_redaction_stats (string-exact masking parity) and
-    pack_shards_stats (integer-only distributed-prefix-sum packing)
-    entries joined the zero-float-risk tail head directly — no window
-    displacement — each check_entry-green on addition; so did
-    clean_boilerplate_docs (string-exact C4-style boilerplate removal,
-    500/500 rows oracle-exact on addition) and curation_funnel_stages
-    (integer-only 5-row survival funnel, oracle-exact on addition) and
-    curation_doc_decisions (per-doc first-failed-stage verdicts,
-    500/500 oracle-exact on addition) and dataset_split_stats
-    (map-side hash-bucket split accounting, oracle-exact on
-    addition) and the graph entries graph_gather_2hop /
-    graph_bfs_levels (integer/string-only gatherNodes + BFS-level
-    walks, recursive-CTE oracle, check_entry-green on addition) and
-    the mixing entries mixture_weights_by_source /
-    mixture_resample_stats / training_order_head (sqrt-only
-    temperature weights + hash-threshold sampling + hash-order
-    shuffle; all portable-rounded, check_entry-green on addition) and
-    spellcheck_collation (string + integer-count output,
-    check_entry-green on addition) and facet_heatmap_counts
-    (integer grid counts over the pinned derived points,
-    check_entry-green on addition) and block_join_children_topk
-    (parent-avg scores round-6 like the sibling block_join_sum entry,
-    check_entry-green on addition) and suggest_freetext (integer-count
-    ratios in pinned op order, round-6, check_entry-green on
-    addition) and recency_boost_topk (exact whole-second ages, pinned
-    recip order, round-6, check_entry-green on addition) and
-    semdedup_keep (the bitwise-pinned IVF assignment kernel + round-6
-    cosine threshold, check_entry-green on addition) and
-    mlt_interesting_terms / json_facet_lang_stats / bigram_logprob_topk
-    (integer counts + round-6/4 ratio surfaces, each check_entry-green
-    on addition) and scale_function_topk / termfreq_topk (round-6
-    min-max ratio; raw integer tf postings decode — each
-    check_entry-green on addition) and winnow_pairs_topk (integer
-    shared-fingerprint counts, check_entry-green on addition). The
-    fourth continuation batch (stream_expr_rollup / stream_expr_topk /
-    simple_qp_topk / simple_qp_not_topk / xml_query_topk /
-    naive_bayes_scores / ccnet_buckets / analyzing_wildcard_topk —
-    each check_entry-green on addition) leads the window; the nine
-    entries it displaced past slot 50 were all green in the full
-    168-entry sweep of 2026-08-19 and re-swept green after
-    displacement. The six 2026-08-20 entries (payload_max_topk,
-    span_paycheck_topk, payload_near_avg_topk, add_indexes_term_topk,
-    span_posrange_topk, boosting_query_topk — the .pay stream,
-    addIndexes, posrange and boosting paths) lead the window and
-    displaced span_not_topk, span_containing_topk, span_within_topk,
-    lm_dirichlet_topk, lm_jm_topk, dfr_inl2_topk (+ ib_spl_topk; all
-    paths unchanged) to the tail head; every displaced entry re-swept
-    green with check_entry on displacement, and the full 194-entry
-    sweep of 2026-08-20 was green before the last three
-    (span_posrange_topk, boosting_query_topk, terms_filter_topk —
-    each check_entry-green on addition; span_not_topk re-swept green
-    when terms_filter displaced it) were added."""
+    covers the FIRST 50 entries only. Round-5 policy (per the round-4
+    verdict, task #2): the window is an EXPLICIT list — slot 1 is
+    fuzzy_transposition_topk (the round-5 transpositions fix, verdict
+    task #1, whose done-criterion is a green CORRECTNESS_r05 row), and
+    slots 2-50 are the first 49 of the 52 entries that have NEVER been
+    externally verified (never in any CORRECTNESS_r01-r04 window and
+    not among the 29 entries the round-4 judge ran check_entry on —
+    list reproduced from the r01-r04 JSONs + VERDICT.md judge tags).
+    The 3 overflow backlog entries (graph_gather_2hop,
+    graph_bfs_levels, mixture_resample_stats) sit at slots 51-53 so
+    they lead the r06 window. Every entry outside the window was
+    driver-, judge-, or full-sweep-green on the final round-4 tree
+    (201/201, 2026-08-21) and is re-swept with tools/check_entry.py
+    whenever its execution path changes; round-5 additions beyond
+    slot 1 queue BEHIND the verification backlog per the verdict."""
     base = {
         # --- (1) new this round (never driver-verified) ---
         "sweetspot_or_topk": _q_sweetspot,
@@ -5690,6 +5617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (2) the 20 entries r03's driver window skipped ---
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
+        "fuzzy_transposition_topk": _q_fuzzy_transposition,
         "wildcard_constant_topk": _q_wildcard,
         "prefix_constant_topk": _q_prefix_constant,
         "bm25_term_topk": _q_term,
@@ -5777,23 +5705,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_nchars": _q_percentile_nchars,
         "window_events_hourly": _q_window_events_hourly,
     }
-    # hoist the NEWEST additions (second 2026-08-19 continuation batch,
-    # never driver-verified) into the driver's 50-entry window; every
-    # entry they displace was driver- or sweep-green before (the full
-    # 162-entry check_entry sweep of 2026-08-19 plus per-addition
-    # checks after it)
-    newest = [
-        "blended_term_topk", "diversified_topk", "wordbreak_suggest",
-        "wordcombine_suggest", "stream_unique_by_source",
-        "stream_merge_rank_topk", "stream_reduce_by_lang",
-        "facet_params_lang", "strdist_topk", "block_join_facet_langs",
-        "complex_phrase_topk", "surround_topk", "expression_score_topk",
-        "suggest_blended_infix", "facet_path_hierarchy",
-        "ord_function_rows",
+    # Round-5 window: slot 1 = the transpositions fix; slots 2-50 =
+    # the never-externally-verified backlog (see docstring); 51-53 =
+    # the 3 overflow backlog entries, leading the r06 window.
+    window = [
+        "fuzzy_transposition_topk",
+        "clean_dup_spans_docs", "spatial_distance_topk",
+        "spatial_nearest_topk", "percolate_matches", "term_vectors_top5",
+        "suggest_fuzzy", "realtime_get_rows", "url_email_term_topk",
+        "fielded_prefix_topk", "dedup_simhash_docs32",
+        "english_stem_term_topk", "synonym_term_topk",
+        "span_near_ordered_topk", "span_or_topk", "span_first_topk",
+        "span_not_topk", "span_containing_topk", "span_within_topk",
+        "lm_jm_topk", "ib_spl_topk", "lm_tree_topk", "batch_search_rows",
+        "explain_score_row", "compact_roundtrip_scores",
+        "sort_multi_field_topk", "suggest_infix",
+        "significant_terms_top15", "elevation_topk",
+        "interval_facet_nchars", "dedup_keep_decisions",
+        "session_stats_user", "shingle_phrase_term_topk",
+        "spatial_box_count", "spatial_polygon_count",
+        "facet_heatmap_counts", "block_join_children_topk",
+        "suggest_freetext", "recency_boost_topk", "semdedup_keep",
+        "mlt_interesting_terms", "json_facet_lang_stats",
+        "bigram_logprob_topk", "scale_function_topk", "termfreq_topk",
+        "frange_filter_topk", "pii_redaction_stats",
+        "clean_boilerplate_docs", "curation_doc_decisions",
+        "trending_terms_daily",
+        # --- overflow backlog (slots 51-53, r06 window head) ---
+        "graph_gather_2hop", "graph_bfs_levels", "mixture_resample_stats",
     ]
     return {
-        **{k: base[k] for k in newest},
-        **{k: v for k, v in base.items() if k not in newest},
+        **{k: base[k] for k in window},
+        **{k: v for k, v in base.items() if k not in window},
     }
 
 
@@ -6711,6 +6654,7 @@ FROM documents GROUP BY lang ORDER BY lang""",
         ),
         "bm25_phrase_topk": _phrase_sql(*Q_PHRASE, K),
         "fuzzy_or_topk": _fuzzy_sql("tabl", 1, K),
+        "fuzzy_transposition_topk": _fuzzy_sql("tabel", 1, K),
         "wildcard_constant_topk": (
             f"WITH {_BM25_CTES} "
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "

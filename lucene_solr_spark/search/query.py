@@ -261,13 +261,20 @@ class MultiPhraseQuery(Query):
 
 @dataclass(frozen=True)
 class FuzzyQuery(Query):
-    """Terms within Levenshtein distance <= max_edits of `term`
+    """Terms within edit distance <= max_edits of `term`
     (search/FuzzyQuery.java:54), rewritten to a scoring OR over the
     expanded terms (ScoringRewrite; we score each expansion as a plain
     TermQuery and sum like a disjunction — the blended-freq boost of
     TopTermsBlendedFreqScoringRewrite is documented as out of scope).
-    Expansion runs as a distributed `levenshtein(term, q) <= d` filter
-    on the dictionary (automaton-intersection analog).
+    Expansion runs as a distributed distance filter on the dictionary
+    (automaton-intersection analog).
+
+    `transpositions` defaults True like the reference
+    (FuzzyQuery.java:59 `defaultTranspositions = true`): an adjacent
+    swap counts as ONE edit, so `tabel~1` matches `table`.  The
+    distance is the restricted-Damerau DP the reference pins its
+    automata against (TestLevenshteinAutomata.java:333; see
+    functions/editdist.py).  Set False for classic Levenshtein.
 
     max_expansions bounds the expansion like the reference's default
     TopTermsBlendedFreqScoringRewrite(maxExpansions=50)
@@ -278,6 +285,7 @@ class FuzzyQuery(Query):
     max_edits: int = 2
     max_expansions: int = 50
     field: str | None = None
+    transpositions: bool = True
 
     def terms(self) -> list[str]:
         return []

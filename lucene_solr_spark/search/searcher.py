@@ -3790,9 +3790,18 @@ class IndexSearcher:
         }
 
     def _expand_fuzzy(self, q: FuzzyQuery) -> list[str]:
-        """Dictionary expansion by Levenshtein distance, distributed
-        (JVM levenshtein over the term dict — the FuzzyTermsEnum
-        automaton-intersection analog, FuzzyQuery.java:54).
+        """Dictionary expansion by edit distance, distributed over the
+        term dict — the FuzzyTermsEnum automaton-intersection analog
+        (FuzzyQuery.java:54).
+
+        With transpositions (the reference default, FuzzyQuery.java:59)
+        the distance is the restricted-Damerau DP the reference pins
+        its automata against (TestLevenshteinAutomata.java:333),
+        computed by an Arrow-batched pandas UDF — but only on the few
+        terms that survive a JVM-side pre-filter (length delta <= d
+        and classic levenshtein <= 2d; sound because a transposition
+        costs at most two classic edits).  Without transpositions it is
+        the JVM `levenshtein` end to end.
 
         Bounded like the reference's default rewrite
         (TopTermsBlendedFreqScoringRewrite, maxExpansions=50): terms
@@ -3808,11 +3817,27 @@ class IndexSearcher:
         else:
             scope = ~F.col("term").contains(FIELD_SEP)
             token = F.col("term")
-        dist = F.levenshtein(token, F.lit(q.term))
+        if getattr(q, "transpositions", True):
+            from ..functions.editdist import transposition_distance_udf
+
+            classic = F.levenshtein(token, F.lit(q.term))
+            pre_ok = (
+                (F.abs(F.length(token) - F.lit(len(q.term))) <= q.max_edits)
+                & (classic <= 2 * q.max_edits)
+            )
+            tdist = transposition_distance_udf(q.term)
+            cand = (
+                self._term_stats.where(scope & pre_ok)
+                .select("term", tdist(token).alias("dist"), "df")
+                .where(F.col("dist") <= q.max_edits)
+            )
+        else:
+            dist = F.levenshtein(token, F.lit(q.term))
+            cand = self._term_stats.where((dist <= q.max_edits) & scope).select(
+                "term", dist.alias("dist"), "df"
+            )
         rows = (
-            self._term_stats.where((dist <= q.max_edits) & scope)
-            .select("term", dist.alias("dist"), "df")
-            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            cand.orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
             .limit(cap)
             .collect()
         )
