@@ -821,12 +821,13 @@ def semdedup_keep(
 
     Returns (vec_id, bucket, keep) for EVERY vector, vec_id asc."""
     from lucene_solr_spark.ops.similarity import (
-        N_CENTROIDS,
         _assign_bucket_col,
         _centroids,
     )
 
-    cents = _centroids(emb, n_centroids or N_CENTROIDS)
+    # n_centroids=None -> adaptive max(16, isqrt(N)) inside _centroids —
+    # the paper's ~sqrt(N) clusters by default, no caller opt-in needed
+    cents = _centroids(emb, n_centroids)
     v = emb.select(
         "vec_id",
         F.col("embedding").alias("e"),

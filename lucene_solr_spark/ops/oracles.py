@@ -250,6 +250,23 @@ def _bucket_sql(col: str, dim: int = 64) -> str:
     return " + ".join(terms)
 
 
+def _oracle_adaptive_n_centroids() -> int:
+    """Mirror of similarity.adaptive_n_centroids over the oracle sf's
+    embeddings table, so oracle defaults track the engine defaults."""
+    import os
+
+    import duckdb
+
+    from lucene_solr_spark.ops.similarity import adaptive_n_centroids
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "embeddings.parquet")
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{path}')"
+    ).fetchone()[0]
+    return adaptive_n_centroids(int(n))
+
+
 def _kmeans_cents_values(n_centroids: int) -> str:
     """Train the SAME deterministic spherical k-means as the Spark side
     (similarity.kmeans_centroids over the frozen vec_id % MOD sample,
@@ -287,13 +304,22 @@ def _kmeans_cents_values(n_centroids: int) -> str:
 
 
 def ann_ivf_sql(
-    vec_id: int = 0, k: int = 10, n_probe: int = 4, n_centroids: int = 16
+    vec_id: int = 0, k: int = 10, n_probe: int | None = None,
+    n_centroids: int | None = None,
 ) -> str:
     """Centroid IVF (similarity.ivf_topk), reproduced exactly: coarse
     cells = k-means centroids (trained identically on both sides and
     inlined as literals — see _kmeans_cents_values), assignment by
     cosine (ties -> smaller cid), probe the n_probe cells nearest the
-    query, exact cosine re-rank inside."""
+    query, exact cosine re-rank inside. n_centroids=None mirrors the
+    engine's adaptive max(16, isqrt(N)) default, and n_probe=None its
+    quarter-of-the-cells probe width."""
+    from lucene_solr_spark.ops.similarity import adaptive_n_probe
+
+    if n_centroids is None:
+        n_centroids = _oracle_adaptive_n_centroids()
+    if n_probe is None:
+        n_probe = adaptive_n_probe(n_centroids)
     dotec = _dot_sql("e.embedding", "c.ce")
     nec = _norm_sql("c.ce")
     dotqc = _dot_sql("q.qe", "c.ce")
@@ -902,10 +928,13 @@ SELECT row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT AS rank,
 FROM t ORDER BY rank"""
 
 
-def semdedup_sql(tau: float = 0.42, n_centroids: int = 16) -> str:
+def semdedup_sql(tau: float = 0.42, n_centroids: int | None = None) -> str:
     """Oracle for dedup.semdedup_keep: the same centroid literals and
     first-occurrence cosine assignment as ann_ivf_sql, then the
-    within-cluster lower-id drop rule on the round-6 cosine."""
+    within-cluster lower-id drop rule on the round-6 cosine.
+    n_centroids=None mirrors the engine's adaptive default."""
+    if n_centroids is None:
+        n_centroids = _oracle_adaptive_n_centroids()
     dotec = _dot_sql("e.embedding", "c.ce")
     nec = _norm_sql("c.ce")
     dotab = _dot_sql("a.embedding", "b.embedding")
