@@ -116,6 +116,13 @@ def merge_atomic(
     Returns the merged rows (stored schema) for exactly the update
     keys; keys absent from `stored` create new docs (reference
     behavior: toDoc starts empty), untouched fields null there.
+
+    A batch with the SAME key twice raises: the reference applies
+    same-id updates sequentially (each sees the previous merge's
+    result), which a single fetch-merge join cannot reproduce —
+    submitting them as separate batches preserves that semantics,
+    while silently merging both rows would leave two live docs with
+    one key.
     """
     if key_col not in updates.columns:
         raise ValueError(f"updates must carry the key column {key_col!r}")
@@ -150,6 +157,20 @@ def merge_atomic(
                     f"Unknown operation for an atomic update on {c!r}: "
                     f"{bad[0]}"
                 )
+
+    dup = (
+        updates.groupBy(key_col)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate key {dup[0][0]!r} in one atomic-update batch; "
+            "same-id updates are sequential in the reference — submit "
+            "them as separate batches"
+        )
 
     joined = updates.alias("up").join(
         stored.alias("st"),

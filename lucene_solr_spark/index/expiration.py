@@ -78,16 +78,19 @@ def delete_expired(
     (deleteByQuery "expire_at:[* TO NOW]",
     DocExpirationUpdateProcessorFactory.java:328). Tombstones are
     written straight from the filtered DataFrame — executor-bound at
-    any corpus size. Returns the number of newly expired keys."""
+    any corpus size. Keys already tombstoned by a prior sweep are
+    anti-joined away first, so repeated sweeps over the same stored
+    frame are idempotent (the tombstone table does not grow) and the
+    return value is the number of NEWLY expired keys this sweep."""
     import json
+
+    from lucene_solr_spark.index.deletes import _current_total_docs
 
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         manifest = json.load(fh)
     id_col = manifest["config"]["id_col"]
     key_type = "string" if manifest.get("key_kind") == "s" else "long"
-    wm = manifest["max_doc"] + sum(
-        g["n_docs"] for g in manifest.get("delta_generations", [])
-    )
+    wm = _current_total_docs(manifest)
     expired = stored.where(
         F.col(expire_col).isNotNull()
         & (F.col(expire_col) <= F.lit(now).cast("timestamp"))
@@ -96,9 +99,12 @@ def delete_expired(
         F.col(id_col).cast(key_type).alias("key"),
         F.lit(wm).cast("long").alias("wm"),
     )
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if os.path.exists(tomb_dir):
+        tomb = tomb.join(
+            spark.read.parquet(tomb_dir).select("key"), "key", "left_anti"
+        )
     n = tomb.count()
     if n:
-        tomb.write.mode("append").parquet(
-            os.path.join(index_dir, "tombstones")
-        )
+        tomb.write.mode("append").parquet(tomb_dir)
     return n

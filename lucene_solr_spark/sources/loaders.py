@@ -53,7 +53,7 @@ def read_csv_docs(
     reader = (
         spark.read.option("sep", separator)
         .option("quote", encapsulator)
-        .option("header", str(header and fieldnames is None).lower())
+        .option("header", str(header).lower())
     )
     df = reader.csv(path)
     if fieldnames is not None:
@@ -62,12 +62,11 @@ def read_csv_docs(
                 f"CSV file has {len(df.columns)} columns, "
                 f"fieldnames names {len(fieldnames)}"
             )
+        # fieldnames + header=True: the reader consumed the header
+        # line as (discarded) names, and toDF overrides them — the
+        # first line is never ingested as data, matching the
+        # reference's explicit skip (CSVLoaderBase.java:227-229)
         df = df.toDF(*fieldnames)
-        if header:
-            # explicit fieldnames + header=true: first line is data
-            # in Spark's reader already (header consumed only when
-            # names come from the file) — nothing to drop
-            pass
     if trim:
         for c in df.columns:
             df = df.withColumn(c, F.trim(F.col(c)))

@@ -122,6 +122,18 @@ def test_unknown_op_and_id_mutation_raise(spark):
         )
 
 
+def test_duplicate_keys_in_one_batch_raise(spark):
+    """Same key twice in one batch raises — the reference applies
+    same-id updates sequentially (cumulative), which one fetch-merge
+    join cannot reproduce; silently merging would leave two live docs
+    with the same key above the watermark."""
+    with pytest.raises(ValueError, match="duplicate key"):
+        _merge(spark, [
+            (1, {"set": ["first"]}, None, None),
+            (1, {"set": ["second"]}, None, None),
+        ])
+
+
 def test_atomic_update_reindexes(spark, tmp_path):
     from lucene_solr_spark.index.builder import IndexConfig, build_index
     from lucene_solr_spark.search.query import TermQuery

@@ -85,10 +85,14 @@ def test_delete_expired_tombstones(spark, tmp_path):
     keys = {r.key for r in
             s.search_with_keys(TermQuery("table"), k=10).collect()}
     assert keys == {1, 3}
-    # idempotent second sweep: doc 2 already tombstoned but still
-    # matches the filter -> another tombstone row is appended (same
-    # key, harmless); no NEW live docs disappear
-    delete_expired(spark, ix, stored, NOW)
+    # idempotent second sweep: doc 2 still matches the filter but is
+    # already tombstoned -> anti-joined away, ZERO newly expired and
+    # the tombstone table does not grow
+    import os
+    tomb_dir = os.path.join(ix, "tombstones")
+    before = spark.read.parquet(tomb_dir).count()
+    assert delete_expired(spark, ix, stored, NOW) == 0
+    assert spark.read.parquet(tomb_dir).count() == before
     s2 = IndexSearcher.open(spark, ix)
     keys2 = {r.key for r in
              s2.search_with_keys(TermQuery("table"), k=10).collect()}

@@ -42,6 +42,20 @@ def test_csv_explicit_fieldnames(spark, tmp_path):
         read_csv_docs(spark, str(p), header=False, fieldnames=["only"])
 
 
+def test_csv_fieldnames_with_header_skips_first_line(spark, tmp_path):
+    """fieldnames + header=True (the default): the file's header line
+    is SKIPPED, not ingested as a document — CSVLoaderBase.java:227-229
+    skips the first line in exactly this combination."""
+    from lucene_solr_spark.sources.loaders import read_csv_docs
+
+    p = tmp_path / "wh.csv"
+    p.write_text("id,body\n7,hello world\n8,more text\n")
+    df = read_csv_docs(spark, str(p), fieldnames=["doc_id", "text"])
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert rows == {"7": "hello world", "8": "more text"}
+    assert "id" not in rows  # header line not ingested as data
+
+
 def test_json_docs_and_commands(spark, tmp_path):
     from lucene_solr_spark.sources.loaders import (
         parse_json_commands,
