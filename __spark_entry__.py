@@ -2785,6 +2785,109 @@ FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _simbase_tfn_h1_sql(t: str) -> str:
+    """NormalizationH1 tfn (NormalizationH1.java:44): tf * avg / len,
+    pure f32 left-associated (functions/dfr.py:tfn_h1)."""
+    return f"""
+    SELECT tf.doc_id,
+      CAST(CAST(CAST(tf.tf AS REAL) * (SELECT av FROM avgl) AS REAL)
+           / dl_lm.dl AS REAL) AS tfn
+    FROM tf JOIN dl_lm USING (doc_id) WHERE tf.term = '{t}'"""
+
+
+def _cf_sql(t: str) -> str:
+    return f"COALESCE((SELECT cf FROM cfs WHERE term = '{t}'), 0)"
+
+
+def _df_sql(t: str) -> str:
+    return f"COALESCE((SELECT df FROM dfs WHERE term = '{t}'), 0)"
+
+
+def _dfr_gl1_sql(t0: str, t1: str, k: int) -> str:
+    """DFR GL1 OR(t0, t1): bm_g = (float)(log2(lam+1) +
+    tfn*log2((1+lam)/lam)) with lam = (cf+1)/(N+cf+1) in f64
+    (BasicModelG.java:39-46), * AfterEffectL 1/(tfn+1), H1 tfn
+    (functions/dfr.py:bm_g/ae_l/tfn_h1)."""
+    leaves = []
+    for t in (t0, t1):
+        lam = (f"(CAST({_cf_sql(t)} + 1 AS DOUBLE)"
+               f" / ((SELECT n FROM a) + CAST({_cf_sql(t)} + 1 AS DOUBLE)))")
+        bm = (f"CAST(ln({lam} + 1) / ln(2.0)"
+              f" + CAST(tfn AS DOUBLE)"
+              f" * (ln((1 + {lam}) / {lam}) / ln(2.0)) AS REAL)")
+        ae = (f"CAST(CAST(1.0 AS REAL)"
+              f" / CAST(tfn + CAST(1.0 AS REAL) AS REAL) AS REAL)")
+        leaves.append(f"""
+  SELECT doc_id, CAST({bm} * {ae} AS REAL) AS s
+  FROM ({_simbase_tfn_h1_sql(t)})""")
+    union = "\n  UNION ALL\n".join(leaves)
+    return f"""
+WITH {_BM25_CTES},
+{_LM_STATS_CTES},
+{_AVGL_CTE},
+sc AS ({union})
+SELECT doc_id,
+  CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _dfr_ineb2_sql(t0: str, t1: str, k: int) -> str:
+    """DFR I(ne)B2 OR(t0, t1): bm_ine = tfn * (float)log2((N+1)/(ne+0.5))
+    with ne = N*(1-((N-1)/N)^cf) (BasicModelIne.java:33-38), *
+    AfterEffectB (cf+2)/((df+1)*(tfn+1)) all-f32
+    (AfterEffectB.java:33-37), H2 tfn."""
+    leaves = []
+    for t in (t0, t1):
+        ne = (f"((SELECT n FROM a) * (1 - pow("
+              f"((SELECT n FROM a) - 1) / CAST((SELECT n FROM a) AS DOUBLE),"
+              f" {_cf_sql(t)})))")
+        inf = (f"CAST(ln(((SELECT n FROM a) + 1) / ({ne} + 0.5))"
+               f" / ln(2.0) AS REAL)")
+        bm = f"CAST(tfn * {inf} AS REAL)"
+        ae = (f"CAST(CAST({_cf_sql(t)} + 2 AS REAL)"
+              f" / CAST(CAST({_df_sql(t)} + 1 AS REAL)"
+              f" * CAST(tfn + CAST(1.0 AS REAL) AS REAL) AS REAL) AS REAL)")
+        leaves.append(f"""
+  SELECT doc_id, CAST({bm} * {ae} AS REAL) AS s
+  FROM ({_simbase_tfn_sql(t)})""")
+    union = "\n  UNION ALL\n".join(leaves)
+    return f"""
+WITH {_BM25_CTES},
+{_LM_STATS_CTES},
+{_AVGL_CTE},
+sc AS ({union})
+SELECT doc_id,
+  CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _ib_ll_ttf_sql(t0: str, t1: str, k: int) -> str:
+    """IB LL-TTF-H2 OR(t0, t1): leaf = (float)-log(lam/(tfn+lam)) with
+    the inner ratio an f32 division and lam = f32 (cf+1)/(N+1)
+    (DistributionLL.java:30-32, LambdaTTF.java:32-34)."""
+    leaves = []
+    for t in (t0, t1):
+        lam = (f"CAST(CAST({_cf_sql(t)} + 1 AS REAL)"
+               f" / CAST((SELECT n FROM a) + 1 AS REAL) AS REAL)")
+        ratio = (f"CAST({lam} / CAST(tfn + {lam} AS REAL) AS REAL)")
+        leaves.append(f"""
+  SELECT doc_id,
+    CAST(-ln(CAST({ratio} AS DOUBLE)) AS REAL) AS s
+  FROM ({_simbase_tfn_sql(t)})""")
+    union = "\n  UNION ALL\n".join(leaves)
+    return f"""
+WITH {_BM25_CTES},
+{_LM_STATS_CTES},
+{_AVGL_CTE},
+sc AS ({union})
+SELECT doc_id,
+  CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _ib_spl_sql(t0: str, t1: str, k: int) -> str:
     """IB SPL-DF-H2 OR(t0, t1): leaf = (float)-log((lam^(tfn/(tfn+1))
     - lam)/(1 - lam)) with lam = f32 (df+1)/(N+1)
@@ -3241,6 +3344,46 @@ def _q_ib_spl(spark, sf):
     DistributionSPL + LambdaDF + NormalizationH2)."""
     s = _searcher_for(spark, sf)
     return s.search_ib(BooleanOr(("merge", "sort")), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_dfr_gl1(spark, sf):
+    """DFR GL1 disjunction — BasicModelG + AfterEffectL +
+    NormalizationH1 from the full model matrix (round-4 verdict #5;
+    BasicModelG.java:39-46, NormalizationH1.java:44)."""
+    s = _searcher_for(spark, sf)
+    return s.search_dfr(
+        BooleanOr(("scan", "merge")), k=K, basic_model="g",
+        after_effect="l", normalization="h1",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_dfr_ineb2(spark, sf):
+    """DFR I(ne)B2 disjunction — BasicModelIne + AfterEffectB +
+    NormalizationH2 (BasicModelIne.java:33-38, AfterEffectB.java:33-37)."""
+    s = _searcher_for(spark, sf)
+    return s.search_dfr(
+        BooleanOr(("scan", "table")), k=K, basic_model="ine",
+        after_effect="b", normalization="h2",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _q_ib_ll_ttf(spark, sf):
+    """IB LL-TTF-H2 disjunction — DistributionLL + LambdaTTF
+    (DistributionLL.java:30-32, LambdaTTF.java:32-34)."""
+    s = _searcher_for(spark, sf)
+    return s.search_ib(
+        BooleanOr(("merge", "sort")), k=K, distribution="ll",
+        lam_kind="ttf",
+    ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("score").cast("double").alias("score"),
     )
@@ -5557,6 +5700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jm_topk": _q_lm_jm,
         "dfr_inl2_topk": _q_dfr_inl2,
         "ib_spl_topk": _q_ib_spl,
+        "dfr_gl1_topk": _q_dfr_gl1,
+        "dfr_ineb2_topk": _q_dfr_ineb2,
+        "ib_ll_ttf_topk": _q_ib_ll_ttf,
         "lm_tree_topk": _q_lm_tree,
         "batch_search_rows": _q_batch_search,
         "explain_score_row": _q_explain_score,
@@ -5926,6 +6072,9 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20""",
         "lm_dirichlet_topk": _lm_dirichlet_sql("scan", "table", K),
         "lm_jm_topk": _lm_jm_sql("merge", "sort", K),
         "dfr_inl2_topk": _dfr_inl2_sql("scan", "table", K),
+        "dfr_gl1_topk": _dfr_gl1_sql("scan", "merge", K),
+        "dfr_ineb2_topk": _dfr_ineb2_sql("scan", "table", K),
+        "ib_ll_ttf_topk": _ib_ll_ttf_sql("merge", "sort", K),
         "ib_spl_topk": _ib_spl_sql("merge", "sort", K),
         "lm_tree_topk": _lm_tree_sql(K),
         "batch_search_rows": _batch_search_sql(10),

@@ -2951,22 +2951,39 @@ class IndexSearcher:
 
     def search_dfr(
         self, query: Query, k: int | None = 10, c: float = 1.0,
+        basic_model: str = "in", after_effect: str = "l",
+        normalization: str = "h2", mu: float = 800.0, z: float = 0.30,
     ) -> DataFrame:
-        """DFR I(n)L2 search (similarities/DFRSimilarity.java with
-        BasicModelIn + AfterEffectL + NormalizationH2(c)) — see
-        functions/dfr.py for the float discipline. Supports
-        Term / BooleanAnd / BooleanOr over the default field."""
-        make_leaf, _ = self._simbase_conf("dfr", c=c)
+        """DFR search over the FULL model matrix
+        (similarities/DFRSimilarity.java): basic_model in
+        {be,d,g,if,in,ine,p}, after_effect in {b,l,none},
+        normalization in {h1,h2,h3,z,none}; c parameterizes H1/H2, mu
+        H3, z Z. Defaults = I(n)L2 (BasicModelIn + AfterEffectL +
+        NormalizationH2(c=1)), bitwise the pre-matrix behavior — see
+        functions/dfr.py for the per-component float discipline.
+        Supports Term / BooleanAnd / BooleanOr over the default
+        field."""
+        make_leaf, _ = self._simbase_conf(
+            "dfr", c=c, basic_model=basic_model, after_effect=after_effect,
+            normalization=normalization, mu_h3=mu, z=z,
+        )
         return self._search_simbase(query, k, make_leaf, "search_dfr")
 
     def search_ib(
         self, query: Query, k: int | None = 10, c: float = 1.0,
+        distribution: str = "spl", lam_kind: str = "df",
+        normalization: str = "h2", mu: float = 800.0, z: float = 0.30,
     ) -> DataFrame:
-        """IB SPL-DF-H2 search (similarities/IBSimilarity.java with
-        DistributionSPL + LambdaDF + NormalizationH2(c)) — see
-        functions/dfr.py. Supports Term / BooleanAnd / BooleanOr over
-        the default field."""
-        make_leaf, _ = self._simbase_conf("ib", c=c)
+        """IB search over the full matrix
+        (similarities/IBSimilarity.java): distribution in {ll,spl},
+        lam_kind in {df,ttf}, normalization as in search_dfr.
+        Defaults = SPL-DF-H2, bitwise the pre-matrix behavior.
+        Supports Term / BooleanAnd / BooleanOr over the default
+        field."""
+        make_leaf, _ = self._simbase_conf(
+            "ib", c=c, distribution=distribution, lam_kind=lam_kind,
+            normalization=normalization, mu_h3=mu, z=z,
+        )
         return self._search_simbase(query, k, make_leaf, "search_ib")
 
     def _search_simbase_tree(
@@ -3046,7 +3063,9 @@ class IndexSearcher:
 
     def _simbase_conf(
         self, model: str, mu: float = 2000.0, lam: float = 0.1,
-        c: float = 1.0,
+        c: float = 1.0, basic_model: str = "in", after_effect: str = "l",
+        normalization: str = "h2", distribution: str = "spl",
+        lam_kind: str = "df", mu_h3: float = 800.0, z: float = 0.30,
     ):
         """(make_leaf, detail) pair for a SimilarityBase flavor:
         make_leaf(term, df, cf) -> f32 leaf scorer; detail(term, df,
@@ -3084,29 +3103,39 @@ class IndexSearcher:
         avg = dfr.avg_field_length(field_tokens, n)
         if model == "dfr":
             def make_leaf(term, df, cf):
-                return lambda tf, nb, boost=1.0: dfr.score_dfr_inl2(
-                    tf, nb, df, n, avg, c, boost
+                return lambda tf, nb, boost=1.0: dfr.score_dfr(
+                    tf, nb, df, cf, n, field_tokens, avg,
+                    basic_model=basic_model, after_effect=after_effect,
+                    normalization=normalization, c=c, mu=mu_h3, z=z,
+                    boost=boost,
                 )
 
             def detail(term, df, cf):
-                return {"df": df, "number_of_documents": n,
+                return {"df": df, "cf": cf, "number_of_documents": n,
                         "avg_field_length": float(avg), "c": c,
-                        "basic_model": "In", "after_effect": "L",
-                        "normalization": "H2"}
+                        "basic_model": basic_model.capitalize(),
+                        "after_effect": after_effect.upper(),
+                        "normalization": normalization.upper()}
 
             return make_leaf, detail
         if model == "ib":
             def make_leaf(term, df, cf):
-                return lambda tf, nb, boost=1.0: dfr.score_ib_spl(
-                    tf, nb, df, n, avg, c, boost
+                return lambda tf, nb, boost=1.0: dfr.score_ib(
+                    tf, nb, df, cf, n, field_tokens, avg,
+                    distribution=distribution, lam_kind=lam_kind,
+                    normalization=normalization, c=c, mu=mu_h3, z=z,
+                    boost=boost,
                 )
 
             def detail(term, df, cf):
-                return {"df": df, "number_of_documents": n,
+                lamv = (dfr.lambda_df(df, n) if lam_kind == "df"
+                        else dfr.lambda_ttf(cf, n))
+                return {"df": df, "cf": cf, "number_of_documents": n,
                         "avg_field_length": float(avg), "c": c,
-                        "lambda_df": float(dfr.lambda_df(df, n)),
-                        "distribution": "SPL", "lambda": "DF",
-                        "normalization": "H2"}
+                        "lambda_value": float(lamv),
+                        "distribution": distribution.upper(),
+                        "lambda": lam_kind.upper(),
+                        "normalization": normalization.upper()}
 
             return make_leaf, detail
         raise ValueError(f"unknown SimilarityBase flavor {model!r}")
