@@ -3876,6 +3876,69 @@ def _q_json_facet_stats(spark, sf):
     )
 
 
+def _q_json_facet_nested2(spark, sf):
+    """Arbitrary-depth JSON facet tree (FacetModule.java:47 nested
+    FacetRequest recursion; round-4 verdict #6): terms(lang, limit 3)
+    -> {avg stat, terms(source, limit 2) -> {max stat, query(n_chars >
+    300) -> sum stat}} — three levels, stats at every level, compiled
+    by search/jsonfacet.py to per-level hash aggregates with
+    limit-pushdown semi-joins."""
+    from lucene_solr_spark.search.jsonfacet import json_facet
+
+    req = {
+        "type": "terms", "field": "lang", "limit": 3,
+        "facet": {
+            "avg_nc": "avg(n_chars)",
+            "srcs": {
+                "type": "terms", "field": "source", "limit": 2,
+                "facet": {
+                    "max_nc": "max(n_chars)",
+                    "big": {
+                        "type": "query", "q": "n_chars > 300",
+                        "facet": {"sum_nc": "sum(n_chars)"},
+                    },
+                },
+            },
+        },
+    }
+    return json_facet(_docs(spark, sf), req)
+
+
+_JSON_FACET_NESTED2_SQL = """
+WITH l1 AS (
+  SELECT lang, count(*) AS cnt, avg(n_chars) AS avg_nc,
+         row_number() OVER (ORDER BY count(*) DESC, lang) AS rn
+  FROM documents GROUP BY lang
+), l1k AS (SELECT * FROM l1 WHERE rn <= 3),
+l2 AS (
+  SELECT d.lang, d.source, count(*) AS cnt, max(d.n_chars) AS max_nc,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY count(*) DESC, d.source) AS rn
+  FROM documents d JOIN l1k USING (lang)
+  GROUP BY d.lang, d.source
+), l2k AS (SELECT * FROM l2 WHERE rn <= 2),
+l3 AS (
+  SELECT d.lang, d.source, count(*) AS cnt, sum(d.n_chars) AS sum_nc
+  FROM documents d JOIN l2k USING (lang, source)
+  WHERE d.n_chars > 300
+  GROUP BY d.lang, d.source
+)
+SELECT * FROM (
+  SELECT 'facet' AS facet, lang AS bucket_path, cnt::BIGINT AS count,
+         CAST(avg_nc AS DOUBLE) AS avg_nc, CAST(NULL AS DOUBLE) AS max_nc,
+         CAST(NULL AS DOUBLE) AS sum_nc
+  FROM l1k
+  UNION ALL
+  SELECT 'facet.srcs', lang || '|' || source, cnt::BIGINT,
+         CAST(NULL AS DOUBLE), CAST(max_nc AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM l2k
+  UNION ALL
+  SELECT 'facet.srcs.big', lang || '|' || source || '|big', cnt::BIGINT,
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(sum_nc AS DOUBLE)
+  FROM l3
+) ORDER BY facet, bucket_path"""
+
+
 def _q_mlt_interesting(spark, sf):
     """mlt.interestingTerms=details analog: the ranked (term, tf, df,
     qscore) table MLT builds its query from (searcher
@@ -5741,6 +5804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keep": _op_semdedup,
         "mlt_interesting_terms": _q_mlt_interesting,
         "json_facet_lang_stats": _q_json_facet_stats,
+        "json_facet_nested2_topk": _q_json_facet_nested2,
         "bigram_logprob_topk": _op_bigram_logprob,
         "scale_function_topk": _q_scale_function,
         "termfreq_topk": _q_termfreq_function,
@@ -6517,6 +6581,7 @@ FROM documents GROUP BY lang ORDER BY lang""",
             "SELECT doc_id, tf::BIGINT AS tf FROM tf "
             f"WHERE term = '{Q_TERM}' ORDER BY tf DESC, doc_id LIMIT {K}"
         ),
+        "json_facet_nested2_topk": _JSON_FACET_NESTED2_SQL,
         "json_facet_lang_stats": (
             "WITH ls AS (SELECT lang, source, count(*) AS sc, "
             "sum(n_chars) AS sum_nc FROM documents GROUP BY lang, source), "
