@@ -4492,6 +4492,45 @@ def _q_suggest_fuzzy(spark, sf):
     )
 
 
+def _q_suggest_exact_first(spark, sf):
+    """AnalyzingSuggester option parity (AnalyzingSuggester.java:
+    145,150,240-241 + AnalyzingInfixSuggester contexts): suggestion
+    dictionary = per-source doc counts with lang labels as contexts;
+    prefix 'src1' with exact_first=True ranks the exact suggestion
+    'src1' FIRST regardless of weight, then src10..src19 by weight
+    desc; contexts filter keeps sources carrying 'en' or 'fr' docs."""
+    from lucene_solr_spark.search.suggest import analyzing_suggest
+
+    sug = (
+        _docs(spark, sf)
+        .groupBy(F.col("source").alias("suggestion"))
+        .agg(
+            F.count(F.lit(1)).alias("weight"),
+            F.collect_set("lang").alias("contexts"),
+        )
+    )
+    return analyzing_suggest(
+        sug, "src1", k=10, exact_first=True, contexts=["en", "fr"]
+    )
+
+
+_SUGGEST_EXACT_FIRST_SQL = """
+WITH s AS (
+  SELECT source AS suggestion, count(*) AS weight,
+         list(DISTINCT lang) AS ctx
+  FROM documents GROUP BY source
+),
+f AS (
+  SELECT suggestion, weight,
+    CASE WHEN lower(suggestion) = 'src1' THEN 0 ELSE 1 END AS ex
+  FROM s
+  WHERE lower(suggestion) LIKE 'src1%'
+    AND list_has_any(ctx, ['en', 'fr'])
+)
+SELECT suggestion, weight::BIGINT AS weight FROM f
+ORDER BY ex, weight DESC, suggestion LIMIT 10"""
+
+
 def _freetext_suggest_sql(context: str, k: int) -> str:
     from lucene_solr_spark.search.suggest import freetext_suggest_sql
 
@@ -5895,6 +5934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surround_topk": _q_surround,
         "expression_score_topk": _q_expression,
         "suggest_blended_infix": _q_suggest_blended,
+        "suggest_exact_first_topk": _q_suggest_exact_first,
         "facet_path_hierarchy": _q_path_facet,
         "ord_function_rows": _q_ord_function,
         "facet_params_lang": _q_facet_params,
@@ -6631,6 +6671,7 @@ FROM documents GROUP BY lang ORDER BY lang""",
             "SELECT term, df FROM dfs WHERE term LIKE '%or%' "
             "ORDER BY df DESC, term LIMIT 10"
         ),
+        "suggest_exact_first_topk": _SUGGEST_EXACT_FIRST_SQL,
         "suggest_fuzzy": (
             f"WITH {_BM25_CTES} "
             "SELECT term, df FROM dfs "

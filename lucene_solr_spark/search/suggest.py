@@ -116,3 +116,83 @@ SELECT uni.w AS word,
         END, 6) AS score
 FROM uni LEFT JOIN cb ON uni.w = cb.w2, tot, ct
 ORDER BY score DESC, word LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------
+# AnalyzingSuggester option parity (round-4 verdict #10):
+# exactFirst / preserveSep (AnalyzingSuggester.java:145,150,240-241 —
+# EXACT_FIRST returns the exact analyzed match first regardless of
+# weight; PRESERVE_SEP keeps the token separator in the analyzed form
+# so 'foobar' does NOT prefix-match 'foo bar') and context filtering
+# (AnalyzingInfixSuggester.java:341 add(text, contexts, weight) +
+# lookup-with-contexts: a suggestion survives if it carries ANY of the
+# requested context labels).
+# ---------------------------------------------------------------------
+
+
+def _analyzed(col: Column, preserve_sep: bool) -> Column:
+    """The suggester's analyzed form: lowercase tokens joined by ONE
+    separator (preserve_sep) or concatenated with separators removed —
+    the FST-input analog (null-byte-joined vs fused token bytes,
+    AnalyzingSuggester.java:123-126,294)."""
+    toks = F.transform(_tokens(col), lambda t: F.lower(t))
+    return (
+        F.array_join(toks, " ") if preserve_sep else F.array_join(toks, "")
+    )
+
+
+def analyzing_suggest(
+    suggestions: DataFrame,
+    prefix: str,
+    k: int = 10,
+    exact_first: bool = True,
+    preserve_sep: bool = True,
+    contexts: list[str] | None = None,
+    key_col: str = "suggestion",
+    weight_col: str = "weight",
+    contexts_col: str = "contexts",
+) -> DataFrame:
+    """Prefix completion over a (suggestion, weight[, contexts])
+    dictionary frame with the reference's option semantics:
+
+    - candidates: analyzed(suggestion) startswith analyzed(prefix)
+      (both sides honor preserve_sep, so preserve_sep=False lets
+      'foob' complete to 'foo bar');
+    - exact_first: rows whose analyzed form EQUALS the analyzed prefix
+      rank first regardless of weight (AnalyzingSuggester.java:697);
+    - contexts: keep suggestions whose contexts array intersects the
+      requested labels (skipped when the frame has no contexts column);
+    - rank: weight desc, suggestion asc; empty prefix returns no rows
+      (AnalyzingSuggester class javadoc).
+
+    Scale: one pushed-down startswith predicate over the dictionary
+    frame (suggestion dictionaries are vocabulary-sized), then
+    TakeOrderedAndProject — no shuffle before the top-k."""
+    if not prefix.strip():
+        return suggestions.sparkSession.createDataFrame(
+            [], f"{key_col} string, {weight_col} long"
+        )
+    from pyspark.sql import Row  # noqa: F401  (doc aid)
+
+    qa = _analyzed(F.lit(prefix), preserve_sep)
+    sa = _analyzed(F.col(key_col), preserve_sep)
+    out = suggestions.withColumn("_sa", sa).where(
+        F.col("_sa").startswith(qa)
+    )
+    if contexts is not None and contexts_col in suggestions.columns:
+        want = F.array(*[F.lit(c) for c in contexts])
+        out = out.where(F.arrays_overlap(F.col(contexts_col), want))
+    exact = (
+        F.when(F.col("_sa") == qa, F.lit(0)).otherwise(F.lit(1))
+        if exact_first else F.lit(1)
+    )
+    return (
+        out.select(
+            key_col,
+            F.col(weight_col).cast("long").alias(weight_col),
+            exact.alias("_ex"),
+        )
+        .orderBy(F.asc("_ex"), F.desc(weight_col), F.asc(key_col))
+        .limit(k)
+        .select(key_col, weight_col)
+    )
