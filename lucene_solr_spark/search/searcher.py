@@ -1648,6 +1648,12 @@ class IndexSearcher:
         self._postings = self._io.read("postings")
         self._norms = self._io.read("norms")
         self._term_stats = self._io.read("term_stats")
+        # driver-side TermStates cache (Lucene caches TermStates per
+        # query term at createWeight time): term -> global df. Bounded
+        # by the distinct terms ever queried on this reader instance;
+        # df never changes within a reader generation (deletes don't
+        # touch df, NRT appends open a NEW searcher).
+        self._df_cache: dict[str, int] = {}
         self._rev_stats: DataFrame | None = None  # lazy reversed dict
         self._doc_map = None
         # multi-generation state (NRT delta segments; see streaming/nrt.py):
@@ -1789,15 +1795,30 @@ class IndexSearcher:
         without this each query re-runs the parquet scan tasks. At
         cluster scale the pinned frames are partitioned across
         executors like any cached table — preload only what serves.
-        Returns self for chaining."""
-        self._postings = self._postings.persist()
-        self._norms = self._norms.persist()
+
+        The postings and norms are pinned ALREADY HASH-PARTITIONED on
+        shard at the cogroup's partition count, so a warm query's
+        filter/projection preserves the cached partitioning and the
+        scoring cogroup needs NO exchange at all (the per-query
+        repartition in _cogroup_inputs is skipped) — the open-reader
+        analog extends to the physical layout, exactly like Lucene
+        serving from already-sorted segment files. Returns self."""
+        p = self._serving_partitions()
+        self._postings = self._postings.repartition(p, "shard").persist()
+        self._norms = self._norms.repartition(p, "shard").persist()
         self._term_stats = self._term_stats.persist()
         # one action materializes all three lineages
         self._postings.count()
         self._norms.count()
         self._term_stats.count()
+        self._served_p = p
         return self
+
+    def _serving_partitions(self) -> int:
+        return max(
+            1,
+            min(self.spark.sparkContext.defaultParallelism, self._n_shards),
+        )
 
     def _rebuild_caches(self) -> None:
         """Per-field norm caches from per-field avgdl
@@ -1923,12 +1944,20 @@ class IndexSearcher:
         return norms
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
-        rows = (
-            self._term_stats.where(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        return {r.term: int(r.df) for r in rows}
+        """Global df per term, driver-cached (the TermStates pull —
+        one tiny pushed-down dictionary seek per never-seen term set,
+        free afterwards). Absent terms cache as 0."""
+        missing = sorted({t for t in terms if t not in self._df_cache})
+        if missing:
+            rows = (
+                self._term_stats.where(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r.term: int(r.df) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
 
     def _expand_mtq(self, q) -> list[str]:
         """Dictionary expansion for prefix/wildcard/regexp (the automaton
@@ -2312,15 +2341,18 @@ class IndexSearcher:
         round-2 fixed-32 choice cost ~2.5x single-query latency at
         sf0.1 with an 8-shard index; round-2 verdict #2). On a real
         cluster n_shards >> executor slots = defaultParallelism, so P
-        stays at the slot count there."""
-        p = max(
-            1,
-            min(self.spark.sparkContext.defaultParallelism, self._n_shards),
-        )
-        return (
-            matched.repartition(p, "shard"),
-            self._norms_for_query(None if all_shards else matched)
-            .repartition(p, "shard"),
+        stays at the slot count there.
+
+        When preload() pinned the frames pre-partitioned at this same
+        P (serving mode), the filter/projection lineage preserves the
+        cached hash(shard) partitioning on BOTH sides, so the explicit
+        repartition is skipped and the cogroup runs exchange-free."""
+        p = self._serving_partitions()
+        norms_side = self._norms_for_query(None if all_shards else matched)
+        if getattr(self, "_served_p", None) == p:
+            return matched, norms_side
+        return matched.repartition(p, "shard"), norms_side.repartition(
+            p, "shard"
         )
 
     def _matched(self, terms: list[str]) -> DataFrame:
@@ -2329,20 +2361,26 @@ class IndexSearcher:
         stats-lookup job; the BlockTree term seek analog stays a
         pushed-down `term IN (...)` parquet filter).
 
-        df_total rides a BROADCAST join of the tiny term dictionary
-        (term_stats — the .tim per-term docFreq, exactly Lucene's
-        TermStates pull at createWeight time) rather than a window or a
-        postings re-aggregate: a window would shuffle the heavy posting
-        rows on `term` and then AGAIN on `shard` for the cogroup, and
-        the round-2 postings re-aggregate re-scanned the postings files
-        once per query just to rebuild numbers the dictionary already
-        stores. The broadcast keeps the heavy rows to a single
-        shard-keyed exchange."""
-        matched = self._postings.where(F.col("term").isin(terms))
-        totals = self._term_stats.where(F.col("term").isin(terms)).select(
-            "term", F.col("df").alias("df_total")
+        df_total is attached as a LITERAL per-term map from the
+        driver-cached TermStates pull (term_dfs — exactly Lucene's
+        per-term TermStates at createWeight time) rather than a window,
+        a postings re-aggregate, or the round-2..4 broadcast join: a
+        window would shuffle the heavy posting rows on `term` and then
+        AGAIN on `shard` for the cogroup; the broadcast join was
+        correct but spent a broadcast-build job inside EVERY query for
+        a handful of scalars the driver already holds after the first
+        query on a term (round-4 verdict #8 — per-query fixed
+        overhead). The literal keeps the heavy rows to a single
+        shard-keyed exchange and the query to one job once the cache
+        is warm."""
+        uterms = sorted(set(terms))
+        dfs = self.term_dfs(uterms)
+        matched = self._postings.where(F.col("term").isin(uterms))
+        pairs = [x for t in uterms for x in (F.lit(t), F.lit(dfs[t]))]
+        mapping = F.create_map(*pairs)
+        return matched.withColumn(
+            "df_total", mapping[F.col("term")].cast("long")
         )
-        return matched.join(F.broadcast(totals), "term")
 
     def search(self, query: Query, k: int | None = 10, prune: bool = True,
                cursor: tuple[float, int] | None = None,
