@@ -2376,6 +2376,12 @@ class IndexSearcher:
         uterms = sorted(set(terms))
         dfs = self.term_dfs(uterms)
         matched = self._postings.where(F.col("term").isin(uterms))
+        if not uterms:
+            # match-all-style specs carry no terms; an empty create_map
+            # is VOID-typed and map()[string] fails analysis
+            return matched.withColumn(
+                "df_total", F.lit(None).cast("long")
+            )
         pairs = [x for t in uterms for x in (F.lit(t), F.lit(dfs[t]))]
         mapping = F.create_map(*pairs)
         return matched.withColumn(
