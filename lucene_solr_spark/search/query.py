@@ -286,6 +286,16 @@ class FuzzyQuery(Query):
     max_expansions: int = 50
     field: str | None = None
     transpositions: bool = True
+    prefix_length: int = 0
+
+    def __post_init__(self):
+        # FuzzyQuery.java:86-92 constructor validation
+        if not (0 <= self.max_edits <= 2):
+            raise ValueError(
+                f"maxEdits must be between 0 and 2, got {self.max_edits}"
+            )
+        if self.prefix_length < 0:
+            raise ValueError("prefixLength cannot be less than 0")
 
     def terms(self) -> list[str]:
         return []

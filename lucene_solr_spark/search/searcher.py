@@ -3912,6 +3912,16 @@ class IndexSearcher:
         more than max_expansions terms."""
         cap = int(getattr(q, "max_expansions", 50) or 50)
         pre = self._mtq_prefix(q)
+        # prefixLength (FuzzyQuery.java:75, FuzzyTermsEnum.java:118):
+        # candidates must share the first prefix_length chars exactly;
+        # the edit distance applies to the SUFFIX only. A prefix longer
+        # than the term clamps to the term (realPrefixLength).
+        plen = max(0, min(int(getattr(q, "prefix_length", 0) or 0),
+                          len(q.term)))
+        qterm = q.term
+        if plen:
+            pre = pre + qterm[:plen]
+            qterm = qterm[plen:]
         if pre:
             scope = F.col("term").startswith(pre)
             token = F.substring(F.col("term"), len(pre) + 1, 2**30)
@@ -3921,19 +3931,19 @@ class IndexSearcher:
         if getattr(q, "transpositions", True):
             from ..functions.editdist import transposition_distance_udf
 
-            classic = F.levenshtein(token, F.lit(q.term))
+            classic = F.levenshtein(token, F.lit(qterm))
             pre_ok = (
-                (F.abs(F.length(token) - F.lit(len(q.term))) <= q.max_edits)
+                (F.abs(F.length(token) - F.lit(len(qterm))) <= q.max_edits)
                 & (classic <= 2 * q.max_edits)
             )
-            tdist = transposition_distance_udf(q.term)
+            tdist = transposition_distance_udf(qterm)
             cand = (
                 self._term_stats.where(scope & pre_ok)
                 .select("term", tdist(token).alias("dist"), "df")
                 .where(F.col("dist") <= q.max_edits)
             )
         else:
-            dist = F.levenshtein(token, F.lit(q.term))
+            dist = F.levenshtein(token, F.lit(qterm))
             cand = self._term_stats.where((dist <= q.max_edits) & scope).select(
                 "term", dist.alias("dist"), "df"
             )

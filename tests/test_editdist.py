@@ -99,3 +99,47 @@ def test_expand_fuzzy_transpositions(spark):
     assert "form" in terms2
     assert "form" not in s._expand_fuzzy(
         FuzzyQuery("from", max_edits=1, transpositions=False))
+
+
+def test_fuzzy_validation():
+    """FuzzyQuery.java:86-92 constructor checks."""
+    from lucene_solr_spark.search.query import FuzzyQuery
+
+    with pytest.raises(ValueError, match="maxEdits"):
+        FuzzyQuery("x", max_edits=3)
+    with pytest.raises(ValueError, match="maxEdits"):
+        FuzzyQuery("x", max_edits=-1)
+    with pytest.raises(ValueError, match="prefixLength"):
+        FuzzyQuery("x", prefix_length=-1)
+
+
+def test_fuzzy_prefix_length(spark):
+    """prefixLength: the first P chars must match exactly; edits apply
+    to the suffix only (FuzzyTermsEnum.java:82-96). 'tble'~1 with
+    prefix_length=1 keeps 'table' (suffix 'ble'->'able' = 1 insert)
+    but drops 'able' (wrong first char); prefix_length longer than the
+    term clamps (realPrefixLength)."""
+    from lucene_solr_spark.index.builder import IndexConfig, build_index
+    from lucene_solr_spark.search.query import FuzzyQuery
+    from lucene_solr_spark.search.searcher import IndexSearcher
+    import tempfile
+
+    rows = [(0, "the table is able"), (1, "tble stub"), (2, "a fable here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tempfile.mkdtemp(prefix="lss_fuzzy_p_")
+    build_index(spark, df, out, IndexConfig(
+        n_shards=2, segs_per_shard=1, analyzer="whitespace",
+        id_col="doc_id", text_col="text"))
+    s = IndexSearcher(spark, out)
+
+    no_prefix = s._expand_fuzzy(FuzzyQuery("tble", max_edits=1))
+    assert "able" in no_prefix and "table" in no_prefix
+    with_prefix = s._expand_fuzzy(
+        FuzzyQuery("tble", max_edits=1, prefix_length=1))
+    assert "table" in with_prefix and "tble" in with_prefix
+    assert "able" not in with_prefix and "fable" not in with_prefix
+    # prefix longer than the term: exact-prefix = whole term, edits on
+    # the empty suffix -> only suffix-length <= max_edits survivors
+    clamped = s._expand_fuzzy(
+        FuzzyQuery("tble", max_edits=1, prefix_length=99))
+    assert clamped == ["tble"]
