@@ -3376,6 +3376,60 @@ def _q_dfr_ineb2(spark, sf):
     )
 
 
+def _q_multi_sim(spark, sf):
+    """MultiSimilarity (similarities/MultiSimilarity.java): per-leaf
+    f32 running SUM of LM-Dirichlet(mu=2000) and DFR I(n)L2 scores for
+    the same (doc, freq), then the usual f64 boolean accumulation —
+    OR(scan, table)."""
+    s = _searcher_for(spark, sf)
+    return s.search_multi_sim(BooleanOr(("scan", "table")), k=K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def _multi_sim_sql(t0: str, t1: str, k: int) -> str:
+    """MultiSimilarity oracle: leaf = (float)(lm_dirichlet_leaf +
+    dfr_inl2_leaf) per (doc, term), both computed from the same
+    tf/dl rows exactly as in _lm_dirichlet_sql / _dfr_inl2_sql."""
+    leaves = []
+    for t in (t0, t1):
+        lm_raw = f"""CAST(
+        ln(1 + CAST(CAST(CAST(tf.tf AS REAL)
+              / CAST(CAST(2000.0 AS REAL) * {_lm_cp_sql(t)} AS REAL)
+              AS REAL) AS DOUBLE))
+      + ln(CAST(CAST(CAST(2000.0 AS REAL)
+              / CAST(dl_lm.dl + CAST(2000.0 AS REAL) AS REAL)
+              AS REAL) AS DOUBLE)) AS REAL)"""
+        lm = f"(CASE WHEN {lm_raw} > 0 THEN {lm_raw} ELSE CAST(0 AS REAL) END)"
+        tfn = f"""CAST(CAST(CAST(tf.tf AS REAL) AS DOUBLE)
+           * (ln(1 + CAST(CAST((SELECT av FROM avgl) / dl_lm.dl AS REAL)
+                          AS DOUBLE)) / ln(2.0)) AS REAL)"""
+        inf = (
+            f"CAST(ln(((SELECT n FROM a) + 1)"
+            f" / (COALESCE((SELECT df FROM dfs WHERE term = '{t}'), 0)"
+            f" + 0.5)) / ln(2.0) AS REAL)"
+        )
+        dfr = (
+            f"CAST(CAST({tfn} * {inf} AS REAL)"
+            f" * CAST(CAST(1.0 AS REAL)"
+            f" / CAST({tfn} + CAST(1.0 AS REAL) AS REAL) AS REAL) AS REAL)"
+        )
+        leaves.append(f"""
+  SELECT tf.doc_id, CAST({lm} + {dfr} AS REAL) AS s
+  FROM tf JOIN dl_lm USING (doc_id) WHERE tf.term = '{t}'""")
+    union = "\n  UNION ALL\n".join(leaves)
+    return f"""
+WITH {_BM25_CTES},
+{_LM_STATS_CTES},
+{_AVGL_CTE},
+sc AS ({union})
+SELECT doc_id,
+  CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _q_ib_ll_ttf(spark, sf):
     """IB LL-TTF-H2 disjunction — DistributionLL + LambdaTTF
     (DistributionLL.java:30-32, LambdaTTF.java:32-34)."""
@@ -5805,6 +5859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_gl1_topk": _q_dfr_gl1,
         "dfr_ineb2_topk": _q_dfr_ineb2,
         "ib_ll_ttf_topk": _q_ib_ll_ttf,
+        "multi_sim_topk": _q_multi_sim,
         "lm_tree_topk": _q_lm_tree,
         "batch_search_rows": _q_batch_search,
         "explain_score_row": _q_explain_score,
@@ -6179,6 +6234,7 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20""",
         "dfr_gl1_topk": _dfr_gl1_sql("scan", "merge", K),
         "dfr_ineb2_topk": _dfr_ineb2_sql("scan", "table", K),
         "ib_ll_ttf_topk": _ib_ll_ttf_sql("merge", "sort", K),
+        "multi_sim_topk": _multi_sim_sql("scan", "table", K),
         "ib_spl_topk": _ib_spl_sql("merge", "sort", K),
         "lm_tree_topk": _lm_tree_sql(K),
         "batch_search_rows": _batch_search_sql(10),

@@ -3030,6 +3030,34 @@ class IndexSearcher:
         )
         return self._search_simbase(query, k, make_leaf, "search_ib")
 
+    def search_multi_sim(
+        self, query: Query, k: int | None = 10,
+        models: tuple[dict, ...] = ({"model": "dirichlet"},
+                                    {"model": "dfr"}),
+    ) -> DataFrame:
+        """MultiSimilarity analog (similarities/MultiSimilarity.java:
+        MultiSimScorer.score — an f32 RUNNING SUM of each sub-
+        similarity's score for the same (doc, freq), composed per leaf
+        before the boolean f64 accumulation). Each entry of `models`
+        is a kwargs dict for _simbase_conf (e.g. {"model": "jm",
+        "lam": 0.2}, {"model": "dfr", "basic_model": "g"}). Supports
+        Term / BooleanAnd / BooleanOr over the default field."""
+        confs = [self._simbase_conf(**m)[0] for m in models]
+
+        def make_leaf(term, df, cf):
+            subs = [c(term, df, cf) for c in confs]
+
+            def leaf(tf, nb, boost=1.0):
+                acc = None
+                for s in subs:
+                    v = s(tf, nb, boost)
+                    acc = v if acc is None else (acc + v).astype(np.float32)
+                return acc
+
+            return leaf
+
+        return self._search_simbase(query, k, make_leaf, "search_multi_sim")
+
     def _search_simbase_tree(
         self, spec: dict, k: int | None, make_leaf, name: str,
     ) -> DataFrame:

@@ -162,3 +162,46 @@ def test_unknown_components_raise():
     with pytest.raises(ValueError, match="lambda"):
         dfr.score_ib(np.array([1]), nb, 1, 1, 5, 24, np.float32(4.8),
                      lam_kind="xx")
+
+
+def test_multi_similarity_sum_bitwise(mx_index):
+    """MultiSimilarity (MultiSimilarity.java MultiSimScorer.score):
+    per-leaf f32 RUNNING SUM of the sub-similarities, composed before
+    the boolean accumulation — pinned against recomputing from the
+    sub-leaf functions."""
+    import numpy as np
+
+    from lucene_solr_spark.functions import lm
+    from lucene_solr_spark.functions.smallfloat import encode_norm
+    from lucene_solr_spark.search.query import BooleanOr
+
+    toks, cf, df, total = _stats()
+    n = len(DOCS)
+    avg = dfr.avg_field_length(total, n)
+
+    def multi_leaf(tf_arr, nb, t):
+        cp = lm.collection_probability(cf[t], total)
+        a = lm.score_dirichlet(tf_arr, nb, 2000.0, cp)
+        b = dfr.score_dfr_inl2(tf_arr, nb, df[t], n, avg)
+        return (a + b).astype(np.float32)
+
+    want = {}
+    for d, ts in toks.items():
+        nb = encode_norm(np.array([len(ts)]))
+        acc = np.float64(0.0)
+        hit = False
+        for t in ("merge", "sort"):
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            acc += np.float64(multi_leaf(np.array([tf]), nb, t)[0])
+        if hit:
+            want[d] = np.float32(acc)
+    got = {
+        r.doc_id: np.float32(r.score)
+        for r in mx_index.search_multi_sim(
+            BooleanOr(("merge", "sort")), k=10
+        ).collect()
+    }
+    assert got == want
