@@ -72,6 +72,10 @@ class _Node:
     gap: float | None = None
     limit: int = 10
     sort: str = "count"            # count | index
+    mincount: int = 1              # FacetField default mincount=1
+    prefix: str | None = None      # terms bucket-value prefix filter
+    missing: bool = False          # emit a bucket for null field values
+    all_buckets: bool = False      # allBuckets: one unlimited rollup row
     stats: list[tuple[str, str, str]] = dc_field(default_factory=list)
     children: list["_Node"] = dc_field(default_factory=list)
 
@@ -85,6 +89,10 @@ def _parse(name: str, spec: dict) -> _Node:
         start=spec.get("start"), end=spec.get("end"), gap=spec.get("gap"),
         limit=int(spec.get("limit", 10)),
         sort=spec.get("sort", "count"),
+        mincount=int(spec.get("mincount", 1)),
+        prefix=spec.get("prefix"),
+        missing=bool(spec.get("missing", False)),
+        all_buckets=bool(spec.get("allBuckets", False)),
     )
     if kind == "terms" and not node.field:
         raise ValueError(f"terms facet {name!r} needs a field")
@@ -191,6 +199,28 @@ def json_facet(df: DataFrame, request: dict | None = None,
         bcol = _bucket_col(node)
         depth = len(prefix_cols)
         vcol = f"_fv{depth}"
+        extras: list[DataFrame] = []
+        if node.kind == "terms":
+            # terms buckets exclude null field values; missing:true
+            # reports them as one '__missing__' bucket and
+            # allBuckets:true one pre-limit '__all__' rollup
+            # (FacetField missing/allBuckets semantics; Solr nests
+            # them as separate response keys — flattened here as
+            # reserved bucket values)
+            nonnull = cur.where(F.col(node.field).isNotNull())
+            if node.prefix is not None:
+                nonnull = nonnull.where(
+                    F.col(node.field).cast("string").startswith(node.prefix)
+                )
+            if node.missing:
+                extras.append(
+                    cur.where(F.col(node.field).isNull()).withColumn(
+                        vcol, F.lit("__missing__")
+                    )
+                )
+            if node.all_buckets:
+                extras.append(nonnull.withColumn(vcol, F.lit("__all__")))
+            cur = nonnull
         if bcol is not None:
             cur = cur.withColumn(vcol, bcol)
         else:
@@ -199,6 +229,8 @@ def json_facet(df: DataFrame, request: dict | None = None,
         agg = cur.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("_cnt"), *_stat_cols(node)
         )
+        if node.kind in ("terms", "range") and node.mincount > 1:
+            agg = agg.where(F.col("_cnt") >= node.mincount)
         if node.kind == "terms":
             order = (
                 [F.desc("_cnt"), F.asc(vcol)]
@@ -213,17 +245,26 @@ def json_facet(df: DataFrame, request: dict | None = None,
                 .where(F.col("_rn") <= node.limit)
                 .drop("_rn")
             )
-        row = agg.select(
-            F.lit(name).alias("facet"),
-            F.concat_ws("|", *keys).alias("bucket_path"),
-            F.col("_cnt").cast("long").alias("count"),
-            *[
-                (F.col(a) if any(a == s[0] for s in node.stats)
-                 else F.lit(None).cast("double")).alias(a)
-                for a in aliases
-            ],
-        )
-        frames.append(row)
+
+        def to_rows(a: DataFrame) -> DataFrame:
+            return a.select(
+                F.lit(name).alias("facet"),
+                F.concat_ws("|", *keys).alias("bucket_path"),
+                F.col("_cnt").cast("long").alias("count"),
+                *[
+                    (F.col(al) if any(al == s[0] for s in node.stats)
+                     else F.lit(None).cast("double")).alias(al)
+                    for al in aliases
+                ],
+            )
+
+        frames.append(to_rows(agg))
+        for ex in extras:
+            frames.append(to_rows(
+                ex.groupBy(*keys).agg(
+                    F.count(F.lit(1)).alias("_cnt"), *_stat_cols(node)
+                )
+            ))
         if node.children:
             # limit pushdown: children only see surviving buckets
             survivors = agg.select(*keys)

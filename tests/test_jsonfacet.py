@@ -132,3 +132,41 @@ def test_errors(docs):
                           "facet": {"x": "median(n)"}})
     with pytest.raises(ValueError, match="no facet request"):
         json_facet(docs)
+
+
+def test_mincount_prefix_missing_allbuckets(spark):
+    from lucene_solr_spark.search.jsonfacet import json_facet
+
+    rows = [
+        (0, "en", 10), (1, "en", 20), (2, "es", 30),
+        (3, None, 40), (4, "enx", 50), (5, None, 60),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+
+    # mincount drops singleton buckets
+    got = _rows(json_facet(docs, {"type": "terms", "field": "lang",
+                                  "mincount": 2}))
+    assert set(got) == {("facet", "en")}
+
+    # prefix filters bucket VALUES before sort/limit
+    got2 = _rows(json_facet(docs, {"type": "terms", "field": "lang",
+                                   "prefix": "en"}))
+    assert set(got2) == {("facet", "en"), ("facet", "enx")}
+
+    # missing -> one __missing__ bucket with the null-field docs;
+    # nulls never form a regular bucket
+    got3 = _rows(json_facet(docs, {"type": "terms", "field": "lang",
+                                   "missing": True,
+                                   "facet": {"s": "sum(n)"}}))
+    assert got3[("facet", "__missing__")].asDict()["count"] == 2
+    assert got3[("facet", "__missing__")].s == 100.0
+    assert all(bp != "" for (_f, bp) in got3)
+
+    # allBuckets -> pre-limit rollup over every value bucket (nulls
+    # excluded), even when limit cuts the bucket list
+    got4 = _rows(json_facet(docs, {"type": "terms", "field": "lang",
+                                   "limit": 1, "allBuckets": True,
+                                   "facet": {"s": "sum(n)"}}))
+    assert set(got4) == {("facet", "en"), ("facet", "__all__")}
+    assert got4[("facet", "__all__")].asDict()["count"] == 4
+    assert got4[("facet", "__all__")].s == 110.0
