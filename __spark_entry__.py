@@ -1017,6 +1017,37 @@ def _q_fuzzy(spark, sf):
     return _hits(spark, sf, FuzzyQuery("tabl", max_edits=1), K)
 
 
+def _q_fuzzy_prefix(spark, sf):
+    """FuzzyQuery prefixLength (FuzzyQuery.java:75,
+    FuzzyTermsEnum.java:82-96): 'scon'~1 with prefix_length=1 — the
+    first char must match exactly, the one edit applies to the suffix
+    ('con'->'can'), expanding to exactly {scan}."""
+    return _hits(
+        spark, sf, FuzzyQuery("scon", max_edits=1, prefix_length=1), K
+    )
+
+
+def _fuzzy_prefix_sql(q: str, plen: int, max_edits: int, k: int) -> str:
+    """Oracle for the prefixLength expansion: exact shared prefix +
+    damerau_levenshtein on the suffixes (same caveat as _fuzzy_sql)."""
+    pre, suf = q[:plen], q[plen:]
+    return f"""
+WITH {_BM25_CTES},
+sc AS (
+  SELECT tf.doc_id, tf.term,
+    (CAST(ln(1 + ((SELECT n FROM a) - dfs.df + 0.5) / (dfs.df + 0.5)) AS REAL)
+       * (CAST(1.2 AS REAL) + CAST(1.0 AS REAL)))
+      * CAST(tf.tf AS REAL) / (CAST(tf.tf AS REAL) + cachet.c) AS s
+  FROM tf JOIN dfs USING (term) JOIN cachet USING (doc_id)
+  WHERE substr(tf.term, 1, {plen}) = '{pre}'
+    AND damerau_levenshtein(substr(tf.term, {plen + 1}), '{suf}')
+        <= {max_edits}
+)
+SELECT doc_id, CAST(CAST(SUM(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _q_fuzzy_transposition(spark, sf):
     """Transpositions-as-one-edit fuzzy (FuzzyQuery.java:59 default):
     'tabel'~1 matches 'table' (adjacent swap = 1 edit) where classic
@@ -5922,6 +5953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_topk": _q_phrase,
         "fuzzy_or_topk": _q_fuzzy,
         "fuzzy_transposition_topk": _q_fuzzy_transposition,
+        "fuzzy_prefix_topk": _q_fuzzy_prefix,
         "wildcard_constant_topk": _q_wildcard,
         "prefix_constant_topk": _q_prefix_constant,
         "bm25_term_topk": _q_term,
@@ -6966,6 +6998,7 @@ FROM documents GROUP BY lang ORDER BY lang""",
         "bm25_phrase_topk": _phrase_sql(*Q_PHRASE, K),
         "fuzzy_or_topk": _fuzzy_sql("tabl", 1, K),
         "fuzzy_transposition_topk": _fuzzy_sql("tabel", 1, K),
+        "fuzzy_prefix_topk": _fuzzy_prefix_sql("scon", 1, 1, K),
         "wildcard_constant_topk": (
             f"WITH {_BM25_CTES} "
             "SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM tf "
