@@ -3369,6 +3369,7 @@ class IndexSearcher:
     def explain_simbase(
         self, query: Query, doc_id: int, model: str = "dirichlet",
         mu: float = 2000.0, lam: float = 0.1, c: float = 1.0,
+        **matrix,
     ) -> dict:
         """Explain for the SimilarityBase family (SimilarityBase.java's
         explain + the per-similarity subs, e.g.
@@ -3376,10 +3377,13 @@ class IndexSearcher:
         decomposition — tf, norm byte, decoded docLen, the BasicStats
         each flavor surfaces — with the root `score` recomposed through
         the SAME leaf closures as search_lm/search_dfr/search_ib, so
-        it is bitwise the search score."""
+        it is bitwise the search score. Extra keyword args select DFR/
+        IB matrix points exactly like search_dfr/search_ib
+        (basic_model/after_effect/normalization/distribution/lam_kind/
+        mu_h3/z)."""
         from lucene_solr_spark.functions.lm import DOCLEN_TABLE
 
-        make_leaf, detail = self._simbase_conf(model, mu, lam, c)
+        make_leaf, detail = self._simbase_conf(model, mu, lam, c, **matrix)
         q = rewrite(query)
         spec = self._spec(q)
         kind = spec["kind"]

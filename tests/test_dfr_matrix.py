@@ -205,3 +205,28 @@ def test_multi_similarity_sum_bitwise(mx_index):
         ).collect()
     }
     assert got == want
+
+
+def test_explain_matrix_points_bitwise(mx_index):
+    """explain_simbase at a matrix point recomposes the exact search
+    score (SimilarityBase.explain parity extended to the full grid)."""
+    from lucene_solr_spark.search.query import BooleanOr
+
+    q = BooleanOr(("merge", "sort"))
+    for kwargs, search in [
+        (dict(model="dfr", basic_model="g", after_effect="l",
+              normalization="h1"),
+         lambda: mx_index.search_dfr(q, k=10, basic_model="g",
+                                     after_effect="l",
+                                     normalization="h1")),
+        (dict(model="ib", distribution="ll", lam_kind="ttf",
+              normalization="z"),
+         lambda: mx_index.search_ib(q, k=10, distribution="ll",
+                                    lam_kind="ttf", normalization="z")),
+    ]:
+        rows = search().collect()
+        assert rows
+        top = rows[0]
+        ex = mx_index.explain_simbase(q, int(top.doc_id), **kwargs)
+        assert ex["match"] is True
+        assert np.float32(ex["score"]) == np.float32(top.score)
