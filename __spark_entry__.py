@@ -3961,6 +3961,45 @@ def _q_json_facet_stats(spark, sf):
     )
 
 
+def _q_json_facet_options(spark, sf):
+    """JSON facet bucket options (FacetField mincount / prefix /
+    allBuckets): source-terms facet with prefix='src1', mincount=5,
+    limit=5, allBuckets rollup, avg stat — the '__all__' row
+    aggregates EVERY prefix-matching bucket pre-limit."""
+    from lucene_solr_spark.search.jsonfacet import json_facet
+
+    return json_facet(_docs(spark, sf), {
+        "type": "terms", "field": "source", "prefix": "src1",
+        "mincount": 5, "limit": 5, "allBuckets": True,
+        "facet": {"avg_nc": "avg(n_chars)"},
+    })
+
+
+_JSON_FACET_OPTIONS_SQL = """
+WITH b AS (
+  SELECT source AS v, count(*) AS cnt, avg(n_chars) AS avg_nc
+  FROM documents WHERE source LIKE 'src1%' AND source IS NOT NULL
+  GROUP BY source
+),
+keep AS (
+  SELECT v, cnt, avg_nc,
+         row_number() OVER (ORDER BY cnt DESC, v) AS rn
+  FROM b WHERE cnt >= 5
+),
+allb AS (
+  SELECT count(*) AS cnt, avg(n_chars) AS avg_nc
+  FROM documents WHERE source LIKE 'src1%' AND source IS NOT NULL
+)
+SELECT * FROM (
+  SELECT 'facet' AS facet, v AS bucket_path, cnt::BIGINT AS count,
+         CAST(avg_nc AS DOUBLE) AS avg_nc
+  FROM keep WHERE rn <= 5
+  UNION ALL
+  SELECT 'facet', '__all__', cnt::BIGINT, CAST(avg_nc AS DOUBLE)
+  FROM allb
+) ORDER BY facet, bucket_path"""
+
+
 def _q_json_facet_nested2(spark, sf):
     """Arbitrary-depth JSON facet tree (FacetModule.java:47 nested
     FacetRequest recursion; round-4 verdict #6): terms(lang, limit 3)
@@ -5930,6 +5969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_interesting_terms": _q_mlt_interesting,
         "json_facet_lang_stats": _q_json_facet_stats,
         "json_facet_nested2_topk": _q_json_facet_nested2,
+        "json_facet_options_topk": _q_json_facet_options,
         "bigram_logprob_topk": _op_bigram_logprob,
         "scale_function_topk": _q_scale_function,
         "termfreq_topk": _q_termfreq_function,
@@ -6710,6 +6750,7 @@ FROM documents GROUP BY lang ORDER BY lang""",
             f"WHERE term = '{Q_TERM}' ORDER BY tf DESC, doc_id LIMIT {K}"
         ),
         "json_facet_nested2_topk": _JSON_FACET_NESTED2_SQL,
+        "json_facet_options_topk": _JSON_FACET_OPTIONS_SQL,
         "json_facet_lang_stats": (
             "WITH ls AS (SELECT lang, source, count(*) AS sc, "
             "sum(n_chars) AS sum_nc FROM documents GROUP BY lang, source), "
